@@ -1,0 +1,74 @@
+"""Engine configuration.
+
+Parity: reference ``nanovllm/config.py`` (fields and invariants,
+config.py:20-25), extended with TPU-specific fields: dtype / KV-cache dtype,
+quantization mode, mesh shape (tensor/data parallel), HBM utilization, and
+shape-bucketing controls (the TPU analogue of the reference's CUDA-graph
+batch-size ladder, model_runner.py:222-257).
+"""
+
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+from transformers import AutoConfig
+
+
+@dataclass
+class Config:
+    model: str
+    max_num_batched_tokens: int = 16384
+    max_num_seqs: int = 256
+    max_model_len: int = 4096
+    hbm_utilization: float = 0.9
+    tensor_parallel_size: int = 1
+    data_parallel_size: int = 1
+    enforce_eager: bool = False
+    hf_config: Any = None
+    eos: int = -1
+    kvcache_block_size: int = 256
+    num_kvcache_blocks: int = -1
+
+    # --- TPU-specific extensions (absent in reference) ---
+    dtype: str = "bfloat16"            # parameter/activation dtype
+    kv_cache_dtype: str = "auto"       # "auto" -> dtype; or "int8" / "fp8"
+    quantization: str | None = None    # None | "int8" | "int4" | "fp8" (weight-only)
+    scan_layers: bool = True           # lax.scan over layers (fast compile) vs unrolled
+    use_pallas_attention: bool | None = None  # None -> auto (True on TPU)
+    # Decode batch buckets: the jit-compiled shape ladder (analogue of the
+    # reference's CUDA-graph sizes 1,2,4,...,512, model_runner.py:226).
+    decode_buckets: tuple = ()
+    prefill_buckets: tuple = ()
+    rng_seed: int = 0
+
+    def __post_init__(self):
+        assert os.path.isdir(self.model), f"model path {self.model!r} is not a directory"
+        assert self.kvcache_block_size % 16 == 0, "kvcache_block_size must be a multiple of 16"
+        assert self.tensor_parallel_size >= 1
+        assert self.data_parallel_size >= 1
+        assert 0.0 < self.hbm_utilization <= 1.0
+        if self.hf_config is None:
+            self.hf_config = AutoConfig.from_pretrained(self.model)
+        max_pos = getattr(self.hf_config, "max_position_embeddings", self.max_model_len)
+        self.max_model_len = min(self.max_model_len, max_pos)
+        assert self.max_num_batched_tokens >= self.max_model_len, (
+            "max_num_batched_tokens must cover max_model_len so any prompt fits "
+            "in one (possibly chunked) prefill budget"
+        )
+        if self.kv_cache_dtype == "auto":
+            self.kv_cache_dtype = self.dtype
+        if not self.decode_buckets:
+            ladder = [8, 16, 32, 64, 128, 256, 512]
+            self.decode_buckets = tuple(b for b in ladder if b < self.max_num_seqs) + (
+                self.max_num_seqs,
+            )
+        if not self.prefill_buckets:
+            ladder, b = [], 512
+            while b < self.max_num_batched_tokens:
+                ladder.append(b)
+                b *= 2
+            self.prefill_buckets = tuple(ladder) + (self.max_num_batched_tokens,)
+
+    @property
+    def max_blocks_per_seq(self) -> int:
+        return -(-self.max_model_len // self.kvcache_block_size)

@@ -1,0 +1,121 @@
+"""Continuous-batching scheduler: prefill-priority FCFS with chunked prefill
+and preempt-by-recompute.
+
+Parity: reference ``nanovllm/engine/scheduler.py``:
+- two deques (waiting / running), prefill packed FCFS up to max_num_seqs and
+  max_num_batched_tokens (scheduler.py:30-52),
+- prefix-cache-aware admission: the new-token count excludes cached tokens,
+- chunked prefill for the *first* sequence of a batch only; a chunk-incomplete
+  sequence stays at the front of ``waiting`` (scheduler.py:42-51),
+- decode otherwise: preempt last-in running (or self) while the KV pool cannot
+  cover an append (scheduler.py:58-65); preemption deallocates all blocks and
+  recomputes later via prefix-aware re-prefill (scheduler.py:75-79),
+- postprocess: advance cached tokens, register new full-block hashes, append
+  the sampled token, finish on EOS (unless ignore_eos) or max_tokens
+  (scheduler.py:81-92).
+
+TPU note: the scheduler itself is pure host bookkeeping; the ModelRunner pads
+its output to compiled shape buckets (SURVEY.md §7 design delta 5).
+"""
+
+from collections import deque
+
+from nanovllm_tpu.config import Config
+from nanovllm_tpu.engine.block_manager import BlockManager
+from nanovllm_tpu.engine.sequence import Sequence, SequenceStatus
+
+
+class Scheduler:
+
+    def __init__(self, config: Config):
+        self.max_num_seqs = config.max_num_seqs
+        self.max_num_batched_tokens = config.max_num_batched_tokens
+        self.eos = config.eos
+        self.block_manager = BlockManager(
+            config.num_kvcache_blocks, config.kvcache_block_size
+        )
+        self.waiting: deque[Sequence] = deque()
+        self.running: deque[Sequence] = deque()
+
+    def is_finished(self) -> bool:
+        return not self.waiting and not self.running
+
+    def add(self, seq: Sequence):
+        self.waiting.append(seq)
+
+    # ---------------------------------------------------------------- sched
+
+    def schedule(self) -> tuple[list[Sequence], bool]:
+        # Prefill first (prefill-priority).
+        scheduled: list[Sequence] = []
+        num_batched_tokens = 0
+        while self.waiting and len(scheduled) < self.max_num_seqs:
+            seq = self.waiting[0]
+            if seq.block_table:
+                cached = seq.num_cached_tokens  # continuation chunk
+            else:
+                cached_blocks = self.block_manager.can_allocate(seq)
+                if cached_blocks == -1:
+                    break  # KV pool cannot host this prompt right now
+                cached = cached_blocks * self.block_manager.block_size
+            remaining = seq.num_tokens - cached
+            budget = self.max_num_batched_tokens - num_batched_tokens
+            if budget <= 0:
+                break
+            chunk = min(remaining, budget)
+            if chunk < remaining and scheduled:
+                break  # a chunked (partial) prefill may only lead a batch
+            if not seq.block_table:
+                self.block_manager.allocate(seq)
+            seq.num_scheduled_tokens = chunk
+            num_batched_tokens += chunk
+            scheduled.append(seq)
+            if chunk == remaining:
+                seq.status = SequenceStatus.RUNNING
+                self.waiting.popleft()
+                self.running.append(seq)
+            else:
+                break  # incomplete chunk stays at the front of waiting
+        if scheduled:
+            return scheduled, True
+
+        # Decode: schedule every running sequence, preempting under pressure.
+        while self.running and len(scheduled) < self.max_num_seqs:
+            seq = self.running.popleft()
+            while not self.block_manager.can_append(seq):
+                if self.running:
+                    self.preempt(self.running.pop())
+                else:
+                    self.preempt(seq)
+                    seq = None
+                    break
+            if seq is None:
+                continue
+            seq.num_scheduled_tokens = 1
+            self.block_manager.may_append(seq)
+            scheduled.append(seq)
+        assert scheduled, "scheduler deadlock: no sequence can be scheduled"
+        self.running.extendleft(reversed(scheduled))
+        return scheduled, False
+
+    def preempt(self, seq: Sequence):
+        seq.status = SequenceStatus.WAITING
+        self.block_manager.deallocate(seq)
+        self.waiting.appendleft(seq)
+
+    # ----------------------------------------------------------------- post
+
+    def postprocess(self, seqs: list[Sequence], token_ids: list[int]):
+        for seq, token_id in zip(seqs, token_ids):
+            seq.num_cached_tokens += seq.num_scheduled_tokens
+            seq.num_scheduled_tokens = 0
+            self.block_manager.hash_new_full_blocks(seq)
+            if seq.status == SequenceStatus.WAITING:
+                continue  # incomplete prefill chunk: no token to append yet
+            seq.append_token(token_id)
+            if (not seq.ignore_eos and token_id == self.eos) or (
+                seq.num_completion_tokens >= seq.max_tokens
+            ):
+                seq.status = SequenceStatus.FINISHED
+                self.block_manager.deallocate(seq)
+                self.running.remove(seq)

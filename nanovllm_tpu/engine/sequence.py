@@ -1,0 +1,88 @@
+"""Per-request sequence state machine.
+
+Parity: reference ``nanovllm/engine/sequence.py`` (status enum, token
+bookkeeping, block-table, per-block token slicing). The reference's custom
+pickle minimization (sequence.py:72-83) is unnecessary here: the TPU engine is
+single-controller, so sequences never cross a process boundary.
+"""
+
+from enum import Enum, auto
+from itertools import count
+
+from nanovllm_tpu.sampling_params import SamplingParams
+
+
+class SequenceStatus(Enum):
+    WAITING = auto()
+    RUNNING = auto()
+    FINISHED = auto()
+
+
+class Sequence:
+    block_size = 256
+    counter = count()
+
+    def __init__(self, token_ids: list[int], sampling_params: SamplingParams = SamplingParams()):
+        self.seq_id = next(Sequence.counter)
+        self.status = SequenceStatus.WAITING
+        self.token_ids = list(token_ids)
+        self.last_token = token_ids[-1]
+        self.num_tokens = len(self.token_ids)
+        self.num_prompt_tokens = len(token_ids)
+        # Tokens whose KV is resident in the paged cache. Advanced by the
+        # scheduler as prefill chunks complete and after each decode step.
+        self.num_cached_tokens = 0
+        # Full blocks whose hash has been registered in the prefix cache.
+        self.num_hashed_blocks = 0
+        # Tokens scheduled for the in-flight step (chunk size for prefill, 1
+        # for decode).
+        self.num_scheduled_tokens = 0
+        self.block_table: list[int] = []
+        self.temperature = sampling_params.temperature
+        self.max_tokens = sampling_params.max_tokens
+        self.ignore_eos = sampling_params.ignore_eos
+
+    def __len__(self):
+        return self.num_tokens
+
+    def __getitem__(self, key):
+        return self.token_ids[key]
+
+    @property
+    def is_finished(self) -> bool:
+        return self.status == SequenceStatus.FINISHED
+
+    @property
+    def num_completion_tokens(self) -> int:
+        return self.num_tokens - self.num_prompt_tokens
+
+    @property
+    def prompt_token_ids(self) -> list[int]:
+        return self.token_ids[: self.num_prompt_tokens]
+
+    @property
+    def completion_token_ids(self) -> list[int]:
+        return self.token_ids[self.num_prompt_tokens:]
+
+    @property
+    def num_blocks(self) -> int:
+        return -(-self.num_tokens // self.block_size)
+
+    @property
+    def last_block_num_tokens(self) -> int:
+        return self.num_tokens - (self.num_blocks - 1) * self.block_size
+
+    def block(self, i: int) -> list[int]:
+        assert 0 <= i < self.num_blocks
+        return self.token_ids[i * self.block_size: (i + 1) * self.block_size]
+
+    def append_token(self, token_id: int):
+        self.token_ids.append(token_id)
+        self.last_token = token_id
+        self.num_tokens += 1
+
+    def __repr__(self):
+        return (
+            f"Sequence(id={self.seq_id}, status={self.status.name}, "
+            f"tokens={self.num_tokens}, cached={self.num_cached_tokens})"
+        )

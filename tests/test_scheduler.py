@@ -1,0 +1,146 @@
+"""Unit tests for the continuous-batching scheduler (pure CPU)."""
+
+from types import SimpleNamespace
+
+from nanovllm_tpu.engine.scheduler import Scheduler
+from nanovllm_tpu.engine.sequence import Sequence, SequenceStatus
+from nanovllm_tpu.sampling_params import SamplingParams
+
+BS = 4
+EOS = 999
+
+
+def make_scheduler(num_blocks=64, max_seqs=8, max_tokens=64):
+    cfg = SimpleNamespace(
+        max_num_seqs=max_seqs,
+        max_num_batched_tokens=max_tokens,
+        eos=EOS,
+        num_kvcache_blocks=num_blocks,
+        kvcache_block_size=BS,
+    )
+    return Scheduler(cfg)
+
+
+def make_seq(tokens, **kw):
+    Sequence.block_size = BS
+    return Sequence(tokens, SamplingParams(**kw))
+
+
+def run_step(sched, sampled_token=7):
+    seqs, is_prefill = sched.schedule()
+    sched.postprocess(seqs, [sampled_token] * len(seqs))
+    return seqs, is_prefill
+
+
+def test_prefill_then_decode():
+    sched = make_scheduler()
+    seq = make_seq([1, 2, 3, 4, 5], max_tokens=3)
+    sched.add(seq)
+    seqs, is_prefill = run_step(sched)
+    assert is_prefill and seqs == [seq]
+    assert seq.status == SequenceStatus.RUNNING
+    assert seq.num_tokens == 6 and seq.last_token == 7
+    assert seq.num_cached_tokens == 5
+    seqs, is_prefill = run_step(sched)
+    assert not is_prefill and seqs == [seq]
+    assert seq.num_cached_tokens == 6
+    run_step(sched)
+    assert seq.is_finished and sched.is_finished()  # 3 completion tokens
+    assert seq.completion_token_ids == [7, 7, 7]
+
+
+def test_eos_stops_unless_ignored():
+    sched = make_scheduler()
+    s1 = make_seq([1, 2], max_tokens=10)
+    s2 = make_seq([1, 2], max_tokens=10, ignore_eos=True)
+    sched.add(s1)
+    sched.add(s2)
+    run_step(sched, sampled_token=EOS)
+    assert s1.is_finished and not s2.is_finished
+
+
+def test_prefill_priority_and_fcfs_packing():
+    sched = make_scheduler(max_tokens=16)
+    a = make_seq(list(range(10)))
+    b = make_seq(list(range(20, 26)))
+    c = make_seq(list(range(40, 48)))
+    for s in (a, b, c):
+        sched.add(s)
+    seqs, is_prefill = sched.schedule()
+    # 10 + 6 = 16 fills the budget; c must wait.
+    assert is_prefill and seqs == [a, b]
+    sched.postprocess(seqs, [7, 7])
+    seqs, is_prefill = sched.schedule()
+    assert is_prefill and seqs == [c]  # prefill still outranks decode
+    sched.postprocess(seqs, [7])
+    seqs, is_prefill = sched.schedule()
+    assert not is_prefill and set(seqs) == {a, b, c}
+
+
+def test_chunked_prefill_first_seq_only():
+    sched = make_scheduler(max_tokens=8)
+    long = make_seq(list(range(20)))
+    short = make_seq([1, 2, 3])
+    sched.add(long)
+    sched.add(short)
+    # Chunk 1: 8 of 20 tokens; long stays waiting, short not admitted.
+    seqs, is_prefill = sched.schedule()
+    assert is_prefill and seqs == [long] and long.num_scheduled_tokens == 8
+    assert long.status == SequenceStatus.WAITING
+    sched.postprocess(seqs, [7])
+    assert long.num_cached_tokens == 8 and long.num_tokens == 20  # no token appended
+    # Chunk 2: next 8.
+    seqs, _ = sched.schedule()
+    assert seqs == [long] and long.num_scheduled_tokens == 8
+    sched.postprocess(seqs, [7])
+    # Chunk 3: final 4 tokens complete the prefill; short follows in-batch.
+    seqs, _ = sched.schedule()
+    assert seqs == [long, short]
+    assert long.num_scheduled_tokens == 4
+    sched.postprocess(seqs, [7, 7])
+    assert long.status == SequenceStatus.RUNNING and long.num_tokens == 21
+
+
+def test_preemption_by_recompute():
+    # Pool of 3 blocks, two seqs of 1 block each; growth forces eviction.
+    sched = make_scheduler(num_blocks=3, max_tokens=8)
+    a = make_seq([1, 2, 3, 4], max_tokens=4, ignore_eos=True)
+    b = make_seq([5, 6, 7, 8], max_tokens=4, ignore_eos=True)
+    sched.add(a)
+    sched.add(b)
+    run_step(sched)  # prefill a (1 block)
+    run_step(sched)  # prefill b (1 block)
+    # Decode: both need a new block (len 5 % 4 == 1) but only 1 block is free:
+    # b (last in running) is preempted back to waiting.
+    seqs, is_prefill = sched.schedule()
+    assert not is_prefill and seqs == [a]
+    assert b.status == SequenceStatus.WAITING and b.block_table == []
+    sched.postprocess(seqs, [9])
+    # b stays starved (needs 2 blocks, 1 free) while a runs to completion.
+    while not a.is_finished:
+        seqs, is_prefill = run_step(sched)
+        assert seqs == [a] and not is_prefill
+    # a's blocks freed: b is re-prefilled. Its first block survived in the
+    # free pool with hash intact, so the prefix cache resurrects it and only
+    # the 1 uncached token is recomputed.
+    seqs, is_prefill = sched.schedule()
+    assert is_prefill and seqs == [b]
+    assert b.num_cached_tokens == 4
+    assert b.num_scheduled_tokens == 1
+
+
+def test_prefix_cached_admission_counts_fewer_tokens():
+    sched = make_scheduler(max_tokens=8)
+    a = make_seq(list(range(12)))
+    sched.add(a)
+    while sched.waiting:
+        run_step(sched)
+    # a cached blocks 0-1 (8 tokens). A new seq sharing that prefix needs only
+    # 12 - 8 = 4 new tokens, fitting an 8-token budget alongside 4 more.
+    b = make_seq(list(range(12)))
+    c = make_seq([90, 91, 92, 93])
+    sched.add(b)
+    sched.add(c)
+    seqs, is_prefill = sched.schedule()
+    assert is_prefill and seqs == [b, c]
+    assert b.num_scheduled_tokens == 4 and b.num_cached_tokens == 8
