@@ -1,0 +1,98 @@
+"""The jit-visible per-step input batch.
+
+TPU-first replacement for the reference's module-global Context channel
+(utils/context.py:5-27) and host input-prep (model_runner.py:129-193):
+globals can't cross a jit boundary, so all per-step metadata travels as one
+explicit pytree argument with **bucketed static shapes** (padding instead of
+the reference's dynamic tensors).
+
+One format serves both prefill and decode (mixed batches supported): decode is
+simply the q_len==1-per-sequence case of the ragged layout.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import numpy as np
+
+
+class StepInputs(NamedTuple):
+    token_ids: jax.Array      # i32[T]
+    positions: jax.Array      # i32[T] absolute positions (0 for padding)
+    slot_mapping: jax.Array   # i32[T] flat KV slot per token (-1 padding)
+    seq_ids: jax.Array        # i32[T] row in [S] arrays (S for padding)
+    kv_lens: jax.Array        # i32[S] per-seq total kv length (0 padding)
+    block_tables: jax.Array   # i32[S, W]
+    cu_q_lens: jax.Array      # i32[S+1]
+    num_seqs: jax.Array       # i32[1]
+    last_token_idx: jax.Array  # i32[S] packed index of each seq's last token
+    temperatures: jax.Array   # f32[S]
+    rng: jax.Array            # PRNG key data (uint32[2])
+
+
+def build_step_inputs(
+    reqs: list[dict],
+    *,
+    block_size: int,
+    num_tokens_bucket: int,
+    num_seqs_bucket: int,
+    max_blocks_per_seq: int,
+    rng: np.ndarray,
+) -> StepInputs:
+    """Build a padded StepInputs batch on host.
+
+    ``reqs``: one dict per scheduled sequence with keys
+      token_ids (list[int], the chunk to run), start (first absolute position),
+      kv_len (total kv length incl. this chunk), block_table (list[int]),
+      temperature (float).
+    """
+    t_pad, s_pad = num_tokens_bucket, num_seqs_bucket
+    w = max_blocks_per_seq
+    assert len(reqs) <= s_pad
+    token_ids = np.zeros(t_pad, np.int32)
+    positions = np.zeros(t_pad, np.int32)
+    slot_mapping = np.full(t_pad, -1, np.int32)
+    seq_ids = np.full(t_pad, s_pad, np.int32)
+    kv_lens = np.zeros(s_pad, np.int32)
+    block_tables = np.zeros((s_pad, w), np.int32)
+    cu_q_lens = np.zeros(s_pad + 1, np.int32)
+    last_token_idx = np.zeros(s_pad, np.int32)
+    temperatures = np.zeros(s_pad, np.float32)
+
+    offset = 0
+    for i, r in enumerate(reqs):
+        chunk = np.asarray(r["token_ids"], np.int32)
+        n = len(chunk)
+        start = r["start"]
+        table = np.asarray(r["block_table"], np.int32)
+        token_ids[offset: offset + n] = chunk
+        pos = np.arange(start, start + n, dtype=np.int32)
+        positions[offset: offset + n] = pos
+        slot_mapping[offset: offset + n] = table[pos // block_size] * block_size + (
+            pos % block_size
+        )
+        seq_ids[offset: offset + n] = i
+        kv_lens[i] = r["kv_len"]
+        block_tables[i, : len(table)] = table
+        cu_q_lens[i + 1] = cu_q_lens[i] + n
+        offset += n
+        last_token_idx[i] = offset - 1
+        temperatures[i] = r["temperature"]
+    assert offset <= t_pad, f"batch of {offset} tokens exceeds bucket {t_pad}"
+    cu_q_lens[len(reqs) + 1:] = cu_q_lens[len(reqs)]
+    num_seqs = np.array([len(reqs)], np.int32)
+    return StepInputs(
+        token_ids=token_ids,
+        positions=positions,
+        slot_mapping=slot_mapping,
+        seq_ids=seq_ids,
+        kv_lens=kv_lens,
+        block_tables=block_tables,
+        cu_q_lens=cu_q_lens,
+        num_seqs=num_seqs,
+        last_token_idx=last_token_idx,
+        temperatures=temperatures,
+        rng=rng,
+    )

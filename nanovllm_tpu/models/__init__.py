@@ -1,0 +1,26 @@
+"""Model registry: maps HF ``model_type`` to a model-family module.
+
+Each family module exposes:
+- ``spec_from_hf(hf_config) -> Spec`` (static architecture description)
+- ``forward(spec, params, kv, inputs, ...) -> (hidden, new_kv)``
+- ``hf_param_plan(spec, tp) -> plan`` consumed by ``utils.loader``
+- ``init_params(spec, key, dtype, tp)`` random init (benchmarks without
+  downloaded weights)
+"""
+
+from nanovllm_tpu.models import qwen3
+
+_REGISTRY = {
+    "qwen3": qwen3,
+    "qwen2": qwen3,   # same decoder family: qkv bias, no qk-norm (spec flags)
+    "llama": qwen3,   # same decoder family: no bias, no qk-norm (spec flags)
+}
+
+
+def get_model_family(hf_config):
+    model_type = getattr(hf_config, "model_type", None)
+    if model_type not in _REGISTRY:
+        raise ValueError(
+            f"unsupported model_type {model_type!r}; supported: {sorted(_REGISTRY)}"
+        )
+    return _REGISTRY[model_type]

@@ -1,0 +1,308 @@
+"""Qwen3 decoder family (also covers Qwen2 / Llama via spec flags) as pure
+functional JAX over a pytree of parameters.
+
+Parity: reference ``nanovllm/models/qwen3.py`` — identical math: fused QKV
+projection, per-head q/k RMSNorm (Qwen3 signature, qwen3.py:68-84), half-split
+(non-interleaved) RoPE (rotary_embedding.py:6-14), SwiGLU MLP with merged
+gate+up (qwen3.py:91-117), pre-norm residual layers (qwen3.py:146-159), tied
+embeddings (qwen3.py:202-203).
+
+TPU-first design:
+- layers are *stacked* ([L, ...] leading dim) and iterated with ``lax.scan``
+  so XLA traces/compiles one layer body (config.scan_layers);
+- tensor parallelism is explicit shard_map-style SPMD: fused projections are
+  stored **rank-blocked** (rank r owns [q_r|k_r|v_r] / [gate_r|up_r]) so a
+  plain even split over the output dim hands every rank aligned head slices —
+  the TPU analogue of the reference's Column/Merged/QKVParallelLinear loaders
+  (linear.py:54-128); row-parallel matmuls are followed by ``lax.psum`` over
+  the "tp" axis (linear.py:155 all_reduce), and the embedding is
+  vocab-parallel with masked lookup + psum (embed_head.py:9-42).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from nanovllm_tpu.ops.attention import AttentionMeta, write_kv
+
+
+class Qwen3Spec(NamedTuple):
+    vocab_size: int
+    hidden_size: int
+    intermediate_size: int
+    num_layers: int
+    num_q_heads: int
+    num_kv_heads: int
+    head_dim: int
+    rms_eps: float
+    rope_theta: float
+    tie_embeddings: bool
+    max_position: int
+    has_qkv_bias: bool = False   # True for Qwen2
+    has_qk_norm: bool = True     # True for Qwen3 only
+
+
+def spec_from_hf(hf_config) -> Qwen3Spec:
+    model_type = getattr(hf_config, "model_type", "qwen3")
+    head_dim = getattr(hf_config, "head_dim", None) or (
+        hf_config.hidden_size // hf_config.num_attention_heads
+    )
+    return Qwen3Spec(
+        vocab_size=hf_config.vocab_size,
+        hidden_size=hf_config.hidden_size,
+        intermediate_size=hf_config.intermediate_size,
+        num_layers=hf_config.num_hidden_layers,
+        num_q_heads=hf_config.num_attention_heads,
+        num_kv_heads=hf_config.num_key_value_heads,
+        head_dim=head_dim,
+        rms_eps=hf_config.rms_norm_eps,
+        rope_theta=hf_config.rope_theta,
+        tie_embeddings=getattr(hf_config, "tie_word_embeddings", False),
+        max_position=hf_config.max_position_embeddings,
+        has_qkv_bias=(model_type == "qwen2"),
+        has_qk_norm=(model_type == "qwen3"),
+    )
+
+
+# --------------------------------------------------------------------- ops
+
+
+def rms_norm(x, w, eps):
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    out = xf * lax.rsqrt(var + eps) * w.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def rope_tables(spec: Qwen3Spec):
+    """cos/sin tables f32[max_position, head_dim//2] (half-split convention)."""
+    half = spec.head_dim // 2
+    inv_freq = 1.0 / (
+        spec.rope_theta ** (jnp.arange(0, half, dtype=jnp.float32) / half)
+    )
+    t = jnp.arange(spec.max_position, dtype=jnp.float32)
+    freqs = jnp.outer(t, inv_freq)
+    return jnp.cos(freqs), jnp.sin(freqs)
+
+
+def apply_rope(x, cos_t, sin_t):
+    """x: [T, H, head_dim]; cos_t/sin_t: f32[T, head_dim//2]."""
+    xf = x.astype(jnp.float32)
+    x1, x2 = jnp.split(xf, 2, axis=-1)
+    c = cos_t[:, None, :]
+    s = sin_t[:, None, :]
+    out = jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+    return out.astype(x.dtype)
+
+
+def _embed_lookup(embed, ids, axis):
+    if axis is None:
+        return embed[ids]
+    v_local = embed.shape[0]
+    start = lax.axis_index(axis) * v_local
+    local = ids - start
+    ok = (local >= 0) & (local < v_local)
+    rows = embed[jnp.clip(local, 0, v_local - 1)]
+    rows = jnp.where(ok[:, None], rows, jnp.zeros_like(rows))
+    return lax.psum(rows, axis)
+
+
+# ----------------------------------------------------------------- forward
+
+
+def forward(
+    spec: Qwen3Spec,
+    params: dict,
+    kv: tuple[jax.Array, jax.Array],  # each [L, num_blocks, block_size, Hkv/tp, hd]
+    inputs: Any,                       # StepInputs (engine.model_runner)
+    *,
+    tp: int = 1,
+    axis: str | None = None,
+    attn_impl,                         # (q, k_cache, v_cache, meta) -> out
+    scan_layers: bool = True,
+):
+    """One forward pass over a ragged packed batch; returns (hidden [T, D],
+    updated kv). Runs unsharded (tp=1) or as the per-device program inside
+    shard_map (axis='tp')."""
+    hq = spec.num_q_heads // tp
+    hkv = spec.num_kv_heads // tp
+    hd = spec.head_dim
+    q_size, kv_size = hq * hd, hkv * hd
+
+    x = _embed_lookup(params["embed"], inputs.token_ids, axis)
+    t = x.shape[0]
+
+    cos, sin = rope_tables(spec)
+    safe_pos = jnp.clip(inputs.positions, 0, spec.max_position - 1)
+    cos_t, sin_t = cos[safe_pos], sin[safe_pos]
+
+    meta = AttentionMeta(
+        positions=inputs.positions,
+        slot_mapping=inputs.slot_mapping,
+        seq_ids=inputs.seq_ids,
+        kv_lens=inputs.kv_lens,
+        block_tables=inputs.block_tables,
+        cu_q_lens=inputs.cu_q_lens,
+        num_seqs=inputs.num_seqs,
+    )
+
+    def layer_fn(h, layer_in):
+        lp, k_cache, v_cache = layer_in
+        resid = h
+        h = rms_norm(h, lp["input_norm"], spec.rms_eps)
+        qkv = h @ lp["qkv_proj"]
+        if spec.has_qkv_bias:
+            qkv = qkv + lp["qkv_bias"]
+        q, k, v = jnp.split(qkv, (q_size, q_size + kv_size), axis=-1)
+        q = q.reshape(t, hq, hd)
+        k = k.reshape(t, hkv, hd)
+        v = v.reshape(t, hkv, hd)
+        if spec.has_qk_norm:
+            q = rms_norm(q, lp["q_norm"], spec.rms_eps)
+            k = rms_norm(k, lp["k_norm"], spec.rms_eps)
+        q = apply_rope(q, cos_t, sin_t)
+        k = apply_rope(k, cos_t, sin_t)
+        k_cache, v_cache = write_kv(k_cache, v_cache, k, v, inputs.slot_mapping)
+        o = attn_impl(q, k_cache, v_cache, meta)
+        o = o.reshape(t, q_size) @ lp["o_proj"]
+        if axis is not None:
+            o = lax.psum(o, axis)
+        h = resid + o
+        resid = h
+        h = rms_norm(h, lp["post_norm"], spec.rms_eps)
+        gu = h @ lp["gate_up_proj"]
+        g, u = jnp.split(gu, 2, axis=-1)
+        h = (jax.nn.silu(g) * u) @ lp["down_proj"]
+        if axis is not None:
+            h = lax.psum(h, axis)
+        h = resid + h
+        return h, (k_cache, v_cache)
+
+    layer_params = params["layers"]
+    k_all, v_all = kv
+    if scan_layers:
+        x, (k_all, v_all) = lax.scan(layer_fn, x, (layer_params, k_all, v_all))
+    else:
+        ks, vs = [], []
+        for i in range(spec.num_layers):
+            lp = jax.tree.map(lambda a: a[i], layer_params)
+            x, (kc, vc) = layer_fn(x, (lp, k_all[i], v_all[i]))
+            ks.append(kc)
+            vs.append(vc)
+        k_all = jnp.stack(ks)
+        v_all = jnp.stack(vs)
+
+    x = rms_norm(x, params["final_norm"], spec.rms_eps)
+    return x, (k_all, v_all)
+
+
+def lm_head_weight(params):
+    """Tied-embedding aware LM head (reference qwen3.py:202-203)."""
+    return params.get("lm_head", params["embed"])
+
+
+# ------------------------------------------------------------------- init
+
+
+def _param_shapes(spec: Qwen3Spec) -> dict:
+    l, d, i = spec.num_layers, spec.hidden_size, spec.intermediate_size
+    hd = spec.head_dim
+    qo = spec.num_q_heads * hd
+    kvo = spec.num_kv_heads * hd
+    layers = {
+        "input_norm": (l, d),
+        "qkv_proj": (l, d, qo + 2 * kvo),
+        "o_proj": (l, qo, d),
+        "post_norm": (l, d),
+        "gate_up_proj": (l, d, 2 * i),
+        "down_proj": (l, i, d),
+    }
+    if spec.has_qkv_bias:
+        layers["qkv_bias"] = (l, qo + 2 * kvo)
+    if spec.has_qk_norm:
+        layers["q_norm"] = (l, hd)
+        layers["k_norm"] = (l, hd)
+    shapes = {
+        "embed": (spec.vocab_size, d),
+        "layers": layers,
+        "final_norm": (d,),
+    }
+    if not spec.tie_embeddings:
+        shapes["lm_head"] = (spec.vocab_size, d)
+    return shapes
+
+
+def init_params(spec: Qwen3Spec, key, dtype=jnp.bfloat16):
+    """Random parameters with the real structure (benchmarking without
+    downloaded checkpoints; values don't affect throughput)."""
+    shapes = _param_shapes(spec)
+    flat, treedef = jax.tree.flatten(shapes, is_leaf=lambda x: isinstance(x, tuple))
+    keys = jax.random.split(key, len(flat))
+    leaves = []
+    for k, shape in zip(keys, flat):
+        if len(shape) <= 2 and shape[-1] != spec.hidden_size:
+            leaves.append(jnp.ones(shape, dtype))  # norm weights
+        else:
+            scale = (shape[-2] if len(shape) > 1 else shape[-1]) ** -0.5
+            leaves.append(scale * jax.random.normal(k, shape, dtype))
+    params = jax.tree.unflatten(treedef, leaves)
+    # Norm-like params should init to ones regardless of shape heuristics.
+    for name in ("input_norm", "post_norm", "q_norm", "k_norm"):
+        if name in params["layers"]:
+            params["layers"][name] = jnp.ones_like(params["layers"][name])
+    params["final_norm"] = jnp.ones_like(params["final_norm"])
+    if spec.has_qkv_bias:
+        params["layers"]["qkv_bias"] = jnp.zeros_like(params["layers"]["qkv_bias"])
+    return params
+
+
+# ------------------------------------------------------------ HF loading
+
+
+def hf_param_plan(spec: Qwen3Spec, tp: int) -> dict:
+    """Describe how HF checkpoint tensors map onto our parameter tree.
+
+    Each entry: target path -> (kind, [list of per-layer HF name templates or
+    plain names], extra). Kinds understood by utils.loader:
+    - "stack":        stack [L] of single tensors (norm weights)
+    - "fused_col":    per-layer fused column-parallel weight, rank-blocked,
+                      stored transposed [in, out] (HF is [out, in])
+    - "fused_col_bias": matching bias, rank-blocked
+    - "row":          per-layer row-parallel weight, transposed [in, out]
+    - "single":       single tensor, kept [out, in] orientation (embeddings)
+    """
+    hd = spec.head_dim
+    q_parts = [
+        ("model.layers.{i}.self_attn.q_proj", spec.num_q_heads * hd),
+        ("model.layers.{i}.self_attn.k_proj", spec.num_kv_heads * hd),
+        ("model.layers.{i}.self_attn.v_proj", spec.num_kv_heads * hd),
+    ]
+    mlp_parts = [
+        ("model.layers.{i}.mlp.gate_proj", spec.intermediate_size),
+        ("model.layers.{i}.mlp.up_proj", spec.intermediate_size),
+    ]
+    plan = {
+        ("embed",): ("single", "model.embed_tokens.weight"),
+        ("final_norm",): ("single", "model.norm.weight"),
+        ("layers", "input_norm"): ("stack", "model.layers.{i}.input_layernorm.weight"),
+        ("layers", "post_norm"): (
+            "stack",
+            "model.layers.{i}.post_attention_layernorm.weight",
+        ),
+        ("layers", "qkv_proj"): ("fused_col", q_parts),
+        ("layers", "o_proj"): ("row", "model.layers.{i}.self_attn.o_proj.weight"),
+        ("layers", "gate_up_proj"): ("fused_col", mlp_parts),
+        ("layers", "down_proj"): ("row", "model.layers.{i}.mlp.down_proj.weight"),
+    }
+    if spec.has_qk_norm:
+        plan[("layers", "q_norm")] = ("stack", "model.layers.{i}.self_attn.q_norm.weight")
+        plan[("layers", "k_norm")] = ("stack", "model.layers.{i}.self_attn.k_norm.weight")
+    if spec.has_qkv_bias:
+        plan[("layers", "qkv_bias")] = ("fused_col_bias", q_parts)
+    if not spec.tie_embeddings:
+        plan[("lm_head",)] = ("single", "lm_head.weight")
+    return plan

@@ -1,0 +1,98 @@
+"""Paged-KV attention ops: cache scatter + ragged paged attention.
+
+TPU-native replacement for the reference's attention stack
+(``nanovllm/layers/attention.py``): the Triton slot-scatter kernel
+(attention.py:10-30) becomes an XLA scatter over a donated cache buffer, and
+the two flash-attn CUDA entry points (varlen prefill / paged decode,
+attention.py:64-74) are unified into a single *ragged paged attention* op that
+handles mixed prefill+decode batches: every key/value lives in the paged cache
+(new KV is scattered in first), and queries are a packed ragged batch.
+
+Two implementations share one interface:
+- ``ragged_paged_attention_ref``: pure-jnp gather-based oracle (CPU tests,
+  small shapes only — it materializes [T, max_kv, ...]).
+- ``nanovllm_tpu.ops.pallas.ragged_attention``: the production Pallas kernel.
+
+Cache layout (per layer): ``k_cache, v_cache: [num_blocks, block_size,
+num_kv_heads, head_dim]`` — pages contiguous in HBM so the kernel DMA's whole
+pages; the token dimension flattens to ``num_blocks * block_size`` slots for
+the scatter (reference slot semantics, model_runner.py:129-161).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+class AttentionMeta(NamedTuple):
+    """Per-step ragged-batch metadata (the jit-visible analogue of the
+    reference's global Context, utils/context.py:5-14)."""
+
+    positions: jax.Array      # i32[T] absolute position of each query token
+    slot_mapping: jax.Array   # i32[T] flat cache slot per token; -1 = padding
+    seq_ids: jax.Array        # i32[T] row in the [S] arrays; S = padding row
+    kv_lens: jax.Array        # i32[S] total kv length per sequence
+    block_tables: jax.Array   # i32[S, W] physical block ids
+    cu_q_lens: jax.Array      # i32[S+1] cumulative query lengths
+    num_seqs: jax.Array       # i32[1] live sequence count
+
+
+def write_kv(k_cache, v_cache, k, v, slot_mapping):
+    """Scatter new K/V rows into the paged cache at ``slot_mapping``.
+
+    Padding tokens carry slot -1 (reference early-return semantics,
+    attention.py:23); they are redirected out of bounds and dropped.
+    """
+    num_blocks, block_size, num_kv_heads, head_dim = k_cache.shape
+    n_slots = num_blocks * block_size
+    slots = jnp.where(slot_mapping < 0, n_slots, slot_mapping)
+    kc = k_cache.reshape(n_slots, num_kv_heads, head_dim)
+    vc = v_cache.reshape(n_slots, num_kv_heads, head_dim)
+    kc = kc.at[slots].set(k.astype(kc.dtype), mode="drop")
+    vc = vc.at[slots].set(v.astype(vc.dtype), mode="drop")
+    return kc.reshape(k_cache.shape), vc.reshape(v_cache.shape)
+
+
+def ragged_paged_attention_ref(
+    q: jax.Array,          # [T, num_q_heads, head_dim]
+    k_cache: jax.Array,    # [num_blocks, block_size, num_kv_heads, head_dim]
+    v_cache: jax.Array,
+    meta: AttentionMeta,
+    *,
+    sm_scale: float,
+) -> jax.Array:
+    """Gather-based jnp oracle. O(T * W*block_size) memory — tests only."""
+    T, num_q_heads, head_dim = q.shape
+    num_blocks, block_size, num_kv_heads, _ = k_cache.shape
+    groups = num_q_heads // num_kv_heads
+    S, W = meta.block_tables.shape
+    max_kv = W * block_size
+
+    # Per-token gather of that token's sequence pages.
+    tables = jnp.concatenate(
+        [meta.block_tables, jnp.zeros((1, W), jnp.int32)], axis=0
+    )  # padding row
+    tok_tables = tables[jnp.minimum(meta.seq_ids, S)]          # [T, W]
+    k = k_cache[tok_tables].reshape(T, max_kv, num_kv_heads, head_dim)
+    v = v_cache[tok_tables].reshape(T, max_kv, num_kv_heads, head_dim)
+
+    kv_lens = jnp.concatenate([meta.kv_lens, jnp.zeros((1,), jnp.int32)])
+    tok_kv_len = kv_lens[jnp.minimum(meta.seq_ids, S)]          # [T]
+
+    qg = q.reshape(T, num_kv_heads, groups, head_dim)
+    scores = jnp.einsum(
+        "thgd,tkhd->thgk", qg.astype(jnp.float32), k.astype(jnp.float32)
+    ) * sm_scale                                                # [T, Hkv, g, max_kv]
+    kv_idx = jax.lax.broadcasted_iota(jnp.int32, (T, 1, 1, max_kv), 3)
+    mask = (kv_idx <= meta.positions[:, None, None, None]) & (
+        kv_idx < tok_kv_len[:, None, None, None]
+    )
+    scores = jnp.where(mask, scores, MASK_VALUE)
+    w = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("thgk,tkhd->thgd", w, v.astype(jnp.float32))
+    return out.reshape(T, num_q_heads, head_dim).astype(q.dtype)

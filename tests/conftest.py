@@ -3,12 +3,13 @@ sharding logic is exercised without a TPU pod (SURVEY.md §4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # override: unit tests are CPU-deterministic
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/nanovllm_tpu_jax_cache")
 
 import pytest  # noqa: E402
 
