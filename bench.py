@@ -1,0 +1,83 @@
+"""Offline throughput benchmark (reference bench.py parity).
+
+Trace: 256 sequences, input lengths ~U(100,1024), output lengths ~U(100,1024),
+seed 0, ignore_eos, throughput = sum(max_tokens) / wall-clock
+(reference bench.py:9-28; baseline 1434.13 output tok/s, README.md:61).
+
+Runs Qwen3-0.6B architecture with random weights (no checkpoints in this
+environment; throughput does not depend on weight values). Prints ONE JSON
+line with the result.
+
+Env overrides: BENCH_NUM_SEQS, BENCH_MAX_LEN, BENCH_MODEL (a real HF model
+dir, loads actual weights), BENCH_TP.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    num_seqs = int(os.environ.get("BENCH_NUM_SEQS", 256))
+    max_len = int(os.environ.get("BENCH_MAX_LEN", 1024))
+    min_len = max(1, max_len // 10)
+    tp = int(os.environ.get("BENCH_TP", 1))
+
+    from nanovllm_tpu import LLM, SamplingParams
+
+    model_dir = os.environ.get("BENCH_MODEL")
+    random_weights = model_dir is None
+    if random_weights:
+        from nanovllm_tpu.utils.testing import QWEN3_0_6B, make_qwen3_dir
+
+        model_dir = make_qwen3_dir("/tmp/qwen3-0.6b-bench", QWEN3_0_6B)
+
+    llm = LLM(
+        model_dir,
+        random_weights=random_weights,
+        max_model_len=4096,
+        max_num_seqs=min(512, max(num_seqs, 8)),
+        tensor_parallel_size=tp,
+    )
+
+    rng = np.random.default_rng(0)
+    prompts = [
+        rng.integers(0, 10000, size=int(rng.integers(min_len, max_len))).tolist()
+        for _ in range(num_seqs)
+    ]
+    sampling_params = [
+        SamplingParams(
+            temperature=0.6,
+            ignore_eos=True,
+            max_tokens=int(rng.integers(min_len, max_len)),
+        )
+        for _ in range(num_seqs)
+    ]
+    # Warmup: compiles every shape bucket off the clock (the reference's
+    # warmup generate, bench.py:22).
+    llm.generate(
+        ["warmup"], SamplingParams(max_tokens=8, ignore_eos=True), use_tqdm=False
+    )
+
+    t = time.time()
+    llm.generate(prompts, sampling_params, use_tqdm=True)
+    elapsed = time.time() - t
+    total_tokens = sum(sp.max_tokens for sp in sampling_params)
+    throughput = total_tokens / elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": "offline_output_throughput",
+                "value": round(throughput, 2),
+                "unit": "tok/s",
+                "vs_baseline": round(throughput / 1434.13, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""Engine orchestration: request intake, the step loop, and generate().
+
+Parity: reference ``nanovllm/engine/llm_engine.py``:
+- ctor filters arbitrary kwargs into Config fields (llm_engine.py:18-20),
+- ``add_request`` tokenizes string prompts (llm_engine.py:43-47),
+- ``step`` = schedule -> run -> postprocess, returning (outputs, signed token
+  count: +prefill tokens / -decode batch size) (llm_engine.py:49-55),
+- ``generate`` drives the loop under tqdm with live prefill/decode tok/s,
+  returns outputs sorted by arrival order as [{"text", "token_ids"}]
+  (llm_engine.py:60-90).
+
+TPU delta: no worker processes — the single controller owns the device mesh
+(SURVEY.md §7 design delta 4); ``exit`` just drops device buffers.
+"""
+
+from __future__ import annotations
+
+import atexit
+from dataclasses import fields
+from time import perf_counter
+
+from tqdm.auto import tqdm
+from transformers import AutoTokenizer
+
+from nanovllm_tpu.config import Config
+from nanovllm_tpu.engine.model_runner import ModelRunner
+from nanovllm_tpu.engine.scheduler import Scheduler
+from nanovllm_tpu.engine.sequence import Sequence
+from nanovllm_tpu.sampling_params import SamplingParams
+
+
+class LLMEngine:
+
+    def __init__(self, model, **kwargs):
+        config_kwargs = {f.name for f in fields(Config)}
+        runner_kwargs = {
+            k: kwargs.pop(k) for k in ("random_weights",) if k in kwargs
+        }
+        config = Config(
+            model, **{k: v for k, v in kwargs.items() if k in config_kwargs}
+        )
+        self.config = config
+        Sequence.block_size = config.kvcache_block_size
+        self.model_runner = ModelRunner(config, **runner_kwargs)
+        self.tokenizer = AutoTokenizer.from_pretrained(config.model, use_fast=True)
+        if config.eos == -1:
+            config.eos = self.tokenizer.eos_token_id
+        # Scheduler after the runner: KV sizing fills num_kvcache_blocks.
+        self.scheduler = Scheduler(config)
+        atexit.register(self.exit)
+
+    def exit(self):
+        if self.model_runner is not None:
+            self.model_runner.exit()
+            self.model_runner = None
+
+    # -------------------------------------------------------------- intake
+
+    def add_request(self, prompt: str | list[int], sampling_params: SamplingParams):
+        if isinstance(prompt, str):
+            prompt = self.tokenizer.encode(prompt)
+        assert len(prompt) <= self.config.max_model_len, (
+            f"prompt of {len(prompt)} tokens exceeds max_model_len "
+            f"{self.config.max_model_len}"
+        )
+        seq = Sequence(prompt, sampling_params)
+        self.scheduler.add(seq)
+        return seq
+
+    # ---------------------------------------------------------------- loop
+
+    def step(self) -> tuple[list[tuple[int, list[int]]], int]:
+        seqs, is_prefill = self.scheduler.schedule()
+        # Signed count for the live display: +prefill tokens / -decode batch
+        # size (reference llm_engine.py:51). Read before postprocess resets it.
+        num_tokens = (
+            sum(seq.num_scheduled_tokens for seq in seqs) if is_prefill else -len(seqs)
+        )
+        token_ids = self.model_runner.run(seqs, is_prefill)
+        self.scheduler.postprocess(seqs, token_ids)
+        outputs = [
+            (seq.seq_id, seq.completion_token_ids) for seq in seqs if seq.is_finished
+        ]
+        return outputs, num_tokens
+
+    def is_finished(self) -> bool:
+        return self.scheduler.is_finished()
+
+    def generate(
+        self,
+        prompts: list[str] | list[list[int]],
+        sampling_params: SamplingParams | list[SamplingParams],
+        use_tqdm: bool = True,
+    ) -> list[dict]:
+        if use_tqdm:
+            pbar = tqdm(total=len(prompts), desc="Generating", dynamic_ncols=True)
+        if not isinstance(sampling_params, list):
+            sampling_params = [sampling_params] * len(prompts)
+        for prompt, sp in zip(prompts, sampling_params):
+            self.add_request(prompt, sp)
+        outputs = {}
+        prefill_throughput = decode_throughput = 0.0
+        while not self.is_finished():
+            t = perf_counter()
+            output, num_tokens = self.step()
+            if use_tqdm:
+                dt = max(perf_counter() - t, 1e-9)
+                if num_tokens > 0:
+                    prefill_throughput = num_tokens / dt
+                else:
+                    decode_throughput = -num_tokens / dt
+                pbar.set_postfix(
+                    {
+                        "Prefill": f"{int(prefill_throughput)}tok/s",
+                        "Decode": f"{int(decode_throughput)}tok/s",
+                    }
+                )
+            for seq_id, token_ids in output:
+                outputs[seq_id] = token_ids
+                if use_tqdm:
+                    pbar.update(1)
+        outputs = [outputs[seq_id] for seq_id in sorted(outputs)]
+        outputs = [
+            {"text": self.tokenizer.decode(token_ids), "token_ids": token_ids}
+            for token_ids in outputs
+        ]
+        if use_tqdm:
+            pbar.close()
+        return outputs

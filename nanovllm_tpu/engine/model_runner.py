@@ -1,0 +1,337 @@
+"""Single-controller executor: bucketed jit step functions over a resident
+paged KV cache.
+
+Parity: reference ``nanovllm/engine/model_runner.py``. TPU-first deltas
+(SURVEY.md §7):
+- The CUDA-graph capture/replay machinery (model_runner.py:222-257) is
+  replaced by ``jax.jit`` step functions compiled once per *shape bucket*
+  (decode bucket ladder mirrors the reference's graph_bs ladder); XLA's
+  compilation cache plays the role of graph memory pools.
+- The KV cache is a **donated** jit argument, so XLA updates it in place —
+  the analogue of the reference's persistent cache tensor
+  (model_runner.py:115-121).
+- Profile-based KV sizing (model_runner.py:103-114) uses the TPU device's
+  memory stats instead of torch.cuda.mem_get_info.
+- No worker processes / NCCL / shared-memory RPC (model_runner.py:41-89):
+  one Python controller drives all chips; tensor parallelism is GSPMD
+  sharding inside the same jitted step.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from nanovllm_tpu.config import Config
+from nanovllm_tpu.engine.inputs import StepInputs, build_step_inputs
+from nanovllm_tpu.engine.sequence import Sequence
+from nanovllm_tpu.models import get_model_family
+from nanovllm_tpu.ops import attention as attn_ops
+from nanovllm_tpu.ops.sampling import sample
+from nanovllm_tpu.utils.loader import load_params
+
+_DTYPES = {
+    "bfloat16": jnp.bfloat16,
+    "float32": jnp.float32,
+    "float16": jnp.float16,
+    "int8": jnp.int8,
+    "fp8": jnp.float8_e4m3fn,
+}
+
+
+def _pick_bucket(ladder: tuple, n: int) -> int:
+    for b in ladder:
+        if n <= b:
+            return b
+    raise ValueError(f"batch of {n} exceeds largest bucket {ladder[-1]}")
+
+
+def _shard_map(fn, *, mesh, in_specs, out_specs):
+    """shard_map across jax versions (check_rep -> check_vma rename)."""
+    sm = getattr(jax, "shard_map", None)
+    if sm is not None:
+        try:
+            return sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                      check_vma=False)
+        except TypeError:
+            return sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    from jax.experimental.shard_map import shard_map as sm
+
+    return sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+              check_rep=False)
+
+
+class ModelRunner:
+    """Owns device state: parameters, paged KV cache, compiled step fns."""
+
+    def __init__(self, config: Config, *, random_weights: bool = False):
+        self.config = config
+        self.spec = get_model_family(config.hf_config).spec_from_hf(config.hf_config)
+        self.family = get_model_family(config.hf_config)
+        self.dtype = _DTYPES[config.dtype]
+        self.kv_dtype = _DTYPES[config.kv_cache_dtype]
+        self.tp = config.tensor_parallel_size
+
+        devices = jax.devices()
+        assert self.tp <= len(devices), (
+            f"tensor_parallel_size={self.tp} but only {len(devices)} devices"
+        )
+        self.mesh = Mesh(np.asarray(devices[: self.tp]).reshape(self.tp), ("tp",))
+        self.is_tpu = devices[0].platform in ("tpu", "axon")
+
+        self._load_params(random_weights)
+        self._allocate_kv_cache()
+        self._build_step_fns()
+
+        # Per-step PRNG stream for the Gumbel sampler (reference sampler.py).
+        self._host_rng = np.random.default_rng(config.rng_seed)
+
+        # Prefill-sequence-count bucket ladder (coarse, to bound compilations).
+        ladder = [8, 32, 128]
+        self.prefill_seq_buckets = tuple(
+            b for b in ladder if b < config.max_num_seqs
+        ) + (config.max_num_seqs,)
+
+    # ------------------------------------------------------------- weights
+
+    def _load_params(self, random_weights: bool):
+        spec, cfg = self.spec, self.config
+        if random_weights:
+            host = None
+        else:
+            plan = self.family.hf_param_plan(spec, tp=self.tp)
+            host = load_params(spec, plan, cfg.model, tp=self.tp)
+
+        shardings = self._param_shardings()
+        if random_weights:
+            key = jax.random.PRNGKey(cfg.rng_seed)
+            params = self.family.init_params(spec, key, self.dtype)
+            self.params = jax.tree.map(
+                lambda a, s: jax.device_put(a, s), params, shardings
+            )
+        else:
+            self.params = jax.tree.map(
+                lambda a, s: jax.device_put(np.asarray(a, self._np_dtype()), s),
+                host,
+                shardings,
+            )
+
+    def _np_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    def _param_pspecs(self):
+        """PartitionSpecs per parameter: column-parallel weights shard the
+        fused (rank-blocked) output dim, row-parallel shard the input dim,
+        vocab-parallel embedding shards the vocab dim (reference
+        linear.py/embed_head.py)."""
+        col = P(None, None, "tp")    # [L, in, out/tp]
+        row = P(None, "tp", None)    # [L, in/tp, out]
+        rep_l = P(None, None)        # [L, d] norms
+        vocab = P("tp", None)        # [V/tp, d]
+        layers = {
+            "input_norm": rep_l,
+            "qkv_proj": col,
+            "o_proj": row,
+            "post_norm": rep_l,
+            "gate_up_proj": col,
+            "down_proj": row,
+        }
+        if self.spec.has_qkv_bias:
+            layers["qkv_bias"] = P(None, "tp")
+        if self.spec.has_qk_norm:
+            layers["q_norm"] = rep_l
+            layers["k_norm"] = rep_l
+        pspecs = {"embed": vocab, "layers": layers, "final_norm": P(None)}
+        if not self.spec.tie_embeddings:
+            pspecs["lm_head"] = vocab
+        return pspecs
+
+    def _param_shardings(self):
+        return jax.tree.map(
+            lambda s: NamedSharding(self.mesh, s),
+            self._param_pspecs(),
+            is_leaf=lambda x: isinstance(x, P),
+        )
+
+    # ------------------------------------------------------------ KV cache
+
+    def _kv_block_bytes(self) -> int:
+        spec = self.spec
+        return (
+            2
+            * spec.num_layers
+            * self.config.kvcache_block_size
+            * spec.num_kv_heads
+            * spec.head_dim
+            * jnp.dtype(self.kv_dtype).itemsize
+        )
+
+    def _auto_num_blocks(self) -> int:
+        """Size the KV pool from free device memory (reference
+        model_runner.py:103-114, minus the warmup-profiling dance: activation
+        peak is estimated analytically from the largest compiled bucket)."""
+        cfg, spec = self.config, self.spec
+        stats = {}
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+        except Exception:
+            pass
+        limit = stats.get("bytes_limit")
+        if not limit:
+            # CPU / unknown backend: a small fixed pool. CPU XLA ignores
+            # buffer donation, so every step copies the whole cache — keep it
+            # tiny (tests/smoke only).
+            return max(64, 32 * cfg.max_model_len // cfg.kvcache_block_size)
+        used = stats.get("bytes_in_use", 0)
+        t_max = max(cfg.prefill_buckets)
+        act_bytes = jnp.dtype(self.dtype).itemsize
+        # Peak live activations inside one scanned layer: qkv + gate/up
+        # intermediates + a few hidden-sized residuals, plus fp32 logits.
+        activation_peak = (
+            t_max * (2 * spec.intermediate_size + 8 * spec.hidden_size) * act_bytes
+            + cfg.max_num_seqs * spec.vocab_size * 4
+        )
+        free = int(limit * cfg.hbm_utilization) - used - activation_peak
+        num = free // (self._kv_block_bytes() // self.tp)
+        assert num > 0, (
+            f"not enough device memory for KV cache: limit={limit}, used={used}"
+        )
+        return int(num)
+
+    def _kv_pspec(self):
+        # KV pages shard on the kv-head dim over the TP axis (reference
+        # model_runner.py:111 shards kv_heads // world_size).
+        return P(None, None, None, "tp", None)
+
+    def _allocate_kv_cache(self):
+        cfg, spec = self.config, self.spec
+        if cfg.num_kvcache_blocks == -1:
+            cfg.num_kvcache_blocks = self._auto_num_blocks()
+        shape = (
+            spec.num_layers,
+            cfg.num_kvcache_blocks,
+            cfg.kvcache_block_size,
+            spec.num_kv_heads,
+            spec.head_dim,
+        )
+        sh = NamedSharding(self.mesh, self._kv_pspec())
+        self.kv = (
+            jax.device_put(jnp.zeros(shape, self.kv_dtype), sh),
+            jax.device_put(jnp.zeros(shape, self.kv_dtype), sh),
+        )
+
+    # ------------------------------------------------------------- step fn
+
+    def _attn_impl(self):
+        use_pallas = self.config.use_pallas_attention
+        if use_pallas is None:
+            use_pallas = self.is_tpu
+        sm_scale = self.spec.head_dim ** -0.5
+        if use_pallas:
+            from nanovllm_tpu.ops.pallas.ragged_attention import ragged_paged_attention
+
+            return lambda q, kc, vc, meta: ragged_paged_attention(
+                q, kc, vc, meta, sm_scale=sm_scale
+            )
+        return lambda q, kc, vc, meta: attn_ops.ragged_paged_attention_ref(
+            q, kc, vc, meta, sm_scale=sm_scale
+        )
+
+    def _build_step_fns(self):
+        spec, cfg = self.spec, self.config
+        attn_impl = self._attn_impl()
+        family = self.family
+        tp = self.tp
+        axis = "tp" if tp > 1 else None
+
+        def local_step(params, kv, inputs: StepInputs):
+            """Per-device program (the whole program when tp == 1)."""
+            hidden, kv = family.forward(
+                spec,
+                params,
+                kv,
+                inputs,
+                tp=tp,
+                axis=axis,
+                attn_impl=attn_impl,
+                scan_layers=cfg.scan_layers,
+            )
+            # Last-token-only before the LM-head matmul (embed_head.py:56-60).
+            last_h = hidden[inputs.last_token_idx]  # [S, D]
+            w = family.lm_head_weight(params)        # [V(/tp), D]
+            logits = last_h.astype(jnp.float32) @ w.astype(jnp.float32).T
+            if axis is not None:
+                # Vocab shards are rank-blocked: all-gather restores global
+                # order (TPU: all_gather over ICI beats the reference's
+                # gather-to-rank-0, embed_head.py:62-66).
+                logits = jax.lax.all_gather(logits, axis, axis=1, tiled=True)
+            key = jax.random.wrap_key_data(inputs.rng)
+            tokens = sample(logits, inputs.temperatures, key)
+            return tokens, kv
+
+        if tp == 1:
+            step = local_step
+        else:
+            kv_spec = (self._kv_pspec(), self._kv_pspec())
+            inputs_spec = StepInputs(*([P()] * len(StepInputs._fields)))
+            step = _shard_map(
+                local_step,
+                mesh=self.mesh,
+                in_specs=(self._param_pspecs(), kv_spec, inputs_spec),
+                out_specs=(P(), kv_spec),
+            )
+
+        # KV buffers are donated: XLA writes the scatter in place.
+        self._step_fn = step  # raw (un-jitted) for AOT/lowering consumers
+        self._step = jax.jit(step, donate_argnums=(1,))
+
+    # ----------------------------------------------------------------- run
+
+    def run(self, seqs: list[Sequence], is_prefill: bool) -> list[int]:
+        """Execute one engine step; returns one sampled token per sequence
+        (garbage for chunk-incomplete prefills, ignored by postprocess)."""
+        cfg = self.config
+        reqs = []
+        for seq in seqs:
+            if is_prefill:
+                start = seq.num_cached_tokens
+                n = seq.num_scheduled_tokens
+                chunk = seq.token_ids[start: start + n]
+            else:
+                start = seq.num_tokens - 1
+                chunk = [seq.last_token]
+            reqs.append(
+                dict(
+                    token_ids=chunk,
+                    start=start,
+                    kv_len=start + len(chunk),
+                    block_table=seq.block_table,
+                    temperature=seq.temperature,
+                )
+            )
+        num_tokens = sum(len(r["token_ids"]) for r in reqs)
+        if is_prefill:
+            t_bucket = _pick_bucket(cfg.prefill_buckets, num_tokens)
+            s_bucket = _pick_bucket(self.prefill_seq_buckets, len(seqs))
+        else:
+            s_bucket = _pick_bucket(cfg.decode_buckets, len(seqs))
+            t_bucket = s_bucket
+        rng = self._host_rng.integers(0, 2**32, size=2, dtype=np.uint32)
+        inputs = build_step_inputs(
+            reqs,
+            block_size=cfg.kvcache_block_size,
+            num_tokens_bucket=t_bucket,
+            num_seqs_bucket=s_bucket,
+            max_blocks_per_seq=cfg.max_blocks_per_seq,
+            rng=rng,
+        )
+        tokens, self.kv = self._step(self.params, self.kv, inputs)
+        return np.asarray(tokens)[: len(seqs)].tolist()
+
+    def exit(self):
+        """Release device buffers (reference model_runner.py:50-59)."""
+        self.kv = None
+        self.params = None

@@ -1,0 +1,84 @@
+"""Offline model-directory synthesis for benchmarks, dryruns, and tests.
+
+No-network environments have no HF checkpoints; throughput and compile
+behavior depend only on the architecture, so benchmarks run real model shapes
+with random weights (``LLM(..., random_weights=True)`` skips safetensors).
+"""
+
+from __future__ import annotations
+
+import os
+
+# Qwen3-0.6B architecture (HF Qwen/Qwen3-0.6B config.json values).
+QWEN3_0_6B = dict(
+    vocab_size=151936,
+    hidden_size=1024,
+    intermediate_size=3072,
+    num_hidden_layers=28,
+    num_attention_heads=16,
+    num_key_value_heads=8,
+    head_dim=128,
+    max_position_embeddings=40960,
+    rope_theta=1000000.0,
+    rms_norm_eps=1e-6,
+    tie_word_embeddings=True,
+)
+
+# Qwen3-8B architecture.
+QWEN3_8B = dict(
+    vocab_size=151936,
+    hidden_size=4096,
+    intermediate_size=12288,
+    num_hidden_layers=36,
+    num_attention_heads=32,
+    num_key_value_heads=8,
+    head_dim=128,
+    max_position_embeddings=40960,
+    rope_theta=1000000.0,
+    rms_norm_eps=1e-6,
+    tie_word_embeddings=False,
+)
+
+# Tiny config for dryruns / CI (all dims divisible by 8 for TP tests).
+QWEN3_TINY = dict(
+    vocab_size=512,
+    hidden_size=128,
+    intermediate_size=256,
+    num_hidden_layers=2,
+    num_attention_heads=8,
+    num_key_value_heads=8,
+    head_dim=32,
+    max_position_embeddings=1024,
+    rope_theta=10000.0,
+    rms_norm_eps=1e-6,
+    tie_word_embeddings=True,
+)
+
+
+def make_qwen3_dir(path: str, arch: dict) -> str:
+    """Write config.json + a tiny offline tokenizer; no weights."""
+    from transformers import Qwen3Config
+
+    os.makedirs(path, exist_ok=True)
+    if not os.path.exists(os.path.join(path, "config.json")):
+        Qwen3Config(**arch, torch_dtype="bfloat16").save_pretrained(path)
+    if not os.path.exists(os.path.join(path, "tokenizer.json")):
+        _write_tiny_tokenizer(path)
+    return path
+
+
+def _write_tiny_tokenizer(path: str):
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+    from transformers import PreTrainedTokenizerFast
+
+    words = ["hello", "world", "the", "quick", "brown", "fox", "list", "prime",
+             "numbers", "tell", "me", "a", "story"]
+    vocab = {"<eos>": 0, "<unk>": 1}
+    vocab.update({w: i + 2 for i, w in enumerate(words)})
+    tok = Tokenizer(WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = Whitespace()
+    PreTrainedTokenizerFast(
+        tokenizer_object=tok, unk_token="<unk>", eos_token="<eos>"
+    ).save_pretrained(path)

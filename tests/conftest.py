@@ -11,6 +11,13 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/nanovllm_tpu_jax_cache")
 
+import jax  # noqa: E402
+
+# The TPU-tunnel sitecustomize force-sets jax_platforms="axon,cpu" at
+# interpreter startup, overriding the env var — override it back before any
+# backend initializes, or "CPU" tests silently run on the real chip.
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 
@@ -37,4 +44,21 @@ def tiny_qwen3_dir(tmp_path_factory):
     model = Qwen3ForCausalLM(cfg)
     path = tmp_path_factory.mktemp("tiny_qwen3")
     model.save_pretrained(path, safe_serialization=True)
+
+    # A tiny offline word-level tokenizer so the engine's string-prompt path
+    # (tokenize/decode, EOS id) works without network access.
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+    from transformers import PreTrainedTokenizerFast
+
+    words = ["hello", "world", "the", "quick", "brown", "fox", "a", "b", "c"]
+    vocab = {"<eos>": 0, "<unk>": 1}
+    vocab.update({w: i + 2 for i, w in enumerate(words)})
+    tok = Tokenizer(WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = Whitespace()
+    fast = PreTrainedTokenizerFast(
+        tokenizer_object=tok, unk_token="<unk>", eos_token="<eos>"
+    )
+    fast.save_pretrained(path)
     return str(path)

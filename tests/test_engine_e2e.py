@@ -1,0 +1,131 @@
+"""End-to-end engine tests: LLM.generate vs a manual HF greedy loop.
+
+Covers the reference's only correctness instrument (example.py smoke run) with
+actual assertions: continuous batching of mixed-length prompts, chunked
+prefill, prefix-cache reuse, EOS / max_tokens stopping, output ordering.
+"""
+
+import numpy as np
+import pytest
+
+from nanovllm_tpu import LLM, SamplingParams
+
+ENGINE_KW = dict(
+    max_num_batched_tokens=128,
+    max_num_seqs=8,
+    max_model_len=128,
+    kvcache_block_size=16,
+    num_kvcache_blocks=64,
+    decode_buckets=(4, 8),
+    prefill_buckets=(64, 128),
+    dtype="float32",
+    use_pallas_attention=False,
+    enforce_eager=True,
+)
+
+
+@pytest.fixture(scope="module")
+def llm(tiny_qwen3_dir):
+    return LLM(tiny_qwen3_dir, **ENGINE_KW)
+
+
+def hf_greedy(model_dir, token_ids, n_new):
+    """Manual greedy loop with the HF model (avoids generate() EOS quirks)."""
+    import torch
+    from transformers import Qwen3ForCausalLM
+
+    model = Qwen3ForCausalLM.from_pretrained(model_dir, dtype=torch.float32)
+    model.eval()
+    ids = list(token_ids)
+    with torch.no_grad():
+        for _ in range(n_new):
+            logits = model(torch.tensor([ids])).logits[0, -1]
+            ids.append(int(logits.argmax()))
+    return ids[len(token_ids):]
+
+
+def test_greedy_matches_hf_batched(llm, tiny_qwen3_dir):
+    rng = np.random.default_rng(1)
+    prompts = [rng.integers(2, 500, size=n).tolist() for n in (7, 23, 40, 17, 33)]
+    n_new = 12
+    sp = SamplingParams(temperature=0.0, max_tokens=n_new, ignore_eos=True)
+    outs = llm.generate(prompts, sp, use_tqdm=False)
+    assert len(outs) == len(prompts)
+    for prompt, out in zip(prompts, outs):  # outputs are order-preserving
+        assert out["token_ids"] == hf_greedy(tiny_qwen3_dir, prompt, n_new)
+
+
+def test_string_prompts_roundtrip(llm):
+    outs = llm.generate(
+        ["hello world", "the quick brown fox"],
+        SamplingParams(temperature=0.0, max_tokens=4, ignore_eos=True),
+        use_tqdm=False,
+    )
+    assert len(outs) == 2
+    for out in outs:
+        assert len(out["token_ids"]) == 4
+        assert isinstance(out["text"], str)
+
+
+def test_max_tokens_and_eos_stop(llm, tiny_qwen3_dir):
+    prompt = list(range(2, 30))
+    # With ignore_eos, always exactly max_tokens.
+    out = llm.generate(
+        [prompt], SamplingParams(temperature=0.0, max_tokens=9, ignore_eos=True),
+        use_tqdm=False,
+    )[0]
+    assert len(out["token_ids"]) == 9
+    # Without ignore_eos the completion stops at eos if one is sampled.
+    out = llm.generate(
+        [prompt], SamplingParams(temperature=0.0, max_tokens=9),
+        use_tqdm=False,
+    )[0]
+    eos = llm.tokenizer.eos_token_id
+    body, last = out["token_ids"][:-1], out["token_ids"][-1]
+    assert eos not in body
+    assert len(out["token_ids"]) <= 9
+
+
+def test_prefix_cache_reuse_is_correct(llm, tiny_qwen3_dir):
+    """Two rounds sharing a 32-token prefix: round 2 hits the prefix cache
+    (full blocks of 16) and must still match HF."""
+    rng = np.random.default_rng(3)
+    prefix = rng.integers(2, 500, size=32).tolist()
+    p1 = prefix + rng.integers(2, 500, size=5).tolist()
+    p2 = prefix + rng.integers(2, 500, size=9).tolist()
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    out1 = llm.generate([p1], sp, use_tqdm=False)[0]
+    cached_before = len(llm.scheduler.block_manager.hash_to_block_id)
+    assert cached_before > 0, "full prefix blocks should be hash-registered"
+    out2 = llm.generate([p2], sp, use_tqdm=False)[0]
+    assert out1["token_ids"] == hf_greedy(tiny_qwen3_dir, p1, 8)
+    assert out2["token_ids"] == hf_greedy(tiny_qwen3_dir, p2, 8)
+
+
+def test_chunked_prefill_e2e(tiny_qwen3_dir):
+    """A prompt longer than max_num_batched_tokens prefills in chunks."""
+    llm = LLM(
+        tiny_qwen3_dir,
+        **{**ENGINE_KW, "max_num_batched_tokens": 48, "max_model_len": 48,
+           "prefill_buckets": (48,)},
+    )
+    prompt = np.random.default_rng(4).integers(2, 500, size=40).tolist()
+    # 40 tokens with budget 48 fits; to force chunking use two prompts so the
+    # second can only fit partially in the first batch.
+    prompts = [prompt, prompt[:30]]
+    sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+    outs = llm.generate(prompts, sp, use_tqdm=False)
+    assert outs[0]["token_ids"] == hf_greedy(tiny_qwen3_dir, prompts[0], 6)
+    assert outs[1]["token_ids"] == hf_greedy(tiny_qwen3_dir, prompts[1], 6)
+
+
+def test_sampling_temperature_smoke(llm):
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(2, 500, size=10).tolist() for _ in range(3)]
+    outs = llm.generate(
+        prompts, SamplingParams(temperature=1.0, max_tokens=5, ignore_eos=True),
+        use_tqdm=False,
+    )
+    for out in outs:
+        assert len(out["token_ids"]) == 5
+        assert all(0 <= t < 512 for t in out["token_ids"])
