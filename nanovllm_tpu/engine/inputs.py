@@ -30,6 +30,11 @@ class StepInputs(NamedTuple):
     last_token_idx: jax.Array  # i32[S] packed index of each seq's last token
     temperatures: jax.Array   # f32[S]
     rng: jax.Array            # PRNG key data (uint32[2])
+    # Prefill q-tiling metadata (Pallas ragged prefill kernel): when the batch
+    # is built with q_tile=BQ, every sequence's chunk starts at a BQ-aligned
+    # packed offset, so each BQ-row tile maps to exactly one sequence.
+    tile_seq: jax.Array       # i32[NT] sequence of tile t (S for padding tiles)
+    tile_pos0: jax.Array      # i32[NT] absolute position of tile t's row 0
 
 
 def build_step_inputs(
@@ -40,6 +45,7 @@ def build_step_inputs(
     num_seqs_bucket: int,
     max_blocks_per_seq: int,
     rng: np.ndarray,
+    q_tile: int | None = None,
 ) -> StepInputs:
     """Build a padded StepInputs batch on host.
 
@@ -47,6 +53,10 @@ def build_step_inputs(
       token_ids (list[int], the chunk to run), start (first absolute position),
       kv_len (total kv length incl. this chunk), block_table (list[int]),
       temperature (float).
+
+    ``q_tile``: when set (prefill via the Pallas kernel), each sequence's
+    chunk is placed at a q_tile-aligned packed offset so every q-tile belongs
+    to one sequence; tile_seq/tile_pos0 describe the tiling.
     """
     t_pad, s_pad = num_tokens_bucket, num_seqs_bucket
     w = max_blocks_per_seq
@@ -60,6 +70,9 @@ def build_step_inputs(
     cu_q_lens = np.zeros(s_pad + 1, np.int32)
     last_token_idx = np.zeros(s_pad, np.int32)
     temperatures = np.zeros(s_pad, np.float32)
+    nt = t_pad // q_tile if q_tile else 0
+    tile_seq = np.full(nt, s_pad, np.int32)
+    tile_pos0 = np.zeros(nt, np.int32)
 
     offset = 0
     for i, r in enumerate(reqs):
@@ -67,6 +80,12 @@ def build_step_inputs(
         n = len(chunk)
         start = r["start"]
         table = np.asarray(r["block_table"], np.int32)
+        if q_tile:
+            offset = -(-offset // q_tile) * q_tile  # align chunk to a tile
+            t0 = offset // q_tile
+            for t in range(t0, -(-(offset + n) // q_tile)):
+                tile_seq[t] = i
+                tile_pos0[t] = start + (t - t0) * q_tile
         token_ids[offset: offset + n] = chunk
         pos = np.arange(start, start + n, dtype=np.int32)
         positions[offset: offset + n] = pos
@@ -95,4 +114,6 @@ def build_step_inputs(
         last_token_idx=last_token_idx,
         temperatures=temperatures,
         rng=rng,
+        tile_seq=tile_seq,
+        tile_pos0=tile_pos0,
     )

@@ -94,6 +94,14 @@ class ModelRunner:
         self.prefill_seq_buckets = tuple(
             b for b in ladder if b < config.max_num_seqs
         ) + (config.max_num_seqs,)
+        # Token buckets extended past max_num_batched_tokens: per-seq q-tile
+        # alignment can pad a packed prefill beyond the scheduler's budget.
+        worst = config.max_num_batched_tokens + self.q_tile * config.max_num_seqs
+        extra, b = [], max(config.prefill_buckets)
+        while b < worst:
+            b *= 2
+            extra.append(b)
+        self.prefill_token_buckets = tuple(config.prefill_buckets) + tuple(extra)
 
     # ------------------------------------------------------------- weights
 
@@ -202,9 +210,9 @@ class ModelRunner:
         return int(num)
 
     def _kv_pspec(self):
-        # KV pages shard on the kv-head dim over the TP axis (reference
-        # model_runner.py:111 shards kv_heads // world_size).
-        return P(None, None, None, "tp", None)
+        # Head-major cache [L, Hkv, blocks, block, hd]: kv heads shard over
+        # the TP axis (reference model_runner.py:111 shards kv_heads/world).
+        return P(None, "tp", None, None, None)
 
     def _allocate_kv_cache(self):
         cfg, spec = self.config, self.spec
@@ -212,9 +220,9 @@ class ModelRunner:
             cfg.num_kvcache_blocks = self._auto_num_blocks()
         shape = (
             spec.num_layers,
+            spec.num_kv_heads,
             cfg.num_kvcache_blocks,
             cfg.kvcache_block_size,
-            spec.num_kv_heads,
             spec.head_dim,
         )
         sh = NamedSharding(self.mesh, self._kv_pspec())
@@ -225,29 +233,43 @@ class ModelRunner:
 
     # ------------------------------------------------------------- step fn
 
-    def _attn_impl(self):
-        use_pallas = self.config.use_pallas_attention
-        if use_pallas is None:
-            use_pallas = self.is_tpu
-        sm_scale = self.spec.head_dim ** -0.5
-        if use_pallas:
-            from nanovllm_tpu.ops.pallas.ragged_attention import ragged_paged_attention
+    @property
+    def use_pallas(self) -> bool:
+        if self.config.use_pallas_attention is None:
+            return self.is_tpu
+        return self.config.use_pallas_attention
 
-            return lambda q, kc, vc, meta: ragged_paged_attention(
+    def _attn_impls(self):
+        """(prefill_impl, decode_impl) — Pallas kernels on TPU, jnp oracle
+        elsewhere (the oracle serves both modes)."""
+        sm_scale = self.spec.head_dim ** -0.5
+        if self.use_pallas:
+            from nanovllm_tpu.ops.pallas.ragged_attention import (
+                paged_decode_attention,
+                ragged_prefill_attention,
+            )
+
+            prefill = lambda q, kc, vc, meta: ragged_prefill_attention(
+                q, kc, vc, meta, sm_scale=sm_scale, q_tile=self.q_tile
+            )
+            decode = lambda q, kc, vc, meta: paged_decode_attention(
                 q, kc, vc, meta, sm_scale=sm_scale
             )
-        return lambda q, kc, vc, meta: attn_ops.ragged_paged_attention_ref(
+            return prefill, decode
+        ref = lambda q, kc, vc, meta: attn_ops.ragged_paged_attention_ref(
             q, kc, vc, meta, sm_scale=sm_scale
         )
+        return ref, ref
 
     def _build_step_fns(self):
         spec, cfg = self.spec, self.config
-        attn_impl = self._attn_impl()
+        self.q_tile = 128  # prefill kernel q-tile (per-seq packed alignment)
+        prefill_impl, decode_impl = self._attn_impls()
         family = self.family
         tp = self.tp
         axis = "tp" if tp > 1 else None
 
-        def local_step(params, kv, inputs: StepInputs):
+        def local_step(params, kv, inputs: StepInputs, is_prefill: bool):
             """Per-device program (the whole program when tp == 1)."""
             hidden, kv = family.forward(
                 spec,
@@ -256,7 +278,7 @@ class ModelRunner:
                 inputs,
                 tp=tp,
                 axis=axis,
-                attn_impl=attn_impl,
+                attn_impl=prefill_impl if is_prefill else decode_impl,
                 scan_layers=cfg.scan_layers,
             )
             # Last-token-only before the LM-head matmul (embed_head.py:56-60).
@@ -277,16 +299,20 @@ class ModelRunner:
         else:
             kv_spec = (self._kv_pspec(), self._kv_pspec())
             inputs_spec = StepInputs(*([P()] * len(StepInputs._fields)))
-            step = _shard_map(
-                local_step,
-                mesh=self.mesh,
-                in_specs=(self._param_pspecs(), kv_spec, inputs_spec),
-                out_specs=(P(), kv_spec),
-            )
 
-        # KV buffers are donated: XLA writes the scatter in place.
+            def step(params, kv, inputs, is_prefill):
+                return _shard_map(
+                    lambda p, k, i: local_step(p, k, i, is_prefill),
+                    mesh=self.mesh,
+                    in_specs=(self._param_pspecs(), kv_spec, inputs_spec),
+                    out_specs=(P(), kv_spec),
+                )(params, kv, inputs)
+
+        # KV buffers are donated: XLA writes the scatter in place; one
+        # compiled program per (shape bucket, mode) — the TPU analogue of the
+        # reference's CUDA-graph set (model_runner.py:222-257).
         self._step_fn = step  # raw (un-jitted) for AOT/lowering consumers
-        self._step = jax.jit(step, donate_argnums=(1,))
+        self._step = jax.jit(step, donate_argnums=(1,), static_argnums=(3,))
 
     # ----------------------------------------------------------------- run
 
@@ -312,9 +338,17 @@ class ModelRunner:
                     temperature=seq.temperature,
                 )
             )
-        num_tokens = sum(len(r["token_ids"]) for r in reqs)
+        q_tile = self.q_tile if (is_prefill and self.use_pallas) else None
         if is_prefill:
-            t_bucket = _pick_bucket(cfg.prefill_buckets, num_tokens)
+            if q_tile:
+                # Exact packed length under per-seq q-tile alignment.
+                off = 0
+                for r in reqs:
+                    off = -(-off // q_tile) * q_tile + len(r["token_ids"])
+                num_tokens = -(-off // q_tile) * q_tile
+            else:
+                num_tokens = sum(len(r["token_ids"]) for r in reqs)
+            t_bucket = _pick_bucket(self.prefill_token_buckets, num_tokens)
             s_bucket = _pick_bucket(self.prefill_seq_buckets, len(seqs))
         else:
             s_bucket = _pick_bucket(cfg.decode_buckets, len(seqs))
@@ -327,8 +361,9 @@ class ModelRunner:
             num_seqs_bucket=s_bucket,
             max_blocks_per_seq=cfg.max_blocks_per_seq,
             rng=rng,
+            q_tile=q_tile,
         )
-        tokens, self.kv = self._step(self.params, self.kv, inputs)
+        tokens, self.kv = self._step(self.params, self.kv, inputs, is_prefill)
         return np.asarray(tokens)[: len(seqs)].tolist()
 
     def exit(self):

@@ -117,7 +117,7 @@ def _embed_lookup(embed, ids, axis):
 def forward(
     spec: Qwen3Spec,
     params: dict,
-    kv: tuple[jax.Array, jax.Array],  # each [L, num_blocks, block_size, Hkv/tp, hd]
+    kv: tuple[jax.Array, jax.Array],  # each [L, Hkv/tp, num_blocks, block_size, hd]
     inputs: Any,                       # StepInputs (engine.model_runner)
     *,
     tp: int = 1,
@@ -148,6 +148,8 @@ def forward(
         block_tables=inputs.block_tables,
         cu_q_lens=inputs.cu_q_lens,
         num_seqs=inputs.num_seqs,
+        tile_seq=inputs.tile_seq,
+        tile_pos0=inputs.tile_pos0,
     )
 
     def layer_fn(h, layer_in):

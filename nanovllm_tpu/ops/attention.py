@@ -13,10 +13,13 @@ Two implementations share one interface:
   small shapes only — it materializes [T, max_kv, ...]).
 - ``nanovllm_tpu.ops.pallas.ragged_attention``: the production Pallas kernel.
 
-Cache layout (per layer): ``k_cache, v_cache: [num_blocks, block_size,
-num_kv_heads, head_dim]`` — pages contiguous in HBM so the kernel DMA's whole
-pages; the token dimension flattens to ``num_blocks * block_size`` slots for
-the scatter (reference slot semantics, model_runner.py:129-161).
+Cache layout (per layer): ``k_cache, v_cache: [num_kv_heads, num_blocks,
+block_size, head_dim]`` — head-major so (a) the Pallas kernels' batched-over-
+kv-heads matmuls see equal batch-dim positions (a Mosaic requirement), and
+(b) tensor parallelism shards dim 0. Per-head pages are contiguous
+[block_size, head_dim] runs in HBM; the (blocks, block_size) dims flatten to
+``num_blocks * block_size`` slots for the scatter (reference slot semantics,
+model_runner.py:129-161).
 """
 
 from __future__ import annotations
@@ -40,6 +43,8 @@ class AttentionMeta(NamedTuple):
     block_tables: jax.Array   # i32[S, W] physical block ids
     cu_q_lens: jax.Array      # i32[S+1] cumulative query lengths
     num_seqs: jax.Array       # i32[1] live sequence count
+    tile_seq: jax.Array       # i32[NT] q-tile -> sequence (prefill kernel)
+    tile_pos0: jax.Array      # i32[NT] q-tile row-0 absolute position
 
 
 def write_kv(k_cache, v_cache, k, v, slot_mapping):
@@ -47,20 +52,21 @@ def write_kv(k_cache, v_cache, k, v, slot_mapping):
 
     Padding tokens carry slot -1 (reference early-return semantics,
     attention.py:23); they are redirected out of bounds and dropped.
+    ``k, v: [T, num_kv_heads, head_dim]``.
     """
-    num_blocks, block_size, num_kv_heads, head_dim = k_cache.shape
+    num_kv_heads, num_blocks, block_size, head_dim = k_cache.shape
     n_slots = num_blocks * block_size
     slots = jnp.where(slot_mapping < 0, n_slots, slot_mapping)
-    kc = k_cache.reshape(n_slots, num_kv_heads, head_dim)
-    vc = v_cache.reshape(n_slots, num_kv_heads, head_dim)
-    kc = kc.at[slots].set(k.astype(kc.dtype), mode="drop")
-    vc = vc.at[slots].set(v.astype(vc.dtype), mode="drop")
+    kc = k_cache.reshape(num_kv_heads, n_slots, head_dim)
+    vc = v_cache.reshape(num_kv_heads, n_slots, head_dim)
+    kc = kc.at[:, slots].set(k.swapaxes(0, 1).astype(kc.dtype), mode="drop")
+    vc = vc.at[:, slots].set(v.swapaxes(0, 1).astype(vc.dtype), mode="drop")
     return kc.reshape(k_cache.shape), vc.reshape(v_cache.shape)
 
 
 def ragged_paged_attention_ref(
     q: jax.Array,          # [T, num_q_heads, head_dim]
-    k_cache: jax.Array,    # [num_blocks, block_size, num_kv_heads, head_dim]
+    k_cache: jax.Array,    # [num_kv_heads, num_blocks, block_size, head_dim]
     v_cache: jax.Array,
     meta: AttentionMeta,
     *,
@@ -68,7 +74,7 @@ def ragged_paged_attention_ref(
 ) -> jax.Array:
     """Gather-based jnp oracle. O(T * W*block_size) memory — tests only."""
     T, num_q_heads, head_dim = q.shape
-    num_blocks, block_size, num_kv_heads, _ = k_cache.shape
+    num_kv_heads, num_blocks, block_size, _ = k_cache.shape
     groups = num_q_heads // num_kv_heads
     S, W = meta.block_tables.shape
     max_kv = W * block_size
@@ -78,15 +84,15 @@ def ragged_paged_attention_ref(
         [meta.block_tables, jnp.zeros((1, W), jnp.int32)], axis=0
     )  # padding row
     tok_tables = tables[jnp.minimum(meta.seq_ids, S)]          # [T, W]
-    k = k_cache[tok_tables].reshape(T, max_kv, num_kv_heads, head_dim)
-    v = v_cache[tok_tables].reshape(T, max_kv, num_kv_heads, head_dim)
+    k = k_cache[:, tok_tables].reshape(num_kv_heads, T, max_kv, head_dim)
+    v = v_cache[:, tok_tables].reshape(num_kv_heads, T, max_kv, head_dim)
 
     kv_lens = jnp.concatenate([meta.kv_lens, jnp.zeros((1,), jnp.int32)])
     tok_kv_len = kv_lens[jnp.minimum(meta.seq_ids, S)]          # [T]
 
     qg = q.reshape(T, num_kv_heads, groups, head_dim)
     scores = jnp.einsum(
-        "thgd,tkhd->thgk", qg.astype(jnp.float32), k.astype(jnp.float32)
+        "thgd,htkd->thgk", qg.astype(jnp.float32), k.astype(jnp.float32)
     ) * sm_scale                                                # [T, Hkv, g, max_kv]
     kv_idx = jax.lax.broadcasted_iota(jnp.int32, (T, 1, 1, max_kv), 3)
     mask = (kv_idx <= meta.positions[:, None, None, None]) & (
@@ -94,5 +100,5 @@ def ragged_paged_attention_ref(
     )
     scores = jnp.where(mask, scores, MASK_VALUE)
     w = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("thgk,tkhd->thgd", w, v.astype(jnp.float32))
+    out = jnp.einsum("thgk,htkd->thgd", w, v.astype(jnp.float32))
     return out.reshape(T, num_q_heads, head_dim).astype(q.dtype)

@@ -1,0 +1,399 @@
+"""Pallas TPU kernels: paged decode attention + ragged paged prefill attention.
+
+The TPU-native replacement for the reference's flash-attn CUDA entry points
+(``nanovllm/layers/attention.py:64-74``): decode maps to
+``flash_attn_with_kvcache`` (paged GQA, one query per sequence), prefill maps
+to ``flash_attn_varlen_func`` with block_table prefix reads (ragged packed
+queries over the paged cache, causal).
+
+Design (see /opt/skills/guides/boom_attention_tricks.md §8-11):
+- KV pages live head-major in HBM ([Hkv, num_blocks, block_size, hd]); each
+  (sequence, page) step DMAs one page across all kv heads into a
+  double-buffered VMEM scratch, prefetching page i+1 while computing page i.
+- Online softmax in fp32 (running m/l + unnormalized accumulator, one divide
+  at the end); mask value -0.7*f32max, safe division for empty rows.
+- GQA batched over kv heads: q is pre-transposed (cheap XLA transpose outside
+  the kernel) to [Hkv, ..., G, hd] so every dot_general has equal batch-dim
+  positions (a Mosaic requirement) and no in-kernel relayouts.
+- Prefill queries are packed ragged with per-sequence q-tile alignment
+  (StepInputs.tile_seq/tile_pos0): grid (num_q_tiles, pages); tiles beyond a
+  sequence's kv need and pages past the causal frontier are skipped whole.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _cdiv(a, b):
+    return (a + b - 1) // b
+
+
+# =========================================================== decode kernel
+
+
+def _decode_kernel(
+    # scalar prefetch
+    kv_lens_ref,       # i32[S]
+    tables_ref,        # i32[S, W]
+    num_seqs_ref,      # i32[1]
+    # inputs
+    q_ref,             # [Hkv, S, G, hd] VMEM
+    k_hbm,             # [Hkv, blocks, block, hd] ANY
+    v_hbm,
+    # outputs
+    o_ref,             # [Hkv, S, G, hd] VMEM
+    # scratch
+    k_buf,             # [2, Hkv, block, hd]
+    v_buf,
+    sems,              # DMA sems [2, 2] (k/v, slot)
+    buf_idx_ref,       # SMEM i32[1]
+    m_scr,             # f32[Hkv, G, 128]
+    l_scr,             # f32[Hkv, G, 128]
+    acc_scr,           # f32[Hkv, G, hd]
+    *,
+    block_size: int,
+    sm_scale: float,
+):
+    s, j = pl.program_id(0), pl.program_id(1)
+    num_seqs = num_seqs_ref[0]
+    kv_len = kv_lens_ref[s]
+    num_blocks = _cdiv(kv_len, block_size)  # pages this sequence needs
+
+    def start_dma(seq, page, slot):
+        page_id = tables_ref[seq, page]
+        pltpu.make_async_copy(
+            k_hbm.at[:, page_id], k_buf.at[slot], sems.at[0, slot]
+        ).start()
+        pltpu.make_async_copy(
+            v_hbm.at[:, page_id], v_buf.at[slot], sems.at[1, slot]
+        ).start()
+
+    @pl.when((s == 0) & (j == 0))
+    def _init_first():
+        buf_idx_ref[0] = 0
+        start_dma(0, 0, 0)
+
+    @pl.when(j < num_blocks)
+    def _work():
+        slot = buf_idx_ref[0]
+
+        @pl.when(j == 0)
+        def _init_seq():
+            m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+
+        # Prefetch the next working page into the other buffer. Padding
+        # sequences (kv_len 0) sit past num_seqs, so nseq < num_seqs suffices.
+        in_seq = j + 1 < num_blocks
+        nseq = jnp.where(in_seq, s, s + 1)
+        npage = jnp.where(in_seq, j + 1, 0)
+
+        @pl.when(nseq < num_seqs)
+        def _prefetch():
+            start_dma(nseq, npage, 1 - slot)
+
+        pltpu.make_async_copy(k_hbm.at[:, 0], k_buf.at[slot], sems.at[0, slot]).wait()
+        pltpu.make_async_copy(v_hbm.at[:, 0], v_buf.at[slot], sems.at[1, slot]).wait()
+        buf_idx_ref[0] = 1 - slot
+
+        hkv, _, groups, hd = q_ref.shape
+        q = q_ref[:, s].astype(jnp.float32)           # [Hkv, G, hd]
+        k = k_buf[slot]                                # [Hkv, block, hd]
+        # scores[h, g, t] = sum_d q[h,g,d] * k[h,t,d]
+        scores = jax.lax.dot_general(
+            q, k.astype(jnp.float32),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale  # [Hkv, G, block]
+
+        kv_pos = j * block_size + jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, 2
+        )
+        scores = jnp.where(kv_pos < kv_len, scores, MASK_VALUE)
+
+        m_prev = m_scr[:, :, 0]                       # [Hkv, G]
+        l_prev = l_scr[:, :, 0]
+        m_curr = jnp.max(scores, axis=-1)             # [Hkv, G]
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(scores - m_next[:, :, None])
+        l_next = alpha * l_prev + jnp.sum(p, axis=-1)
+        m_scr[...] = jnp.broadcast_to(m_next[:, :, None], m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_next[:, :, None], l_scr.shape)
+
+        v = v_buf[slot]                                # [Hkv, block, hd]
+        # o[h, g, d] = sum_t p[h,g,t] * v[h,t,d]
+        o_curr = jax.lax.dot_general(
+            p, v.astype(jnp.float32),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[...] = acc_scr[...] * alpha[:, :, None] + o_curr
+
+        @pl.when(j == num_blocks - 1)
+        def _store():
+            l = l_scr[:, :, 0]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            out = acc_scr[...] * l_inv[:, :, None]    # [Hkv, G, hd]
+            o_ref[:, s] = out.astype(o_ref.dtype)
+
+
+def paged_decode_attention(
+    q: jax.Array,        # [S, Hq, hd] (one query token per sequence)
+    k_cache: jax.Array,  # [Hkv, blocks, block, hd]
+    v_cache: jax.Array,
+    meta,
+    *,
+    sm_scale: float,
+    interpret: bool = False,
+) -> jax.Array:
+    S, Hq, hd = q.shape
+    Hkv, _, block_size, _ = k_cache.shape
+    groups = Hq // Hkv
+    W = meta.block_tables.shape[1]
+    q_hm = q.reshape(S, Hkv, groups, hd).transpose(1, 0, 2, 3)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(S, W),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # q
+            pl.BlockSpec(memory_space=pl.ANY),       # k pages (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),       # v pages
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, Hkv, block_size, hd), k_cache.dtype),
+            pltpu.VMEM((2, Hkv, block_size, hd), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((Hkv, groups, 128), jnp.float32),
+            pltpu.VMEM((Hkv, groups, 128), jnp.float32),
+            pltpu.VMEM((Hkv, groups, hd), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_kernel, block_size=block_size, sm_scale=sm_scale
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Hkv, S, groups, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(meta.kv_lens, meta.block_tables, meta.num_seqs, q_hm, k_cache, v_cache)
+    return out.transpose(1, 0, 2, 3).reshape(S, Hq, hd)
+
+
+# ========================================================== prefill kernel
+
+
+def _prefill_kernel(
+    # scalar prefetch
+    tile_seq_ref,      # i32[NT]
+    tile_pos0_ref,     # i32[NT]
+    kv_lens_ref,       # i32[S]
+    tables_ref,        # i32[S, W]
+    num_seqs_ref,      # i32[1]
+    # inputs
+    q_ref,             # [Hkv, BQ, G, hd] VMEM (tile t)
+    k_hbm,             # [Hkv, blocks, block, hd] ANY
+    v_hbm,
+    # outputs
+    o_ref,             # [Hkv, BQ, G, hd] VMEM (tile t)
+    # scratch
+    k_buf, v_buf,      # [2, Hkv, block, hd]
+    sems,              # [2, 2]
+    buf_idx_ref,       # SMEM i32[1]
+    m_scr,             # f32[Hkv, BQ, G]
+    l_scr,             # f32[Hkv, BQ, G]
+    acc_scr,           # f32[Hkv, BQ, G, hd]
+    *,
+    block_size: int,
+    q_tile: int,
+    sm_scale: float,
+):
+    t, j = pl.program_id(0), pl.program_id(1)
+    num_seqs = num_seqs_ref[0]
+    seq = tile_seq_ref[t]
+    live = seq < num_seqs
+    safe_seq = jnp.where(live, seq, 0)
+    pos0 = tile_pos0_ref[t]
+    # Causal frontier: kv needed is min(kv_len, last q position + 1).
+    kv_limit = jnp.where(
+        live, jnp.minimum(kv_lens_ref[safe_seq], pos0 + q_tile), 0
+    )
+    num_blocks = _cdiv(kv_limit, block_size)
+
+    def tile_blocks(tile):
+        t_seq = tile_seq_ref[tile]
+        t_live = t_seq < num_seqs
+        lim = jnp.where(
+            t_live,
+            jnp.minimum(kv_lens_ref[jnp.where(t_live, t_seq, 0)],
+                        tile_pos0_ref[tile] + q_tile),
+            0,
+        )
+        return _cdiv(lim, block_size)
+
+    def start_dma(tile, page, slot):
+        page_id = tables_ref[tile_seq_ref[tile], page]
+        pltpu.make_async_copy(
+            k_hbm.at[:, page_id], k_buf.at[slot], sems.at[0, slot]
+        ).start()
+        pltpu.make_async_copy(
+            v_hbm.at[:, page_id], v_buf.at[slot], sems.at[1, slot]
+        ).start()
+
+    @pl.when((t == 0) & (j == 0))
+    def _init_first():
+        buf_idx_ref[0] = 0
+        start_dma(0, 0, 0)
+
+    @pl.when(j < num_blocks)
+    def _work():
+        slot = buf_idx_ref[0]
+
+        @pl.when(j == 0)
+        def _init_tile():
+            m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+
+        # Next working (tile, page): rest of this tile, else next live tile's
+        # page 0 (live tiles are contiguous at the front of the grid).
+        in_tile = j + 1 < num_blocks
+        ntile = jnp.where(in_tile, t, t + 1)
+        npage = jnp.where(in_tile, j + 1, 0)
+        nt_total = pl.num_programs(0)
+        has_next = jnp.where(
+            ntile < nt_total,
+            jnp.where(in_tile, True,
+                      tile_blocks(jnp.minimum(ntile, nt_total - 1)) > 0),
+            False,
+        )
+
+        @pl.when(has_next)
+        def _prefetch():
+            start_dma(ntile, npage, 1 - slot)
+
+        pltpu.make_async_copy(k_hbm.at[:, 0], k_buf.at[slot], sems.at[0, slot]).wait()
+        pltpu.make_async_copy(v_hbm.at[:, 0], v_buf.at[slot], sems.at[1, slot]).wait()
+        buf_idx_ref[0] = 1 - slot
+
+        hkv, bq, groups, hd = q_ref.shape
+        q = q_ref[...].astype(jnp.float32)             # [Hkv, BQ, G, hd]
+        k = k_buf[slot]                                 # [Hkv, block, hd]
+        # scores[h, bq, g, tok] — batched over kv heads.
+        scores = jax.lax.dot_general(
+            q, k.astype(jnp.float32),
+            dimension_numbers=(((3,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale  # [Hkv, BQ, G, block]
+
+        kv_pos = j * block_size + jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, 3
+        )
+        q_pos = pos0 + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        kv_len = jnp.where(live, kv_lens_ref[safe_seq], 0)
+        mask = (kv_pos <= q_pos) & (kv_pos < kv_len)
+        scores = jnp.where(mask, scores, MASK_VALUE)
+
+        m_prev, l_prev = m_scr[...], l_scr[...]          # [Hkv, BQ, G]
+        m_curr = jnp.max(scores, axis=-1)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(scores - m_next[..., None])
+        l_scr[...] = alpha * l_prev + jnp.sum(p, axis=-1)
+        m_scr[...] = m_next
+
+        v = v_buf[slot]                                  # [Hkv, block, hd]
+        # o[h, bq, g, d] = sum_tok p[h,bq,g,tok] * v[h,tok,d]
+        o_curr = jax.lax.dot_general(
+            p, v.astype(jnp.float32),
+            dimension_numbers=(((3,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[...] = acc_scr[...] * alpha[..., None] + o_curr
+
+        @pl.when(j == num_blocks - 1)
+        def _store():
+            l = l_scr[...]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_ref[...] = (acc_scr[...] * l_inv[..., None]).astype(o_ref.dtype)
+
+
+def ragged_prefill_attention(
+    q: jax.Array,        # [T, Hq, hd] packed ragged, q_tile-aligned per seq
+    k_cache: jax.Array,  # [Hkv, blocks, block, hd]
+    v_cache: jax.Array,
+    meta,
+    *,
+    sm_scale: float,
+    q_tile: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    T, Hq, hd = q.shape
+    Hkv, _, block_size, _ = k_cache.shape
+    groups = Hq // Hkv
+    NT = meta.tile_seq.shape[0]
+    assert NT * q_tile == T, f"q of {T} rows vs {NT} tiles of {q_tile}"
+    W = meta.block_tables.shape[1]
+    q_hm = q.reshape(T, Hkv, groups, hd).transpose(1, 0, 2, 3)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(NT, W),
+        in_specs=[
+            pl.BlockSpec(
+                (Hkv, q_tile, groups, hd), lambda t, j, *_: (0, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (Hkv, q_tile, groups, hd), lambda t, j, *_: (0, t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, Hkv, block_size, hd), k_cache.dtype),
+            pltpu.VMEM((2, Hkv, block_size, hd), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((Hkv, q_tile, groups), jnp.float32),
+            pltpu.VMEM((Hkv, q_tile, groups), jnp.float32),
+            pltpu.VMEM((Hkv, q_tile, groups, hd), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _prefill_kernel,
+        block_size=block_size,
+        q_tile=q_tile,
+        sm_scale=sm_scale,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Hkv, T, groups, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        meta.tile_seq, meta.tile_pos0, meta.kv_lens, meta.block_tables,
+        meta.num_seqs, q_hm, k_cache, v_cache,
+    )
+    return out.transpose(1, 0, 2, 3).reshape(T, Hq, hd)

@@ -37,7 +37,7 @@ def our_logits(model_dir, token_ids, chunks=None):
 
     n = len(token_ids)
     num_blocks = 8
-    kv_shape = (spec.num_layers, num_blocks, BLOCK_SIZE, spec.num_kv_heads, spec.head_dim)
+    kv_shape = (spec.num_layers, spec.num_kv_heads, num_blocks, BLOCK_SIZE, spec.head_dim)
     kv = (jnp.zeros(kv_shape, jnp.float32), jnp.zeros(kv_shape, jnp.float32))
     block_table = list(range(-(-n // BLOCK_SIZE)))
     attn = lambda q, kc, vc, meta: ragged_paged_attention_ref(
@@ -114,7 +114,7 @@ def test_scan_and_unrolled_agree(tiny_qwen3_dir, prompt):
     )
     n = len(prompt)
     num_blocks = 8
-    kv_shape = (spec.num_layers, num_blocks, BLOCK_SIZE, spec.num_kv_heads, spec.head_dim)
+    kv_shape = (spec.num_layers, spec.num_kv_heads, num_blocks, BLOCK_SIZE, spec.head_dim)
     attn = lambda q, kc, vc, meta: ragged_paged_attention_ref(
         q, kc, vc, meta, sm_scale=spec.head_dim**-0.5
     )

@@ -1,0 +1,146 @@
+"""Pallas attention kernels vs the jnp oracle (interpret mode, CPU).
+
+Covers: GQA decode over ragged kv lengths with padding sequences, ragged
+prefill with causal masking, chunked-prefill continuation (q positions offset
+into a longer cached kv), multi-sequence tiling, partial last pages.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nanovllm_tpu.engine.inputs import build_step_inputs
+from nanovllm_tpu.ops.attention import AttentionMeta, ragged_paged_attention_ref
+from nanovllm_tpu.ops.pallas.ragged_attention import (
+    paged_decode_attention,
+    ragged_prefill_attention,
+)
+
+BLOCK = 16   # small pages so tests exercise many-page sequences
+HD = 32
+HKV = 2
+HQ = 4
+SM = HD ** -0.5
+
+
+def make_cache(rng, num_blocks):
+    k = rng.standard_normal((HKV, num_blocks, BLOCK, HD), np.float32)
+    v = rng.standard_normal((HKV, num_blocks, BLOCK, HD), np.float32)
+    return jnp.asarray(k), jnp.asarray(v)
+
+
+def meta_from_inputs(inputs):
+    return AttentionMeta(
+        positions=inputs.positions,
+        slot_mapping=inputs.slot_mapping,
+        seq_ids=inputs.seq_ids,
+        kv_lens=inputs.kv_lens,
+        block_tables=inputs.block_tables,
+        cu_q_lens=inputs.cu_q_lens,
+        num_seqs=inputs.num_seqs,
+        tile_seq=inputs.tile_seq,
+        tile_pos0=inputs.tile_pos0,
+    )
+
+
+def build(reqs, t_bucket, s_bucket, w, q_tile=None):
+    inputs = build_step_inputs(
+        reqs,
+        block_size=BLOCK,
+        num_tokens_bucket=t_bucket,
+        num_seqs_bucket=s_bucket,
+        max_blocks_per_seq=w,
+        rng=np.zeros(2, np.uint32),
+        q_tile=q_tile,
+    )
+    return inputs, meta_from_inputs(inputs)
+
+
+def test_decode_matches_oracle():
+    rng = np.random.default_rng(0)
+    kc, vc = make_cache(rng, num_blocks=24)
+    # 5 live sequences with ragged kv lengths (incl. exact page multiples and
+    # partial last pages), padded to an 8-seq bucket.
+    kv_lens = [3, 16, 33, 48, 7]
+    tables = [[0, 1, 2, 3], [4, 5, 0, 0], [6, 7, 8, 9], [10, 11, 12, 0], [13, 0, 0, 0]]
+    reqs = [
+        dict(token_ids=[1], start=n - 1, kv_len=n, block_table=t[: -(-n // BLOCK)],
+             temperature=1.0)
+        for n, t in zip(kv_lens, tables)
+    ]
+    inputs, meta = build(reqs, t_bucket=8, s_bucket=8, w=4)
+    q = jnp.asarray(rng.standard_normal((8, HQ, HD), np.float32))
+
+    ref = ragged_paged_attention_ref(q, kc, vc, meta, sm_scale=SM)
+    out = paged_decode_attention(q, kc, vc, meta, sm_scale=SM, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out)[:5], np.asarray(ref)[:5], rtol=2e-5, atol=2e-5
+    )
+
+
+def test_prefill_matches_oracle_multiseq():
+    rng = np.random.default_rng(1)
+    kc, vc = make_cache(rng, num_blocks=24)
+    q_tile = 8  # tiny tile so one seq spans multiple tiles
+    # Fresh prefills: kv_len == q_len (kv was scattered before attention).
+    lens = [5, 19, 8]
+    tables = [[0, 1], [2, 3, 4], [5]]
+    reqs = [
+        dict(token_ids=list(range(n)), start=0, kv_len=n,
+             block_table=t, temperature=1.0)
+        for n, t in zip(lens, tables)
+    ]
+    inputs, meta = build(reqs, t_bucket=48, s_bucket=4, w=3, q_tile=q_tile)
+    q = jnp.asarray(rng.standard_normal((48, HQ, HD), np.float32))
+
+    ref = ragged_paged_attention_ref(q, kc, vc, meta, sm_scale=SM)
+    out = ragged_prefill_attention(
+        q, kc, vc, meta, sm_scale=SM, q_tile=q_tile, interpret=True
+    )
+    live = np.asarray(inputs.seq_ids) < 4  # compare live rows only
+    np.testing.assert_allclose(
+        np.asarray(out)[live], np.asarray(ref)[live], rtol=2e-5, atol=2e-5
+    )
+
+
+def test_prefill_chunked_continuation():
+    """Chunk 2 of a chunked prefill: q positions 20..34 against kv_len 35
+    (prefix already in cache) — exercises prefix reads + causal frontier."""
+    rng = np.random.default_rng(2)
+    kc, vc = make_cache(rng, num_blocks=8)
+    q_tile = 8
+    reqs = [
+        dict(token_ids=list(range(15)), start=20, kv_len=35,
+             block_table=[0, 1, 2], temperature=1.0)
+    ]
+    inputs, meta = build(reqs, t_bucket=16, s_bucket=2, w=3, q_tile=q_tile)
+    q = jnp.asarray(rng.standard_normal((16, HQ, HD), np.float32))
+
+    ref = ragged_paged_attention_ref(q, kc, vc, meta, sm_scale=SM)
+    out = ragged_prefill_attention(
+        q, kc, vc, meta, sm_scale=SM, q_tile=q_tile, interpret=True
+    )
+    live = np.asarray(inputs.seq_ids) < 2
+    np.testing.assert_allclose(
+        np.asarray(out)[live], np.asarray(ref)[live], rtol=2e-5, atol=2e-5
+    )
+
+
+@pytest.mark.parametrize("n_seqs", [1, 8])
+def test_decode_single_and_full_bucket(n_seqs):
+    rng = np.random.default_rng(3)
+    kc, vc = make_cache(rng, num_blocks=40)
+    reqs = [
+        dict(token_ids=[1], start=i + 1, kv_len=i + 2,
+             block_table=[4 * i, 4 * i + 1], temperature=1.0)
+        for i in range(n_seqs)
+    ]
+    inputs, meta = build(reqs, t_bucket=8, s_bucket=8, w=4)
+    q = jnp.asarray(rng.standard_normal((8, HQ, HD), np.float32))
+    ref = ragged_paged_attention_ref(q, kc, vc, meta, sm_scale=SM)
+    out = paged_decode_attention(q, kc, vc, meta, sm_scale=SM, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out)[:n_seqs], np.asarray(ref)[:n_seqs], rtol=2e-5, atol=2e-5
+    )
