@@ -30,6 +30,7 @@ class Config:
     num_kvcache_blocks: int = -1
 
     # --- TPU-specific extensions (absent in reference) ---
+    hbm_bytes: int | None = None       # per-chip HBM override (auto-sizing)
     dtype: str = "bfloat16"            # parameter/activation dtype
     kv_cache_dtype: str = "auto"       # "auto" -> dtype; or "int8" / "fp8"
     quantization: str | None = None    # None | "int8" | "int4" | "fp8" (weight-only)

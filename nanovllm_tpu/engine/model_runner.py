@@ -188,12 +188,19 @@ class ModelRunner:
         except Exception:
             pass
         limit = stats.get("bytes_limit")
+        used = stats.get("bytes_in_use")
         if not limit:
-            # CPU / unknown backend: a small fixed pool. CPU XLA ignores
-            # buffer donation, so every step copies the whole cache — keep it
-            # tiny (tests/smoke only).
-            return max(64, 32 * cfg.max_model_len // cfg.kvcache_block_size)
-        used = stats.get("bytes_in_use", 0)
+            if not self.is_tpu:
+                # CPU / unknown backend: a small fixed pool. CPU XLA ignores
+                # buffer donation, so every step copies the whole cache —
+                # keep it tiny (tests/smoke only).
+                return max(64, 32 * cfg.max_model_len // cfg.kvcache_block_size)
+            # TPU without memory_stats (tunneled runtime): assume v5e HBM.
+            limit = cfg.hbm_bytes or 16 * 1024**3
+        if used is None:
+            used = sum(
+                a.size * a.dtype.itemsize for a in jax.tree.leaves(self.params)
+            )
         t_max = max(cfg.prefill_buckets)
         act_bytes = jnp.dtype(self.dtype).itemsize
         # Peak live activations inside one scanned layer: qkv + gate/up
@@ -249,15 +256,15 @@ class ModelRunner:
                 ragged_prefill_attention,
             )
 
-            prefill = lambda q, kc, vc, meta: ragged_prefill_attention(
-                q, kc, vc, meta, sm_scale=sm_scale, q_tile=self.q_tile
+            prefill = lambda q, kc, vc, layer, meta: ragged_prefill_attention(
+                q, kc, vc, layer, meta, sm_scale=sm_scale, q_tile=self.q_tile
             )
-            decode = lambda q, kc, vc, meta: paged_decode_attention(
-                q, kc, vc, meta, sm_scale=sm_scale
+            decode = lambda q, kc, vc, layer, meta: paged_decode_attention(
+                q, kc, vc, layer, meta, sm_scale=sm_scale
             )
             return prefill, decode
-        ref = lambda q, kc, vc, meta: attn_ops.ragged_paged_attention_ref(
-            q, kc, vc, meta, sm_scale=sm_scale
+        ref = lambda q, kc, vc, layer, meta: attn_ops.ragged_paged_attention_ref(
+            q, kc, vc, layer, meta, sm_scale=sm_scale
         )
         return ref, ref
 

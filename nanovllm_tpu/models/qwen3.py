@@ -122,7 +122,7 @@ def forward(
     *,
     tp: int = 1,
     axis: str | None = None,
-    attn_impl,                         # (q, k_cache, v_cache, meta) -> out
+    attn_impl,                         # (q, k_all, v_all, layer, meta) -> out
     scan_layers: bool = True,
 ):
     """One forward pass over a ragged packed batch; returns (hidden [T, D],
@@ -152,8 +152,11 @@ def forward(
         tile_pos0=inputs.tile_pos0,
     )
 
-    def layer_fn(h, layer_in):
-        lp, k_cache, v_cache = layer_in
+    def layer_fn(carry, lp):
+        # The full stacked KV cache rides the scan carry and is updated with
+        # an in-place scatter at layer index `i`: one resident buffer, no
+        # xs/ys double allocation (that would 2x HBM at the pool's size).
+        h, k_all, v_all, i = carry
         resid = h
         h = rms_norm(h, lp["input_norm"], spec.rms_eps)
         qkv = h @ lp["qkv_proj"]
@@ -168,8 +171,8 @@ def forward(
             k = rms_norm(k, lp["k_norm"], spec.rms_eps)
         q = apply_rope(q, cos_t, sin_t)
         k = apply_rope(k, cos_t, sin_t)
-        k_cache, v_cache = write_kv(k_cache, v_cache, k, v, inputs.slot_mapping)
-        o = attn_impl(q, k_cache, v_cache, meta)
+        k_all, v_all = write_kv(k_all, v_all, i, k, v, inputs.slot_mapping)
+        o = attn_impl(q, k_all, v_all, i, meta)
         o = o.reshape(t, q_size) @ lp["o_proj"]
         if axis is not None:
             o = lax.psum(o, axis)
@@ -182,21 +185,20 @@ def forward(
         if axis is not None:
             h = lax.psum(h, axis)
         h = resid + h
-        return h, (k_cache, v_cache)
+        return (h, k_all, v_all, i + 1), None
 
     layer_params = params["layers"]
     k_all, v_all = kv
     if scan_layers:
-        x, (k_all, v_all) = lax.scan(layer_fn, x, (layer_params, k_all, v_all))
+        (x, k_all, v_all, _), _ = lax.scan(
+            layer_fn, (x, k_all, v_all, jnp.int32(0)), layer_params
+        )
     else:
-        ks, vs = [], []
+        carry = (x, k_all, v_all, jnp.int32(0))
         for i in range(spec.num_layers):
             lp = jax.tree.map(lambda a: a[i], layer_params)
-            x, (kc, vc) = layer_fn(x, (lp, k_all[i], v_all[i]))
-            ks.append(kc)
-            vs.append(vc)
-        k_all = jnp.stack(ks)
-        v_all = jnp.stack(vs)
+            carry, _ = layer_fn(carry, lp)
+        x, k_all, v_all, _ = carry
 
     x = rms_norm(x, params["final_norm"], spec.rms_eps)
     return x, (k_all, v_all)

@@ -47,32 +47,40 @@ class AttentionMeta(NamedTuple):
     tile_pos0: jax.Array      # i32[NT] q-tile row-0 absolute position
 
 
-def write_kv(k_cache, v_cache, k, v, slot_mapping):
-    """Scatter new K/V rows into the paged cache at ``slot_mapping``.
+def write_kv(k_all, v_all, layer, k, v, slot_mapping):
+    """Scatter new K/V rows into layer ``layer`` of the stacked paged cache
+    ([L, Hkv, blocks, block, hd]) at ``slot_mapping`` — an in-place update of
+    the scan carry (XLA keeps the single resident buffer).
 
     Padding tokens carry slot -1 (reference early-return semantics,
     attention.py:23); they are redirected out of bounds and dropped.
     ``k, v: [T, num_kv_heads, head_dim]``.
     """
-    num_kv_heads, num_blocks, block_size, head_dim = k_cache.shape
+    L, num_kv_heads, num_blocks, block_size, head_dim = k_all.shape
     n_slots = num_blocks * block_size
     slots = jnp.where(slot_mapping < 0, n_slots, slot_mapping)
-    kc = k_cache.reshape(num_kv_heads, n_slots, head_dim)
-    vc = v_cache.reshape(num_kv_heads, n_slots, head_dim)
-    kc = kc.at[:, slots].set(k.swapaxes(0, 1).astype(kc.dtype), mode="drop")
-    vc = vc.at[:, slots].set(v.swapaxes(0, 1).astype(vc.dtype), mode="drop")
-    return kc.reshape(k_cache.shape), vc.reshape(v_cache.shape)
+    # `layer` as a 0-d array makes both indexes advanced: the indexed shape is
+    # (T, Hkv, hd) — element [t, h] addresses kc[layer, h, slots[t]].
+    layer = jnp.asarray(layer, jnp.int32)
+    kc = k_all.reshape(L, num_kv_heads, n_slots, head_dim)
+    vc = v_all.reshape(L, num_kv_heads, n_slots, head_dim)
+    kc = kc.at[layer, :, slots].set(k.astype(kc.dtype), mode="drop")
+    vc = vc.at[layer, :, slots].set(v.astype(vc.dtype), mode="drop")
+    return kc.reshape(k_all.shape), vc.reshape(v_all.shape)
 
 
 def ragged_paged_attention_ref(
     q: jax.Array,          # [T, num_q_heads, head_dim]
-    k_cache: jax.Array,    # [num_kv_heads, num_blocks, block_size, head_dim]
-    v_cache: jax.Array,
+    k_all: jax.Array,      # [L, num_kv_heads, num_blocks, block_size, head_dim]
+    v_all: jax.Array,
+    layer,
     meta: AttentionMeta,
     *,
     sm_scale: float,
 ) -> jax.Array:
     """Gather-based jnp oracle. O(T * W*block_size) memory — tests only."""
+    k_cache = jax.lax.dynamic_index_in_dim(k_all, layer, 0, keepdims=False)
+    v_cache = jax.lax.dynamic_index_in_dim(v_all, layer, 0, keepdims=False)
     T, num_q_heads, head_dim = q.shape
     num_kv_heads, num_blocks, block_size, _ = k_cache.shape
     groups = num_q_heads // num_kv_heads

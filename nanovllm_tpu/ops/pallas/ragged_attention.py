@@ -41,12 +41,13 @@ def _cdiv(a, b):
 
 def _decode_kernel(
     # scalar prefetch
+    layer_ref,         # i32[1] layer index into the stacked cache
     kv_lens_ref,       # i32[S]
     tables_ref,        # i32[S, W]
     num_seqs_ref,      # i32[1]
     # inputs
     q_ref,             # [Hkv, S, G, hd] VMEM
-    k_hbm,             # [Hkv, blocks, block, hd] ANY
+    k_hbm,             # [L, Hkv, blocks, block, hd] ANY
     v_hbm,
     # outputs
     o_ref,             # [Hkv, S, G, hd] VMEM
@@ -67,13 +68,15 @@ def _decode_kernel(
     kv_len = kv_lens_ref[s]
     num_blocks = _cdiv(kv_len, block_size)  # pages this sequence needs
 
+    layer = layer_ref[0]
+
     def start_dma(seq, page, slot):
         page_id = tables_ref[seq, page]
         pltpu.make_async_copy(
-            k_hbm.at[:, page_id], k_buf.at[slot], sems.at[0, slot]
+            k_hbm.at[layer, :, page_id], k_buf.at[slot], sems.at[0, slot]
         ).start()
         pltpu.make_async_copy(
-            v_hbm.at[:, page_id], v_buf.at[slot], sems.at[1, slot]
+            v_hbm.at[layer, :, page_id], v_buf.at[slot], sems.at[1, slot]
         ).start()
 
     @pl.when((s == 0) & (j == 0))
@@ -101,8 +104,12 @@ def _decode_kernel(
         def _prefetch():
             start_dma(nseq, npage, 1 - slot)
 
-        pltpu.make_async_copy(k_hbm.at[:, 0], k_buf.at[slot], sems.at[0, slot]).wait()
-        pltpu.make_async_copy(v_hbm.at[:, 0], v_buf.at[slot], sems.at[1, slot]).wait()
+        pltpu.make_async_copy(
+            k_hbm.at[0, :, 0], k_buf.at[slot], sems.at[0, slot]
+        ).wait()
+        pltpu.make_async_copy(
+            v_hbm.at[0, :, 0], v_buf.at[slot], sems.at[1, slot]
+        ).wait()
         buf_idx_ref[0] = 1 - slot
 
         hkv, _, groups, hd = q_ref.shape
@@ -149,21 +156,22 @@ def _decode_kernel(
 
 def paged_decode_attention(
     q: jax.Array,        # [S, Hq, hd] (one query token per sequence)
-    k_cache: jax.Array,  # [Hkv, blocks, block, hd]
+    k_cache: jax.Array,  # [L, Hkv, blocks, block, hd] (stacked; reads `layer`)
     v_cache: jax.Array,
+    layer,
     meta,
     *,
     sm_scale: float,
     interpret: bool = False,
 ) -> jax.Array:
     S, Hq, hd = q.shape
-    Hkv, _, block_size, _ = k_cache.shape
+    _, Hkv, _, block_size, _ = k_cache.shape
     groups = Hq // Hkv
     W = meta.block_tables.shape[1]
     q_hm = q.reshape(S, Hkv, groups, hd).transpose(1, 0, 2, 3)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(S, W),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # q
@@ -192,7 +200,10 @@ def paged_decode_attention(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(meta.kv_lens, meta.block_tables, meta.num_seqs, q_hm, k_cache, v_cache)
+    )(
+        jnp.reshape(jnp.asarray(layer, jnp.int32), (1,)),
+        meta.kv_lens, meta.block_tables, meta.num_seqs, q_hm, k_cache, v_cache,
+    )
     return out.transpose(1, 0, 2, 3).reshape(S, Hq, hd)
 
 
@@ -201,6 +212,7 @@ def paged_decode_attention(
 
 def _prefill_kernel(
     # scalar prefetch
+    layer_ref,         # i32[1] layer index into the stacked cache
     tile_seq_ref,      # i32[NT]
     tile_pos0_ref,     # i32[NT]
     kv_lens_ref,       # i32[S]
@@ -208,7 +220,7 @@ def _prefill_kernel(
     num_seqs_ref,      # i32[1]
     # inputs
     q_ref,             # [Hkv, BQ, G, hd] VMEM (tile t)
-    k_hbm,             # [Hkv, blocks, block, hd] ANY
+    k_hbm,             # [L, Hkv, blocks, block, hd] ANY
     v_hbm,
     # outputs
     o_ref,             # [Hkv, BQ, G, hd] VMEM (tile t)
@@ -247,13 +259,15 @@ def _prefill_kernel(
         )
         return _cdiv(lim, block_size)
 
+    layer = layer_ref[0]
+
     def start_dma(tile, page, slot):
         page_id = tables_ref[tile_seq_ref[tile], page]
         pltpu.make_async_copy(
-            k_hbm.at[:, page_id], k_buf.at[slot], sems.at[0, slot]
+            k_hbm.at[layer, :, page_id], k_buf.at[slot], sems.at[0, slot]
         ).start()
         pltpu.make_async_copy(
-            v_hbm.at[:, page_id], v_buf.at[slot], sems.at[1, slot]
+            v_hbm.at[layer, :, page_id], v_buf.at[slot], sems.at[1, slot]
         ).start()
 
     @pl.when((t == 0) & (j == 0))
@@ -288,8 +302,12 @@ def _prefill_kernel(
         def _prefetch():
             start_dma(ntile, npage, 1 - slot)
 
-        pltpu.make_async_copy(k_hbm.at[:, 0], k_buf.at[slot], sems.at[0, slot]).wait()
-        pltpu.make_async_copy(v_hbm.at[:, 0], v_buf.at[slot], sems.at[1, slot]).wait()
+        pltpu.make_async_copy(
+            k_hbm.at[0, :, 0], k_buf.at[slot], sems.at[0, slot]
+        ).wait()
+        pltpu.make_async_copy(
+            v_hbm.at[0, :, 0], v_buf.at[slot], sems.at[1, slot]
+        ).wait()
         buf_idx_ref[0] = 1 - slot
 
         hkv, bq, groups, hd = q_ref.shape
@@ -336,8 +354,9 @@ def _prefill_kernel(
 
 def ragged_prefill_attention(
     q: jax.Array,        # [T, Hq, hd] packed ragged, q_tile-aligned per seq
-    k_cache: jax.Array,  # [Hkv, blocks, block, hd]
+    k_cache: jax.Array,  # [L, Hkv, blocks, block, hd] (stacked; reads `layer`)
     v_cache: jax.Array,
+    layer,
     meta,
     *,
     sm_scale: float,
@@ -345,7 +364,7 @@ def ragged_prefill_attention(
     interpret: bool = False,
 ) -> jax.Array:
     T, Hq, hd = q.shape
-    Hkv, _, block_size, _ = k_cache.shape
+    _, Hkv, _, block_size, _ = k_cache.shape
     groups = Hq // Hkv
     NT = meta.tile_seq.shape[0]
     assert NT * q_tile == T, f"q of {T} rows vs {NT} tiles of {q_tile}"
@@ -353,7 +372,7 @@ def ragged_prefill_attention(
     q_hm = q.reshape(T, Hkv, groups, hd).transpose(1, 0, 2, 3)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(NT, W),
         in_specs=[
             pl.BlockSpec(
@@ -393,6 +412,7 @@ def ragged_prefill_attention(
         ),
         interpret=interpret,
     )(
+        jnp.reshape(jnp.asarray(layer, jnp.int32), (1,)),
         meta.tile_seq, meta.tile_pos0, meta.kv_lens, meta.block_tables,
         meta.num_seqs, q_hm, k_cache, v_cache,
     )

@@ -25,9 +25,9 @@ HQ = 4
 SM = HD ** -0.5
 
 
-def make_cache(rng, num_blocks):
-    k = rng.standard_normal((HKV, num_blocks, BLOCK, HD), np.float32)
-    v = rng.standard_normal((HKV, num_blocks, BLOCK, HD), np.float32)
+def make_cache(rng, num_blocks, layers=1):
+    k = rng.standard_normal((layers, HKV, num_blocks, BLOCK, HD), np.float32)
+    v = rng.standard_normal((layers, HKV, num_blocks, BLOCK, HD), np.float32)
     return jnp.asarray(k), jnp.asarray(v)
 
 
@@ -73,8 +73,8 @@ def test_decode_matches_oracle():
     inputs, meta = build(reqs, t_bucket=8, s_bucket=8, w=4)
     q = jnp.asarray(rng.standard_normal((8, HQ, HD), np.float32))
 
-    ref = ragged_paged_attention_ref(q, kc, vc, meta, sm_scale=SM)
-    out = paged_decode_attention(q, kc, vc, meta, sm_scale=SM, interpret=True)
+    ref = ragged_paged_attention_ref(q, kc, vc, 0, meta, sm_scale=SM)
+    out = paged_decode_attention(q, kc, vc, 0, meta, sm_scale=SM, interpret=True)
     np.testing.assert_allclose(
         np.asarray(out)[:5], np.asarray(ref)[:5], rtol=2e-5, atol=2e-5
     )
@@ -95,9 +95,9 @@ def test_prefill_matches_oracle_multiseq():
     inputs, meta = build(reqs, t_bucket=48, s_bucket=4, w=3, q_tile=q_tile)
     q = jnp.asarray(rng.standard_normal((48, HQ, HD), np.float32))
 
-    ref = ragged_paged_attention_ref(q, kc, vc, meta, sm_scale=SM)
+    ref = ragged_paged_attention_ref(q, kc, vc, 0, meta, sm_scale=SM)
     out = ragged_prefill_attention(
-        q, kc, vc, meta, sm_scale=SM, q_tile=q_tile, interpret=True
+        q, kc, vc, 0, meta, sm_scale=SM, q_tile=q_tile, interpret=True
     )
     live = np.asarray(inputs.seq_ids) < 4  # compare live rows only
     np.testing.assert_allclose(
@@ -118,9 +118,9 @@ def test_prefill_chunked_continuation():
     inputs, meta = build(reqs, t_bucket=16, s_bucket=2, w=3, q_tile=q_tile)
     q = jnp.asarray(rng.standard_normal((16, HQ, HD), np.float32))
 
-    ref = ragged_paged_attention_ref(q, kc, vc, meta, sm_scale=SM)
+    ref = ragged_paged_attention_ref(q, kc, vc, 0, meta, sm_scale=SM)
     out = ragged_prefill_attention(
-        q, kc, vc, meta, sm_scale=SM, q_tile=q_tile, interpret=True
+        q, kc, vc, 0, meta, sm_scale=SM, q_tile=q_tile, interpret=True
     )
     live = np.asarray(inputs.seq_ids) < 2
     np.testing.assert_allclose(
@@ -139,8 +139,8 @@ def test_decode_single_and_full_bucket(n_seqs):
     ]
     inputs, meta = build(reqs, t_bucket=8, s_bucket=8, w=4)
     q = jnp.asarray(rng.standard_normal((8, HQ, HD), np.float32))
-    ref = ragged_paged_attention_ref(q, kc, vc, meta, sm_scale=SM)
-    out = paged_decode_attention(q, kc, vc, meta, sm_scale=SM, interpret=True)
+    ref = ragged_paged_attention_ref(q, kc, vc, 0, meta, sm_scale=SM)
+    out = paged_decode_attention(q, kc, vc, 0, meta, sm_scale=SM, interpret=True)
     np.testing.assert_allclose(
         np.asarray(out)[:n_seqs], np.asarray(ref)[:n_seqs], rtol=2e-5, atol=2e-5
     )
