@@ -56,8 +56,17 @@ class Config:
             "max_num_batched_tokens must cover max_model_len so any prompt fits "
             "in one (possibly chunked) prefill budget"
         )
+        assert self.max_num_batched_tokens % self.kvcache_block_size == 0, (
+            "prefill budget must be a multiple of the KV block size so chunk "
+            "starts stay page-aligned (the Pallas prefill kernel writes new "
+            "KV rows page-by-page)"
+        )
+        assert self.quantization in (None, "int8", "int4", "fp8"), self.quantization
         if self.kv_cache_dtype == "auto":
             self.kv_cache_dtype = self.dtype
+        assert self.kv_cache_dtype in ("bfloat16", "float16", "float32"), (
+            "quantized KV cache not yet wired into the attention kernels"
+        )
         if not self.decode_buckets:
             ladder = [8, 16, 32, 64, 128, 256, 512]
             self.decode_buckets = tuple(b for b in ladder if b < self.max_num_seqs) + (

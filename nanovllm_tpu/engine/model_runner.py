@@ -30,6 +30,8 @@ from nanovllm_tpu.engine.inputs import StepInputs, build_step_inputs
 from nanovllm_tpu.engine.sequence import Sequence
 from nanovllm_tpu.models import get_model_family
 from nanovllm_tpu.ops import attention as attn_ops
+from nanovllm_tpu.ops import quant
+from nanovllm_tpu.ops.quant import QuantWeight
 from nanovllm_tpu.ops.sampling import sample
 from nanovllm_tpu.utils.loader import load_params
 
@@ -108,24 +110,33 @@ class ModelRunner:
     def _load_params(self, random_weights: bool):
         spec, cfg = self.spec, self.config
         if random_weights:
-            host = None
+            key = jax.random.PRNGKey(cfg.rng_seed)
+            host = jax.tree.map(
+                np.asarray, self.family.init_params(spec, key, self.dtype)
+            )
         else:
             plan = self.family.hf_param_plan(spec, tp=self.tp)
             host = load_params(spec, plan, cfg.model, tp=self.tp)
+        if cfg.quantization:
+            host = self.family.quantize_params(
+                spec, host, cfg.quantization, tp=self.tp
+            )
 
-        shardings = self._param_shardings()
-        if random_weights:
-            key = jax.random.PRNGKey(cfg.rng_seed)
-            params = self.family.init_params(spec, key, self.dtype)
-            self.params = jax.tree.map(
-                lambda a, s: jax.device_put(a, s), params, shardings
-            )
-        else:
-            self.params = jax.tree.map(
-                lambda a, s: jax.device_put(np.asarray(a, self._np_dtype()), s),
-                host,
-                shardings,
-            )
+        def put(leaf, sh):
+            if isinstance(leaf, QuantWeight):
+                return QuantWeight(
+                    q=jax.device_put(leaf.q, sh.q),
+                    scale=jax.device_put(leaf.scale, sh.scale),
+                    mode=leaf.mode,
+                )
+            return jax.device_put(np.asarray(leaf, self._np_dtype()), sh)
+
+        self.params = jax.tree.map(
+            put,
+            host,
+            self._param_shardings(),
+            is_leaf=lambda x: isinstance(x, QuantWeight),
+        )
 
     def _np_dtype(self):
         return jnp.dtype(self.dtype)
@@ -155,6 +166,28 @@ class ModelRunner:
         pspecs = {"embed": vocab, "layers": layers, "final_norm": P(None)}
         if not self.spec.tie_embeddings:
             pspecs["lm_head"] = vocab
+
+        mode = self.config.quantization
+        if mode:
+            # Mirror QuantWeight leaves: q shards like the bf16 weight; the
+            # scale drops the contraction dim (int8/fp8) or replaces it with a
+            # group dim (int4), keeping the out-dim sharding.
+            grouped = mode == "int4"
+
+            def qw(spec_q, spec_scale):
+                return QuantWeight(q=spec_q, scale=spec_scale, mode=mode)
+
+            kinds = {
+                "col": qw(col, P(None, None, "tp") if grouped else P(None, "tp")),
+                "row": qw(row, P(None, "tp", None) if grouped else P(None, None)),
+                "vocab": qw(vocab, P("tp", None) if grouped else P("tp")),
+            }
+            for path, kind in self.family.QUANT_PLAN.items():
+                node = pspecs
+                for key in path[:-1]:
+                    node = node.get(key, {})
+                if path[-1] in node:
+                    node[path[-1]] = kinds[kind]
         return pspecs
 
     def _param_shardings(self):
@@ -195,8 +228,9 @@ class ModelRunner:
                 # buffer donation, so every step copies the whole cache —
                 # keep it tiny (tests/smoke only).
                 return max(64, 32 * cfg.max_model_len // cfg.kvcache_block_size)
-            # TPU without memory_stats (tunneled runtime): assume v5e HBM.
-            limit = cfg.hbm_bytes or 16 * 1024**3
+            # TPU without memory_stats (tunneled runtime): v5e exposes 15.75
+            # GiB of usable HBM (measured from the compiler's OOM report).
+            limit = cfg.hbm_bytes or int(15.75 * 1024**3)
         if used is None:
             used = sum(
                 a.size * a.dtype.itemsize for a in jax.tree.leaves(self.params)
@@ -248,7 +282,9 @@ class ModelRunner:
 
     def _attn_impls(self):
         """(prefill_impl, decode_impl) — Pallas kernels on TPU, jnp oracle
-        elsewhere (the oracle serves both modes)."""
+        elsewhere (the oracle serves both modes). Signature:
+        (q, k_new, v_new, k_all, v_all, layer, meta) -> (out, k_all, v_all);
+        the impl also appends the new K/V rows to the paged cache."""
         sm_scale = self.spec.head_dim ** -0.5
         if self.use_pallas:
             from nanovllm_tpu.ops.pallas.ragged_attention import (
@@ -256,15 +292,22 @@ class ModelRunner:
                 ragged_prefill_attention,
             )
 
-            prefill = lambda q, kc, vc, layer, meta: ragged_prefill_attention(
-                q, kc, vc, layer, meta, sm_scale=sm_scale, q_tile=self.q_tile
+            prefill = lambda q, kn, vn, kc, vc, layer, meta: (
+                ragged_prefill_attention(
+                    q, kn, vn, kc, vc, layer, meta,
+                    sm_scale=sm_scale, q_tile=self.q_tile,
+                )
             )
-            decode = lambda q, kc, vc, layer, meta: paged_decode_attention(
-                q, kc, vc, layer, meta, sm_scale=sm_scale
+            decode = lambda q, kn, vn, kc, vc, layer, meta: (
+                paged_decode_attention(
+                    q, kn, vn, kc, vc, layer, meta, sm_scale=sm_scale
+                )
             )
             return prefill, decode
-        ref = lambda q, kc, vc, layer, meta: attn_ops.ragged_paged_attention_ref(
-            q, kc, vc, layer, meta, sm_scale=sm_scale
+        ref = lambda q, kn, vn, kc, vc, layer, meta: (
+            attn_ops.ragged_paged_attention_ref(
+                q, kn, vn, kc, vc, layer, meta, sm_scale=sm_scale
+            )
         )
         return ref, ref
 
@@ -291,7 +334,7 @@ class ModelRunner:
             # Last-token-only before the LM-head matmul (embed_head.py:56-60).
             last_h = hidden[inputs.last_token_idx]  # [S, D]
             w = family.lm_head_weight(params)        # [V(/tp), D]
-            logits = last_h.astype(jnp.float32) @ w.astype(jnp.float32).T
+            logits = quant.head_matmul(last_h, w)
             if axis is not None:
                 # Vocab shards are rank-blocked: all-gather restores global
                 # order (TPU: all_gather over ICI beats the reference's

@@ -65,6 +65,13 @@ class Scheduler:
             chunk = min(remaining, budget)
             if chunk < remaining and scheduled:
                 break  # a chunked (partial) prefill may only lead a batch
+            if chunk < remaining:
+                # Partial chunks end on a page boundary so the next chunk
+                # starts page-aligned (the Pallas prefill kernel appends KV
+                # page-by-page). With a full budget this is already aligned.
+                chunk -= chunk % self.block_manager.block_size
+                if chunk == 0:
+                    break
             if not seq.block_table:
                 self.block_manager.allocate(seq)
             seq.num_scheduled_tokens = chunk

@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from nanovllm_tpu.ops.attention import AttentionMeta, write_kv
+from nanovllm_tpu.ops import quant
+from nanovllm_tpu.ops.attention import AttentionMeta
 
 
 class Qwen3Spec(NamedTuple):
@@ -99,14 +100,14 @@ def apply_rope(x, cos_t, sin_t):
     return out.astype(x.dtype)
 
 
-def _embed_lookup(embed, ids, axis):
+def _embed_lookup(embed, ids, axis, dtype):
     if axis is None:
-        return embed[ids]
-    v_local = embed.shape[0]
+        return quant.embed_rows(embed, ids, dtype)
+    v_local = quant.shape_of(embed)[0]
     start = lax.axis_index(axis) * v_local
     local = ids - start
     ok = (local >= 0) & (local < v_local)
-    rows = embed[jnp.clip(local, 0, v_local - 1)]
+    rows = quant.embed_rows(embed, jnp.clip(local, 0, v_local - 1), dtype)
     rows = jnp.where(ok[:, None], rows, jnp.zeros_like(rows))
     return lax.psum(rows, axis)
 
@@ -122,7 +123,7 @@ def forward(
     *,
     tp: int = 1,
     axis: str | None = None,
-    attn_impl,                         # (q, k_all, v_all, layer, meta) -> out
+    attn_impl,    # (q, k_new, v_new, k_all, v_all, layer, meta) -> (o, k, v)
     scan_layers: bool = True,
 ):
     """One forward pass over a ragged packed batch; returns (hidden [T, D],
@@ -133,7 +134,8 @@ def forward(
     hd = spec.head_dim
     q_size, kv_size = hq * hd, hkv * hd
 
-    x = _embed_lookup(params["embed"], inputs.token_ids, axis)
+    dtype = params["final_norm"].dtype  # compute dtype (norms never quantized)
+    x = _embed_lookup(params["embed"], inputs.token_ids, axis, dtype)
     t = x.shape[0]
 
     cos, sin = rope_tables(spec)
@@ -159,7 +161,7 @@ def forward(
         h, k_all, v_all, i = carry
         resid = h
         h = rms_norm(h, lp["input_norm"], spec.rms_eps)
-        qkv = h @ lp["qkv_proj"]
+        qkv = quant.matmul(h, lp["qkv_proj"])
         if spec.has_qkv_bias:
             qkv = qkv + lp["qkv_bias"]
         q, k, v = jnp.split(qkv, (q_size, q_size + kv_size), axis=-1)
@@ -171,17 +173,18 @@ def forward(
             k = rms_norm(k, lp["k_norm"], spec.rms_eps)
         q = apply_rope(q, cos_t, sin_t)
         k = apply_rope(k, cos_t, sin_t)
-        k_all, v_all = write_kv(k_all, v_all, i, k, v, inputs.slot_mapping)
-        o = attn_impl(q, k_all, v_all, i, meta)
-        o = o.reshape(t, q_size) @ lp["o_proj"]
+        # The attention impl also appends this step's K/V rows to the paged
+        # cache (fused DMA writes on TPU; jnp scatter in the oracle).
+        o, k_all, v_all = attn_impl(q, k, v, k_all, v_all, i, meta)
+        o = quant.matmul(o.reshape(t, q_size), lp["o_proj"])
         if axis is not None:
             o = lax.psum(o, axis)
         h = resid + o
         resid = h
         h = rms_norm(h, lp["post_norm"], spec.rms_eps)
-        gu = h @ lp["gate_up_proj"]
+        gu = quant.matmul(h, lp["gate_up_proj"])
         g, u = jnp.split(gu, 2, axis=-1)
-        h = (jax.nn.silu(g) * u) @ lp["down_proj"]
+        h = quant.matmul(jax.nn.silu(g) * u, lp["down_proj"])
         if axis is not None:
             h = lax.psum(h, axis)
         h = resid + h
@@ -207,6 +210,45 @@ def forward(
 def lm_head_weight(params):
     """Tied-embedding aware LM head (reference qwen3.py:202-203)."""
     return params.get("lm_head", params["embed"])
+
+
+# ------------------------------------------------------------ quantization
+
+# Matmul weights eligible for weight-only quantization, with their TP kind:
+# "col"/"row" are [L, in, out] (contraction dim 1); "vocab" are [V, D]
+# (contraction/feature dim 1, giving per-row scales that serve both the
+# embedding gather and the LM-head matmul under tied embeddings).
+QUANT_PLAN = {
+    ("layers", "qkv_proj"): "col",
+    ("layers", "gate_up_proj"): "col",
+    ("layers", "o_proj"): "row",
+    ("layers", "down_proj"): "row",
+    ("embed",): "vocab",
+    ("lm_head",): "vocab",
+}
+
+
+def quantize_params(spec: Qwen3Spec, params: dict, mode: str, tp: int = 1) -> dict:
+    """Quantize matmul weights in a host-side parameter tree (numpy in/out);
+    norms, biases, and tree structure are untouched. For row-parallel weights
+    the int4 group count must divide evenly over TP ranks (the scale's group
+    dim shards with the contraction dim)."""
+    assert mode in quant.WEIGHT_QUANT_MODES, mode
+    for path, kind in QUANT_PLAN.items():
+        node = params
+        for key in path[:-1]:
+            node = node.get(key, {})
+        leaf = node.get(path[-1])
+        if leaf is None:
+            continue  # e.g. lm_head absent under tied embeddings
+        group = None
+        if mode == "int4" and kind == "row":
+            in_dim = leaf.shape[1]
+            group = quant.INT4_GROUP
+            while in_dim % group or (in_dim // group) % tp:
+                group //= 2
+        node[path[-1]] = quant.quantize_array(leaf, mode, axis=1, group=group)
+    return params
 
 
 # ------------------------------------------------------------------- init

@@ -49,8 +49,12 @@ class AttentionMeta(NamedTuple):
 
 def write_kv(k_all, v_all, layer, k, v, slot_mapping):
     """Scatter new K/V rows into layer ``layer`` of the stacked paged cache
-    ([L, Hkv, blocks, block, hd]) at ``slot_mapping`` — an in-place update of
-    the scan carry (XLA keeps the single resident buffer).
+    ([L, Hkv, blocks, block, hd]) at ``slot_mapping``.
+
+    Used only by the jnp oracle path (CPU tests): on TPU the write is fused
+    into the Pallas attention kernels as DMA stores (an XLA scatter on the
+    middle dim of the head-major cache forces a full-pool temp copy and runs
+    ~100x slower than the data moved — measured on v5e).
 
     Padding tokens carry slot -1 (reference early-return semantics,
     attention.py:23); they are redirected out of bounds and dropped.
@@ -71,14 +75,32 @@ def write_kv(k_all, v_all, layer, k, v, slot_mapping):
 
 def ragged_paged_attention_ref(
     q: jax.Array,          # [T, num_q_heads, head_dim]
+    k_new: jax.Array,      # [T, num_kv_heads, head_dim] this step's K rows
+    v_new: jax.Array,
     k_all: jax.Array,      # [L, num_kv_heads, num_blocks, block_size, head_dim]
     v_all: jax.Array,
     layer,
     meta: AttentionMeta,
     *,
     sm_scale: float,
+):
+    """Gather-based jnp oracle: scatter new KV, then attend over the paged
+    cache. Returns (out, k_all, v_all). O(T * W*block_size) memory — tests
+    only."""
+    k_all, v_all = write_kv(k_all, v_all, layer, k_new, v_new, meta.slot_mapping)
+    out = _paged_attention_ref(q, k_all, v_all, layer, meta, sm_scale=sm_scale)
+    return out, k_all, v_all
+
+
+def _paged_attention_ref(
+    q: jax.Array,
+    k_all: jax.Array,
+    v_all: jax.Array,
+    layer,
+    meta: AttentionMeta,
+    *,
+    sm_scale: float,
 ) -> jax.Array:
-    """Gather-based jnp oracle. O(T * W*block_size) memory — tests only."""
     k_cache = jax.lax.dynamic_index_in_dim(k_all, layer, 0, keepdims=False)
     v_cache = jax.lax.dynamic_index_in_dim(v_all, layer, 0, keepdims=False)
     T, num_q_heads, head_dim = q.shape

@@ -1,15 +1,28 @@
-"""Pallas TPU kernels: paged decode attention + ragged paged prefill attention.
+"""Pallas TPU kernels: paged decode attention + ragged paged prefill attention,
+with the KV-cache append **fused into the kernels** as DMA stores.
 
-The TPU-native replacement for the reference's flash-attn CUDA entry points
-(``nanovllm/layers/attention.py:64-74``): decode maps to
-``flash_attn_with_kvcache`` (paged GQA, one query per sequence), prefill maps
-to ``flash_attn_varlen_func`` with block_table prefix reads (ragged packed
-queries over the paged cache, causal).
+The TPU-native replacement for the reference's attention stack
+(``nanovllm/layers/attention.py``): the Triton slot-scatter kernel
+(attention.py:10-30) becomes in-kernel DMA writes against an
+``input_output_aliases``-aliased cache, and the two flash-attn CUDA entry
+points (attention.py:64-74) map to the decode / prefill kernels below.
 
-Design (see /opt/skills/guides/boom_attention_tricks.md §8-11):
-- KV pages live head-major in HBM ([Hkv, num_blocks, block_size, hd]); each
-  (sequence, page) step DMAs one page across all kv heads into a
+Why fused: an XLA scatter on the middle (slot) dim of the head-major cache
+cannot run in place — the compiler materializes a full-pool temp copy
+(measured: +1.47 GB temp and ~3.5 ms per decode step on v5e for a 1.5 GB
+pool). In-kernel DMA stores write exactly the new rows (~2 KB/token) and the
+aliased cache buffer never moves.
+
+Design (see /opt/skills/guides/pallas_guide.md):
+- KV pages live head-major in HBM ([L, Hkv, num_blocks, block_size, hd]); each
+  (sequence|tile, page) step DMAs one page across all kv heads into a
   double-buffered VMEM scratch, prefetching page i+1 while computing page i.
+- New K/V rows arrive head-major ([Hkv, T, hd]) in HBM; at each sequence/tile
+  start the kernel issues HBM->HBM copies into the aliased cache and blocks on
+  their completion before any page issued *after* the write is consumed. The
+  only read that can predate the write is the first page's prefetch; when the
+  written page IS page 0 (num_blocks == 1), that page is re-fetched after the
+  write completes.
 - Online softmax in fp32 (running m/l + unnormalized accumulator, one divide
   at the end); mask value -0.7*f32max, safe division for empty rows.
 - GQA batched over kv heads: q is pre-transposed (cheap XLA transpose outside
@@ -18,6 +31,9 @@ Design (see /opt/skills/guides/boom_attention_tricks.md §8-11):
 - Prefill queries are packed ragged with per-sequence q-tile alignment
   (StepInputs.tile_seq/tile_pos0): grid (num_q_tiles, pages); tiles beyond a
   sequence's kv need and pages past the causal frontier are skipped whole.
+  Chunk starts are page-aligned by the scheduler (config asserts
+  max_num_batched_tokens % block_size == 0), so a tile's new rows land in one
+  page (block_size % q_tile == 0) or span whole pages (q_tile % block_size).
 """
 
 from __future__ import annotations
@@ -47,14 +63,19 @@ def _decode_kernel(
     num_seqs_ref,      # i32[1]
     # inputs
     q_ref,             # [Hkv, S, G, hd] VMEM
-    k_hbm,             # [L, Hkv, blocks, block, hd] ANY
+    k_new_hbm,         # [Hkv, S, hd] ANY (one new row per sequence)
+    v_new_hbm,
+    k_hbm,             # [L, Hkv, blocks, block, hd] ANY (aliased in/out)
     v_hbm,
     # outputs
     o_ref,             # [Hkv, S, G, hd] VMEM
+    k_out_hbm,         # aliased views of k_hbm / v_hbm
+    v_out_hbm,
     # scratch
     k_buf,             # [2, Hkv, block, hd]
     v_buf,
     sems,              # DMA sems [2, 2] (k/v, slot)
+    w_sems,            # DMA sems [2] (k/v write)
     buf_idx_ref,       # SMEM i32[1]
     m_scr,             # f32[Hkv, G, 128]
     l_scr,             # f32[Hkv, G, 128]
@@ -70,29 +91,59 @@ def _decode_kernel(
 
     layer = layer_ref[0]
 
-    def start_dma(seq, page, slot):
+    def read_page(seq, page, slot):
+        # Reads go through the aliased *output* refs: the same HBM buffer on
+        # hardware, and in interpret mode (where in/out are separate arrays)
+        # reads then observe the in-kernel KV appends.
         page_id = tables_ref[seq, page]
         pltpu.make_async_copy(
-            k_hbm.at[layer, :, page_id], k_buf.at[slot], sems.at[0, slot]
+            k_out_hbm.at[layer, :, page_id], k_buf.at[slot], sems.at[0, slot]
         ).start()
         pltpu.make_async_copy(
-            v_hbm.at[layer, :, page_id], v_buf.at[slot], sems.at[1, slot]
+            v_out_hbm.at[layer, :, page_id], v_buf.at[slot], sems.at[1, slot]
         ).start()
+
+    def wait_page(slot):
+        pltpu.make_async_copy(
+            k_out_hbm.at[0, :, 0], k_buf.at[slot], sems.at[0, slot]
+        ).wait()
+        pltpu.make_async_copy(
+            v_out_hbm.at[0, :, 0], v_buf.at[slot], sems.at[1, slot]
+        ).wait()
 
     @pl.when((s == 0) & (j == 0))
     def _init_first():
         buf_idx_ref[0] = 0
-        start_dma(0, 0, 0)
+        read_page(0, 0, 0)
 
     @pl.when(j < num_blocks)
     def _work():
         slot = buf_idx_ref[0]
 
         @pl.when(j == 0)
-        def _init_seq():
-            m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
-            l_scr[...] = jnp.zeros_like(l_scr)
-            acc_scr[...] = jnp.zeros_like(acc_scr)
+        def _append_kv():
+            # Store this sequence's new K/V row (position kv_len-1) into the
+            # aliased cache and block on completion BEFORE issuing any further
+            # page reads: every read issued from here on observes it. The one
+            # read that predates it — this sequence's own page-0 prefetch —
+            # is re-fetched below when page 0 is also the written page.
+            pos = kv_len - 1
+            page_id = tables_ref[s, pos // block_size]
+            off = pos % block_size
+            wk = pltpu.make_async_copy(
+                k_new_hbm.at[:, pl.ds(s, 1)],
+                k_out_hbm.at[layer, :, page_id, pl.ds(off, 1)],
+                w_sems.at[0],
+            )
+            wv = pltpu.make_async_copy(
+                v_new_hbm.at[:, pl.ds(s, 1)],
+                v_out_hbm.at[layer, :, page_id, pl.ds(off, 1)],
+                w_sems.at[1],
+            )
+            wk.start()
+            wv.start()
+            wk.wait()
+            wv.wait()
 
         # Prefetch the next working page into the other buffer. Padding
         # sequences (kv_len 0) sit past num_seqs, so nseq < num_seqs suffices.
@@ -102,15 +153,23 @@ def _decode_kernel(
 
         @pl.when(nseq < num_seqs)
         def _prefetch():
-            start_dma(nseq, npage, 1 - slot)
+            read_page(nseq, npage, 1 - slot)
 
-        pltpu.make_async_copy(
-            k_hbm.at[0, :, 0], k_buf.at[slot], sems.at[0, slot]
-        ).wait()
-        pltpu.make_async_copy(
-            v_hbm.at[0, :, 0], v_buf.at[slot], sems.at[1, slot]
-        ).wait()
+        wait_page(slot)
         buf_idx_ref[0] = 1 - slot
+
+        @pl.when(j == 0)
+        def _init_seq():
+            m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+
+            # Page 0 was prefetched before the write when it is also the
+            # written page (single-page sequence): re-fetch it.
+            @pl.when(num_blocks == 1)
+            def _refetch():
+                read_page(s, 0, slot)
+                wait_page(slot)
 
         hkv, _, groups, hd = q_ref.shape
         q = q_ref[:, s].astype(jnp.float32)           # [Hkv, G, hd]
@@ -156,6 +215,8 @@ def _decode_kernel(
 
 def paged_decode_attention(
     q: jax.Array,        # [S, Hq, hd] (one query token per sequence)
+    k_new: jax.Array,    # [S, Hkv, hd] new K rows (appended at kv_len-1)
+    v_new: jax.Array,
     k_cache: jax.Array,  # [L, Hkv, blocks, block, hd] (stacked; reads `layer`)
     v_cache: jax.Array,
     layer,
@@ -163,26 +224,36 @@ def paged_decode_attention(
     *,
     sm_scale: float,
     interpret: bool = False,
-) -> jax.Array:
+):
+    """Returns (out [S, Hq, hd], k_cache, v_cache) — caches updated in place."""
     S, Hq, hd = q.shape
     _, Hkv, _, block_size, _ = k_cache.shape
     groups = Hq // Hkv
     W = meta.block_tables.shape[1]
     q_hm = q.reshape(S, Hkv, groups, hd).transpose(1, 0, 2, 3)
+    k_new_hm = k_new.transpose(1, 0, 2).astype(k_cache.dtype)
+    v_new_hm = v_new.transpose(1, 0, 2).astype(v_cache.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(S, W),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # q
+            pl.BlockSpec(memory_space=pl.ANY),       # k_new (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),       # v_new
             pl.BlockSpec(memory_space=pl.ANY),       # k pages (HBM)
             pl.BlockSpec(memory_space=pl.ANY),       # v pages
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # o
+            pl.BlockSpec(memory_space=pl.ANY),       # k pages (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),       # v pages (aliased)
+        ],
         scratch_shapes=[
             pltpu.VMEM((2, Hkv, block_size, hd), k_cache.dtype),
             pltpu.VMEM((2, Hkv, block_size, hd), v_cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.VMEM((Hkv, groups, 128), jnp.float32),
             pltpu.VMEM((Hkv, groups, 128), jnp.float32),
@@ -192,19 +263,27 @@ def paged_decode_attention(
     kernel = functools.partial(
         _decode_kernel, block_size=block_size, sm_scale=sm_scale
     )
-    out = pl.pallas_call(
+    out, k_cache, v_cache = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Hkv, S, groups, hd), q.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((Hkv, S, groups, hd), q.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ],
+        # Inputs count from the start of the scalar-prefetch operands:
+        # [4 scalars, q, k_new, v_new, k_cache(7), v_cache(8)].
+        input_output_aliases={7: 1, 8: 2},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(
         jnp.reshape(jnp.asarray(layer, jnp.int32), (1,)),
-        meta.kv_lens, meta.block_tables, meta.num_seqs, q_hm, k_cache, v_cache,
+        meta.kv_lens, meta.block_tables, meta.num_seqs,
+        q_hm, k_new_hm, v_new_hm, k_cache, v_cache,
     )
-    return out.transpose(1, 0, 2, 3).reshape(S, Hq, hd)
+    return out.transpose(1, 0, 2, 3).reshape(S, Hq, hd), k_cache, v_cache
 
 
 # ========================================================== prefill kernel
@@ -220,13 +299,18 @@ def _prefill_kernel(
     num_seqs_ref,      # i32[1]
     # inputs
     q_ref,             # [Hkv, BQ, G, hd] VMEM (tile t)
-    k_hbm,             # [L, Hkv, blocks, block, hd] ANY
+    k_new_hbm,         # [Hkv, T, hd] ANY (packed new rows, tile-aligned)
+    v_new_hbm,
+    k_hbm,             # [L, Hkv, blocks, block, hd] ANY (aliased in/out)
     v_hbm,
     # outputs
     o_ref,             # [Hkv, BQ, G, hd] VMEM (tile t)
+    k_out_hbm,         # aliased views of k_hbm / v_hbm
+    v_out_hbm,
     # scratch
     k_buf, v_buf,      # [2, Hkv, block, hd]
     sems,              # [2, 2]
+    w_sems,            # [2]
     buf_idx_ref,       # SMEM i32[1]
     m_scr,             # f32[Hkv, BQ, G]
     l_scr,             # f32[Hkv, BQ, G]
@@ -242,10 +326,9 @@ def _prefill_kernel(
     live = seq < num_seqs
     safe_seq = jnp.where(live, seq, 0)
     pos0 = tile_pos0_ref[t]
+    kv_len = jnp.where(live, kv_lens_ref[safe_seq], 0)
     # Causal frontier: kv needed is min(kv_len, last q position + 1).
-    kv_limit = jnp.where(
-        live, jnp.minimum(kv_lens_ref[safe_seq], pos0 + q_tile), 0
-    )
+    kv_limit = jnp.where(live, jnp.minimum(kv_len, pos0 + q_tile), 0)
     num_blocks = _cdiv(kv_limit, block_size)
 
     def tile_blocks(tile):
@@ -261,32 +344,70 @@ def _prefill_kernel(
 
     layer = layer_ref[0]
 
-    def start_dma(tile, page, slot):
+    def read_page(tile, page, slot):
+        # Reads through the aliased *output* refs (see decode kernel note).
         page_id = tables_ref[tile_seq_ref[tile], page]
         pltpu.make_async_copy(
-            k_hbm.at[layer, :, page_id], k_buf.at[slot], sems.at[0, slot]
+            k_out_hbm.at[layer, :, page_id], k_buf.at[slot], sems.at[0, slot]
         ).start()
         pltpu.make_async_copy(
-            v_hbm.at[layer, :, page_id], v_buf.at[slot], sems.at[1, slot]
+            v_out_hbm.at[layer, :, page_id], v_buf.at[slot], sems.at[1, slot]
         ).start()
+
+    def wait_page(slot):
+        pltpu.make_async_copy(
+            k_out_hbm.at[0, :, 0], k_buf.at[slot], sems.at[0, slot]
+        ).wait()
+        pltpu.make_async_copy(
+            v_out_hbm.at[0, :, 0], v_buf.at[slot], sems.at[1, slot]
+        ).wait()
 
     @pl.when((t == 0) & (j == 0))
     def _init_first():
         buf_idx_ref[0] = 0
-        start_dma(0, 0, 0)
+        read_page(0, 0, 0)
 
     @pl.when(j < num_blocks)
     def _work():
         slot = buf_idx_ref[0]
 
         @pl.when(j == 0)
-        def _init_tile():
-            m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
-            l_scr[...] = jnp.zeros_like(l_scr)
-            acc_scr[...] = jnp.zeros_like(acc_scr)
+        def _append_kv():
+            # Store this tile's new K/V rows into the aliased cache. Chunk
+            # starts are page-aligned, so the tile's rows are one run inside a
+            # single page (q_tile <= block) or span whole pages (q_tile a
+            # multiple of block). Rows past kv_len are garbage but land in
+            # pages owned by this sequence and beyond its valid length; pages
+            # wholly past kv_len are skipped (their table entries may belong
+            # to other sequences).
+            n_writes = max(1, q_tile // block_size)
+            size = min(q_tile, block_size)
+            for w in range(n_writes):
+                wpos = pos0 + w * size
+
+                @pl.when(wpos < kv_len)
+                def _write(w=w, wpos=wpos):
+                    page_id = tables_ref[safe_seq, wpos // block_size]
+                    off = wpos % block_size
+                    src = pl.ds(t * q_tile + w * size, size)
+                    wk = pltpu.make_async_copy(
+                        k_new_hbm.at[:, src],
+                        k_out_hbm.at[layer, :, page_id, pl.ds(off, size)],
+                        w_sems.at[0],
+                    )
+                    wv = pltpu.make_async_copy(
+                        v_new_hbm.at[:, src],
+                        v_out_hbm.at[layer, :, page_id, pl.ds(off, size)],
+                        w_sems.at[1],
+                    )
+                    wk.start()
+                    wv.start()
+                    wk.wait()
+                    wv.wait()
 
         # Next working (tile, page): rest of this tile, else next live tile's
-        # page 0 (live tiles are contiguous at the front of the grid).
+        # page 0 (live tiles are contiguous at the front of the grid). Issued
+        # after the j==0 writes above, so it observes them.
         in_tile = j + 1 < num_blocks
         ntile = jnp.where(in_tile, t, t + 1)
         npage = jnp.where(in_tile, j + 1, 0)
@@ -300,15 +421,24 @@ def _prefill_kernel(
 
         @pl.when(has_next)
         def _prefetch():
-            start_dma(ntile, npage, 1 - slot)
+            read_page(ntile, npage, 1 - slot)
 
-        pltpu.make_async_copy(
-            k_hbm.at[0, :, 0], k_buf.at[slot], sems.at[0, slot]
-        ).wait()
-        pltpu.make_async_copy(
-            v_hbm.at[0, :, 0], v_buf.at[slot], sems.at[1, slot]
-        ).wait()
+        wait_page(slot)
         buf_idx_ref[0] = 1 - slot
+
+        @pl.when(j == 0)
+        def _init_tile():
+            m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+
+            # Page 0's prefetch predates this tile's writes; re-fetch it when
+            # the tile wrote into page 0 (pos0 inside the first page — for
+            # q_tile <= block this is exactly the single-page-tile case).
+            @pl.when(live & (pos0 < block_size))
+            def _refetch():
+                read_page(t, 0, slot)
+                wait_page(slot)
 
         hkv, bq, groups, hd = q_ref.shape
         q = q_ref[...].astype(jnp.float32)             # [Hkv, BQ, G, hd]
@@ -324,7 +454,6 @@ def _prefill_kernel(
             jnp.int32, scores.shape, 3
         )
         q_pos = pos0 + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        kv_len = jnp.where(live, kv_lens_ref[safe_seq], 0)
         mask = (kv_pos <= q_pos) & (kv_pos < kv_len)
         scores = jnp.where(mask, scores, MASK_VALUE)
 
@@ -354,6 +483,8 @@ def _prefill_kernel(
 
 def ragged_prefill_attention(
     q: jax.Array,        # [T, Hq, hd] packed ragged, q_tile-aligned per seq
+    k_new: jax.Array,    # [T, Hkv, hd] packed new K rows (same alignment)
+    v_new: jax.Array,
     k_cache: jax.Array,  # [L, Hkv, blocks, block, hd] (stacked; reads `layer`)
     v_cache: jax.Array,
     layer,
@@ -362,14 +493,18 @@ def ragged_prefill_attention(
     sm_scale: float,
     q_tile: int = 128,
     interpret: bool = False,
-) -> jax.Array:
+):
+    """Returns (out [T, Hq, hd], k_cache, v_cache) — caches updated in place."""
     T, Hq, hd = q.shape
     _, Hkv, _, block_size, _ = k_cache.shape
     groups = Hq // Hkv
     NT = meta.tile_seq.shape[0]
     assert NT * q_tile == T, f"q of {T} rows vs {NT} tiles of {q_tile}"
+    assert block_size % q_tile == 0 or q_tile % block_size == 0
     W = meta.block_tables.shape[1]
     q_hm = q.reshape(T, Hkv, groups, hd).transpose(1, 0, 2, 3)
+    k_new_hm = k_new.transpose(1, 0, 2).astype(k_cache.dtype)
+    v_new_hm = v_new.transpose(1, 0, 2).astype(v_cache.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
@@ -379,17 +514,24 @@ def ragged_prefill_attention(
                 (Hkv, q_tile, groups, hd), lambda t, j, *_: (0, t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),       # k_new (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),       # v_new
+            pl.BlockSpec(memory_space=pl.ANY),       # k pages (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),       # v pages
         ],
-        out_specs=pl.BlockSpec(
-            (Hkv, q_tile, groups, hd), lambda t, j, *_: (0, t, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=[
+            pl.BlockSpec(
+                (Hkv, q_tile, groups, hd), lambda t, j, *_: (0, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),       # k pages (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),       # v pages (aliased)
+        ],
         scratch_shapes=[
             pltpu.VMEM((2, Hkv, block_size, hd), k_cache.dtype),
             pltpu.VMEM((2, Hkv, block_size, hd), v_cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.VMEM((Hkv, q_tile, groups), jnp.float32),
             pltpu.VMEM((Hkv, q_tile, groups), jnp.float32),
@@ -402,10 +544,17 @@ def ragged_prefill_attention(
         q_tile=q_tile,
         sm_scale=sm_scale,
     )
-    out = pl.pallas_call(
+    out, k_cache, v_cache = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Hkv, T, groups, hd), q.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((Hkv, T, groups, hd), q.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ],
+        # Inputs count from the start of the scalar-prefetch operands:
+        # [6 scalars, q, k_new, v_new, k_cache(9), v_cache(10)].
+        input_output_aliases={9: 1, 10: 2},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024,
@@ -414,6 +563,6 @@ def ragged_prefill_attention(
     )(
         jnp.reshape(jnp.asarray(layer, jnp.int32), (1,)),
         meta.tile_seq, meta.tile_pos0, meta.kv_lens, meta.block_tables,
-        meta.num_seqs, q_hm, k_cache, v_cache,
+        meta.num_seqs, q_hm, k_new_hm, v_new_hm, k_cache, v_cache,
     )
-    return out.transpose(1, 0, 2, 3).reshape(T, Hq, hd)
+    return out.transpose(1, 0, 2, 3).reshape(T, Hq, hd), k_cache, v_cache

@@ -1,0 +1,195 @@
+"""Weight-only quantization: INT8 / INT4 / FP8 matmul weights.
+
+Not present in the reference (nano-vllm is BF16-only); required by our
+BASELINE targets (INT8 0.6B bench, INT4/FP8 larger configs). Design is
+TPU-first:
+
+- Quantized tensors stay in their narrow storage dtype **in HBM**; the
+  dequantize (convert + per-channel scale) happens on-chip and XLA fuses it
+  into the consuming dot — decode is weight-HBM-bandwidth-bound, so INT8
+  halves (INT4 quarters) the bytes streamed per step.
+- INT8 / FP8: symmetric per-output-channel scales (scale shape [out]).
+- INT4: group-wise scales along the reduction dim (group g=128 → scale
+  [in/g, out]) for accuracy; the matmul runs as a batched-over-groups
+  dot_general followed by a scaled sum, so the packed int4 weight is never
+  materialized densely in HBM.
+- INT4 storage uses the native ``jnp.int4`` dtype (XLA packs two values per
+  byte on TPU).
+
+A ``QuantWeight`` is a pytree-registered dataclass so quantized parameter
+trees flow through ``jax.tree.map`` / ``device_put`` / shard_map like plain
+arrays; ``mode`` rides the treedef as static metadata (the int4 group size is
+recovered from shapes so treedefs stay uniform across weights).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import ml_dtypes
+import numpy as np
+
+WEIGHT_QUANT_MODES = ("int8", "int4", "fp8")
+INT4_GROUP = 128
+_FP8_MAX = 448.0  # float8_e4m3fn finfo.max
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("q", "scale"),
+    meta_fields=("mode",),
+)
+@dataclasses.dataclass
+class QuantWeight:
+    """q: narrow-dtype storage; scale: f32 per-channel / per-group scales.
+
+    Layouts (matmul weights are stored [..., in, out] like their bf16
+    counterparts; embeddings [vocab, d]):
+    - int8/fp8 matmul: q [..., in, out], scale [..., out]
+    - int4 matmul:     q [..., in, out], scale [..., in/group, out]
+    - int8/fp8 embed:  q [vocab, d],     scale [vocab]   (per-row)
+    - int4 embed:      q [vocab, d],     scale [vocab, d/group]
+    """
+
+    q: jax.Array
+    scale: jax.Array
+    mode: str
+
+    @property
+    def group(self):
+        """int4 group size, recovered from shapes (q [..., in, out] with
+        scale [..., in/g, out]; embeddings q [v, d], scale [v, d/g])."""
+        return self.q.shape[-2] // self.scale.shape[-2]
+
+
+# -------------------------------------------------------------- quantize
+
+
+def _storage_dtype(mode: str):
+    # ml_dtypes numpy dtypes: quantized tensors stay host-side numpy until
+    # device_put places them with their NamedSharding (no device detour).
+    return {
+        "int8": np.int8,
+        "int4": ml_dtypes.int4,
+        "fp8": ml_dtypes.float8_e4m3fn,
+    }[mode]
+
+
+def quantize_array(w: np.ndarray | jax.Array, mode: str, *, axis: int,
+                   group: int | None = None) -> QuantWeight:
+    """Symmetric quantization of ``w`` reducing over ``axis``.
+
+    ``axis`` is the contraction (in) dim for matmul weights, the feature dim
+    for embeddings. int4 uses group-wise scales along ``axis`` (the group dim
+    is inserted where ``axis`` was, i.e. scale keeps w's rank).
+    """
+    w = np.asarray(w, np.float32)
+    axis = axis % w.ndim
+    if mode == "int4":
+        g = group or INT4_GROUP
+        while w.shape[axis] % g:
+            g //= 2  # shrink to a divisor for off-size dims (tiny test models)
+        assert g >= 1
+        shape = w.shape[:axis] + (w.shape[axis] // g, g) + w.shape[axis + 1:]
+        wg = w.reshape(shape)
+        amax = np.abs(wg).max(axis=axis + 1, keepdims=True)
+        scale = np.maximum(amax, 1e-8) / 7.0
+        q = np.clip(np.rint(wg / scale), -8, 7)
+        q = np.asarray(q.reshape(w.shape), _storage_dtype(mode))
+        return QuantWeight(
+            q=q,
+            scale=np.asarray(np.squeeze(scale, axis=axis + 1), np.float32),
+            mode=mode,
+        )
+    amax = np.abs(w).max(axis=axis)
+    if mode == "int8":
+        scale = np.maximum(amax, 1e-8) / 127.0
+        q = np.clip(np.rint(w / np.expand_dims(scale, axis)), -127, 127)
+    elif mode == "fp8":
+        scale = np.maximum(amax, 1e-8) / _FP8_MAX
+        q = w / np.expand_dims(scale, axis)
+    else:
+        raise ValueError(f"unknown weight quant mode {mode!r}")
+    return QuantWeight(
+        q=np.asarray(q, _storage_dtype(mode)),
+        scale=np.asarray(scale, np.float32),
+        mode=mode,
+    )
+
+
+# ---------------------------------------------------------------- matmul
+
+
+def matmul(x: jax.Array, w) -> jax.Array:
+    """x @ w for a plain array or a QuantWeight stored [in, out]."""
+    if not isinstance(w, QuantWeight):
+        return x @ w
+    if w.mode == "int4":
+        gi = w.scale.shape[-2]
+        g = w.q.shape[-2] // gi
+        t = x.shape[:-1]
+        xg = x.reshape(*t, gi, g)
+        qg = w.q.reshape(gi, g, w.q.shape[-1]).astype(x.dtype)
+        # partial[..., G, out] = sum_i x[..., G, i] q[G, i, out]
+        partial = jax.lax.dot_general(
+            xg, qg,
+            dimension_numbers=(((xg.ndim - 1,), (1,)), ((xg.ndim - 2,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        # dot_general puts batch dims first: [G, ..., out].
+        out = jnp.sum(
+            partial * w.scale.astype(jnp.float32).reshape(
+                gi, *([1] * len(t)), -1),
+            axis=0,
+        )
+        return out.astype(x.dtype)
+    out = x @ w.q.astype(x.dtype)
+    return out * w.scale.astype(x.dtype)
+
+
+def embed_rows(w, ids: jax.Array, dtype) -> jax.Array:
+    """Gather embedding rows (dequantizing when quantized)."""
+    if not isinstance(w, QuantWeight):
+        return w[ids].astype(dtype)
+    rows = w.q[ids].astype(dtype)
+    if w.mode == "int4":
+        n, d = rows.shape
+        g = d // w.scale.shape[-1]
+        s = w.scale[ids].astype(dtype)                 # [n, d/g]
+        return (rows.reshape(n, d // g, g) * s[..., None]).reshape(n, d)
+    return rows * w.scale[ids].astype(dtype)[:, None]
+
+
+def head_matmul(h: jax.Array, w) -> jax.Array:
+    """LM-head logits: h [S, D] @ w.T for w stored [vocab, D]."""
+    if not isinstance(w, QuantWeight):
+        return h.astype(jnp.float32) @ w.astype(jnp.float32).T
+    if w.mode == "int4":
+        v, d = w.q.shape
+        g = d // w.scale.shape[-1]
+        hg = h.astype(jnp.float32).reshape(h.shape[0], d // g, g)
+        qg = w.q.reshape(v, d // g, g).astype(jnp.float32)
+        # partial[G, s, v] = sum_i h[s, G, i] q[v, G, i]
+        partial = jax.lax.dot_general(
+            hg, qg, dimension_numbers=(((2,), (2,)), ((1,), (1,))),
+            preferred_element_type=jnp.float32,
+        )
+        scale = w.scale.astype(jnp.float32).T[:, None, :]  # [d/g, 1, v]
+        return jnp.sum(partial * scale, axis=0)
+    logits = h.astype(jnp.float32) @ w.q.astype(jnp.float32).T
+    return logits * w.scale.astype(jnp.float32)[None, :]
+
+
+def shape_of(w) -> tuple:
+    """Logical (dequantized) shape of a parameter leaf."""
+    return w.q.shape if isinstance(w, QuantWeight) else w.shape
+
+
+def nbytes_of(w) -> int:
+    if isinstance(w, QuantWeight):
+        qbits = 4 if w.mode == "int4" else 8
+        return w.q.size * qbits // 8 + w.scale.size * w.scale.dtype.itemsize
+    return w.size * w.dtype.itemsize

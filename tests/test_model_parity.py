@@ -40,8 +40,8 @@ def our_logits(model_dir, token_ids, chunks=None):
     kv_shape = (spec.num_layers, spec.num_kv_heads, num_blocks, BLOCK_SIZE, spec.head_dim)
     kv = (jnp.zeros(kv_shape, jnp.float32), jnp.zeros(kv_shape, jnp.float32))
     block_table = list(range(-(-n // BLOCK_SIZE)))
-    attn = lambda q, kc, vc, layer, meta: ragged_paged_attention_ref(
-        q, kc, vc, layer, meta, sm_scale=spec.head_dim**-0.5
+    attn = lambda q, kn, vn, kc, vc, layer, meta: ragged_paged_attention_ref(
+        q, kn, vn, kc, vc, layer, meta, sm_scale=spec.head_dim**-0.5
     )
 
     chunks = chunks or [n]
@@ -115,8 +115,8 @@ def test_scan_and_unrolled_agree(tiny_qwen3_dir, prompt):
     n = len(prompt)
     num_blocks = 8
     kv_shape = (spec.num_layers, spec.num_kv_heads, num_blocks, BLOCK_SIZE, spec.head_dim)
-    attn = lambda q, kc, vc, layer, meta: ragged_paged_attention_ref(
-        q, kc, vc, layer, meta, sm_scale=spec.head_dim**-0.5
+    attn = lambda q, kn, vn, kc, vc, layer, meta: ragged_paged_attention_ref(
+        q, kn, vn, kc, vc, layer, meta, sm_scale=spec.head_dim**-0.5
     )
     inputs = build_step_inputs(
         [

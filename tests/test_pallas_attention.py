@@ -2,7 +2,10 @@
 
 Covers: GQA decode over ragged kv lengths with padding sequences, ragged
 prefill with causal masking, chunked-prefill continuation (q positions offset
-into a longer cached kv), multi-sequence tiling, partial last pages.
+into a longer cached kv), multi-sequence tiling, partial last pages — plus the
+fused KV append: both kernels write this step's K/V rows into the aliased
+paged cache, and the tests verify the written slots match the oracle's
+scatter.
 """
 
 import numpy as np
@@ -58,6 +61,28 @@ def build(reqs, t_bucket, s_bucket, w, q_tile=None):
     return inputs, meta_from_inputs(inputs)
 
 
+def new_kv(rng, t):
+    k = jnp.asarray(rng.standard_normal((t, HKV, HD), np.float32))
+    v = jnp.asarray(rng.standard_normal((t, HKV, HD), np.float32))
+    return k, v
+
+
+def assert_written(k_out, v_out, kn, vn, inputs):
+    """Every live slot in the output cache holds its new K/V row."""
+    slots = np.asarray(inputs.slot_mapping)
+    live = slots >= 0
+    k_flat = np.asarray(k_out)[0].reshape(HKV, -1, HD)
+    v_flat = np.asarray(v_out)[0].reshape(HKV, -1, HD)
+    np.testing.assert_allclose(
+        k_flat[:, slots[live]], np.asarray(kn)[live].transpose(1, 0, 2),
+        rtol=1e-6, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        v_flat[:, slots[live]], np.asarray(vn)[live].transpose(1, 0, 2),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
 def test_decode_matches_oracle():
     rng = np.random.default_rng(0)
     kc, vc = make_cache(rng, num_blocks=24)
@@ -72,19 +97,26 @@ def test_decode_matches_oracle():
     ]
     inputs, meta = build(reqs, t_bucket=8, s_bucket=8, w=4)
     q = jnp.asarray(rng.standard_normal((8, HQ, HD), np.float32))
+    kn, vn = new_kv(rng, 8)
 
-    ref = ragged_paged_attention_ref(q, kc, vc, 0, meta, sm_scale=SM)
-    out = paged_decode_attention(q, kc, vc, 0, meta, sm_scale=SM, interpret=True)
+    ref, kr, vr = ragged_paged_attention_ref(q, kn, vn, kc, vc, 0, meta, sm_scale=SM)
+    out, ko, vo = paged_decode_attention(
+        q, kn, vn, kc, vc, 0, meta, sm_scale=SM, interpret=True
+    )
     np.testing.assert_allclose(
         np.asarray(out)[:5], np.asarray(ref)[:5], rtol=2e-5, atol=2e-5
     )
+    assert_written(ko, vo, kn, vn, inputs)
+    # Decode writes exactly the live slots: caches agree with the oracle's.
+    np.testing.assert_allclose(np.asarray(ko), np.asarray(kr), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vo), np.asarray(vr), rtol=1e-6, atol=1e-6)
 
 
 def test_prefill_matches_oracle_multiseq():
     rng = np.random.default_rng(1)
     kc, vc = make_cache(rng, num_blocks=24)
     q_tile = 8  # tiny tile so one seq spans multiple tiles
-    # Fresh prefills: kv_len == q_len (kv was scattered before attention).
+    # Fresh prefills: kv_len == q_len (the kernel appends kv before attending).
     lens = [5, 19, 8]
     tables = [[0, 1], [2, 3, 4], [5]]
     reqs = [
@@ -94,38 +126,70 @@ def test_prefill_matches_oracle_multiseq():
     ]
     inputs, meta = build(reqs, t_bucket=48, s_bucket=4, w=3, q_tile=q_tile)
     q = jnp.asarray(rng.standard_normal((48, HQ, HD), np.float32))
+    kn, vn = new_kv(rng, 48)
 
-    ref = ragged_paged_attention_ref(q, kc, vc, 0, meta, sm_scale=SM)
-    out = ragged_prefill_attention(
-        q, kc, vc, 0, meta, sm_scale=SM, q_tile=q_tile, interpret=True
+    ref, _, _ = ragged_paged_attention_ref(q, kn, vn, kc, vc, 0, meta, sm_scale=SM)
+    out, ko, vo = ragged_prefill_attention(
+        q, kn, vn, kc, vc, 0, meta, sm_scale=SM, q_tile=q_tile, interpret=True
     )
     live = np.asarray(inputs.seq_ids) < 4  # compare live rows only
     np.testing.assert_allclose(
         np.asarray(out)[live], np.asarray(ref)[live], rtol=2e-5, atol=2e-5
     )
+    assert_written(ko, vo, kn, vn, inputs)
 
 
 def test_prefill_chunked_continuation():
-    """Chunk 2 of a chunked prefill: q positions 20..34 against kv_len 35
-    (prefix already in cache) — exercises prefix reads + causal frontier."""
+    """Chunk 2 of a chunked prefill: q positions 16..30 against kv_len 31
+    (prefix already in cache) — exercises prefix reads + causal frontier.
+    Chunk starts are page-aligned (scheduler invariant)."""
     rng = np.random.default_rng(2)
     kc, vc = make_cache(rng, num_blocks=8)
     q_tile = 8
     reqs = [
-        dict(token_ids=list(range(15)), start=20, kv_len=35,
+        dict(token_ids=list(range(15)), start=16, kv_len=31,
              block_table=[0, 1, 2], temperature=1.0)
     ]
     inputs, meta = build(reqs, t_bucket=16, s_bucket=2, w=3, q_tile=q_tile)
     q = jnp.asarray(rng.standard_normal((16, HQ, HD), np.float32))
+    kn, vn = new_kv(rng, 16)
 
-    ref = ragged_paged_attention_ref(q, kc, vc, 0, meta, sm_scale=SM)
-    out = ragged_prefill_attention(
-        q, kc, vc, 0, meta, sm_scale=SM, q_tile=q_tile, interpret=True
+    ref, _, _ = ragged_paged_attention_ref(q, kn, vn, kc, vc, 0, meta, sm_scale=SM)
+    out, ko, vo = ragged_prefill_attention(
+        q, kn, vn, kc, vc, 0, meta, sm_scale=SM, q_tile=q_tile, interpret=True
     )
     live = np.asarray(inputs.seq_ids) < 2
     np.testing.assert_allclose(
         np.asarray(out)[live], np.asarray(ref)[live], rtol=2e-5, atol=2e-5
     )
+    assert_written(ko, vo, kn, vn, inputs)
+
+
+def test_prefill_tile_wider_than_page():
+    """q_tile a multiple of the page size: each tile writes several pages."""
+    rng = np.random.default_rng(4)
+    kc, vc = make_cache(rng, num_blocks=12)
+    q_tile = 32  # 2 pages per tile
+    lens = [40, 17]
+    tables = [[0, 1, 2], [3, 4]]
+    reqs = [
+        dict(token_ids=list(range(n)), start=0, kv_len=n,
+             block_table=t, temperature=1.0)
+        for n, t in zip(lens, tables)
+    ]
+    inputs, meta = build(reqs, t_bucket=96, s_bucket=4, w=3, q_tile=q_tile)
+    q = jnp.asarray(rng.standard_normal((96, HQ, HD), np.float32))
+    kn, vn = new_kv(rng, 96)
+
+    ref, _, _ = ragged_paged_attention_ref(q, kn, vn, kc, vc, 0, meta, sm_scale=SM)
+    out, ko, vo = ragged_prefill_attention(
+        q, kn, vn, kc, vc, 0, meta, sm_scale=SM, q_tile=q_tile, interpret=True
+    )
+    live = np.asarray(inputs.seq_ids) < 4
+    np.testing.assert_allclose(
+        np.asarray(out)[live], np.asarray(ref)[live], rtol=2e-5, atol=2e-5
+    )
+    assert_written(ko, vo, kn, vn, inputs)
 
 
 @pytest.mark.parametrize("n_seqs", [1, 8])
@@ -139,8 +203,12 @@ def test_decode_single_and_full_bucket(n_seqs):
     ]
     inputs, meta = build(reqs, t_bucket=8, s_bucket=8, w=4)
     q = jnp.asarray(rng.standard_normal((8, HQ, HD), np.float32))
-    ref = ragged_paged_attention_ref(q, kc, vc, 0, meta, sm_scale=SM)
-    out = paged_decode_attention(q, kc, vc, 0, meta, sm_scale=SM, interpret=True)
+    kn, vn = new_kv(rng, 8)
+    ref, _, _ = ragged_paged_attention_ref(q, kn, vn, kc, vc, 0, meta, sm_scale=SM)
+    out, ko, vo = paged_decode_attention(
+        q, kn, vn, kc, vc, 0, meta, sm_scale=SM, interpret=True
+    )
     np.testing.assert_allclose(
         np.asarray(out)[:n_seqs], np.asarray(ref)[:n_seqs], rtol=2e-5, atol=2e-5
     )
+    assert_written(ko, vo, kn, vn, inputs)
