@@ -1,0 +1,82 @@
+"""Compile + numerics probe of both Pallas kernels on the real TPU chip."""
+import numpy as np
+import jax, jax.numpy as jnp
+from nanovllm_tpu.engine.inputs import build_step_inputs
+from nanovllm_tpu.ops.attention import AttentionMeta, ragged_paged_attention_ref
+from nanovllm_tpu.ops.pallas.ragged_attention import (
+    paged_decode_attention, ragged_prefill_attention)
+
+BLOCK, HD, HKV, HQ = 256, 128, 8, 16
+SM = HD ** -0.5
+
+def meta_of(i):
+    return AttentionMeta(
+        positions=i.positions, slot_mapping=i.slot_mapping, seq_ids=i.seq_ids,
+        kv_lens=i.kv_lens, block_tables=i.block_tables, cu_q_lens=i.cu_q_lens,
+        num_seqs=i.num_seqs, tile_seq=i.tile_seq, tile_pos0=i.tile_pos0)
+
+rng = np.random.default_rng(0)
+NB = 64
+kc = jnp.asarray(rng.standard_normal((2, HKV, NB, BLOCK, HD)), jnp.bfloat16)
+vc = jnp.asarray(rng.standard_normal((2, HKV, NB, BLOCK, HD)), jnp.bfloat16)
+
+# ---- decode: ragged kv lens, some crossing page boundaries
+kv_lens = [3, 256, 257, 777, 511]
+tables = [[0,1,2,3], [4,5,6,7], [8,9,10,11], [12,13,14,15], [16,17,18,19]]
+reqs = [dict(token_ids=[1], start=n-1, kv_len=n,
+             block_table=t[: -(-n // BLOCK)], temperature=1.0)
+        for n, t in zip(kv_lens, tables)]
+inputs = build_step_inputs(reqs, block_size=BLOCK, num_tokens_bucket=8,
+                           num_seqs_bucket=8, max_blocks_per_seq=4,
+                           rng=np.zeros(2, np.uint32))
+meta = meta_of(inputs)
+q = jnp.asarray(rng.standard_normal((8, HQ, HD)), jnp.bfloat16)
+kn = jnp.asarray(rng.standard_normal((8, HKV, HD)), jnp.bfloat16)
+vn = jnp.asarray(rng.standard_normal((8, HKV, HD)), jnp.bfloat16)
+
+ref, kr, vr = ragged_paged_attention_ref(q, kn, vn, kc, vc, 0, meta, sm_scale=SM)
+out, ko, vo = jax.jit(
+    lambda *a: paged_decode_attention(*a, 0, meta, sm_scale=SM)
+)(q, kn, vn, kc, vc)
+d = np.abs(np.asarray(out[:5], np.float32) - np.asarray(ref[:5], np.float32)).max()
+print("decode max diff:", d)
+assert d < 0.05, d
+# cache write-back check
+slots = np.asarray(inputs.slot_mapping)
+live = slots >= 0
+kf = np.asarray(ko, np.float32)[0].reshape(HKV, -1, HD)
+np.testing.assert_allclose(kf[:, slots[live]],
+                           np.asarray(kn, np.float32)[live].transpose(1,0,2),
+                           rtol=0, atol=1e-2)
+print("decode write-back ok")
+
+# ---- prefill: fresh + continuation, q_tile 128
+lens = [(0, 300), (256, 200), (0, 64)]  # (start, chunk)
+tables2 = [[20,21], [22,23], [24]]
+reqs = [dict(token_ids=list(range(c)), start=s, kv_len=s+c,
+             block_table=t, temperature=1.0)
+        for (s, c), t in zip(lens, tables2)]
+inputs = build_step_inputs(reqs, block_size=BLOCK, num_tokens_bucket=768,
+                           num_seqs_bucket=4, max_blocks_per_seq=2,
+                           rng=np.zeros(2, np.uint32), q_tile=128)
+meta = meta_of(inputs)
+T = 768
+q = jnp.asarray(rng.standard_normal((T, HQ, HD)), jnp.bfloat16)
+kn = jnp.asarray(rng.standard_normal((T, HKV, HD)), jnp.bfloat16)
+vn = jnp.asarray(rng.standard_normal((T, HKV, HD)), jnp.bfloat16)
+ref, _, _ = ragged_paged_attention_ref(q, kn, vn, kc, vc, 0, meta, sm_scale=SM)
+out, ko, vo = jax.jit(
+    lambda *a: ragged_prefill_attention(*a, 0, meta, sm_scale=SM, q_tile=128)
+)(q, kn, vn, kc, vc)
+live = np.asarray(inputs.seq_ids) < 4
+d = np.abs(np.asarray(out, np.float32)[live] - np.asarray(ref, np.float32)[live]).max()
+print("prefill max diff:", d)
+assert d < 0.05, d
+slots = np.asarray(inputs.slot_mapping)
+live = slots >= 0
+kf = np.asarray(ko, np.float32)[0].reshape(HKV, -1, HD)
+np.testing.assert_allclose(kf[:, slots[live]],
+                           np.asarray(kn, np.float32)[live].transpose(1,0,2),
+                           rtol=0, atol=1e-2)
+print("prefill write-back ok")
+print("TPU PROBE PASS")

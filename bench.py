@@ -61,12 +61,18 @@ def main():
         ["warmup"], SamplingParams(max_tokens=8, ignore_eos=True), use_tqdm=False
     )
 
+    from nanovllm_tpu.utils.metrics import EngineMetrics
+
+    llm.metrics = EngineMetrics()  # reset after warmup
     t = time.time()
     llm.generate(prompts, sampling_params, use_tqdm=True)
     elapsed = time.time() - t
     total_tokens = sum(sp.max_tokens for sp in sampling_params)
     throughput = total_tokens / elapsed
 
+    import sys
+
+    print("metrics:", llm.metrics.summary(), file=sys.stderr)
     print(
         json.dumps(
             {

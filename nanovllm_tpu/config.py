@@ -36,6 +36,14 @@ class Config:
     quantization: str | None = None    # None | "int8" | "int4" | "fp8" (weight-only)
     scan_layers: bool = True           # lax.scan over layers (fast compile) vs unrolled
     use_pallas_attention: bool | None = None  # None -> auto (True on TPU)
+    aot_warmup: bool | None = None     # None -> auto (True on TPU): compile
+                                       # every shape bucket at init (the
+                                       # reference's CUDA-graph capture slot,
+                                       # model_runner.py:222-257)
+    # Scheduler charges ceil(chunk/align)*align tokens against the prefill
+    # budget so q-tile padding can never push a packed batch past the largest
+    # compiled bucket. Set by the ModelRunner (q_tile on the Pallas path).
+    schedule_token_align: int = 1
     # Decode batch buckets: the jit-compiled shape ladder (analogue of the
     # reference's CUDA-graph sizes 1,2,4,...,512, model_runner.py:226).
     decode_buckets: tuple = ()
@@ -67,17 +75,22 @@ class Config:
         assert self.kv_cache_dtype in ("bfloat16", "float16", "float32"), (
             "quantized KV cache not yet wired into the attention kernels"
         )
+        # Few, coarse buckets: every (bucket, mode) pair is a separate XLA
+        # program; decode matmuls are weight-bandwidth-bound so padding a
+        # decode batch up is nearly free, and large prefill buckets cost only
+        # proportional MXU time. (The reference captures 9+ CUDA graph sizes,
+        # model_runner.py:226 — graphs are cheap to capture; XLA programs are
+        # not, so we keep the ladder short.)
         if not self.decode_buckets:
-            ladder = [8, 16, 32, 64, 128, 256, 512]
+            ladder = [8, 64]
             self.decode_buckets = tuple(b for b in ladder if b < self.max_num_seqs) + (
                 self.max_num_seqs,
             )
         if not self.prefill_buckets:
-            ladder, b = [], 512
-            while b < self.max_num_batched_tokens:
-                ladder.append(b)
-                b *= 2
-            self.prefill_buckets = tuple(ladder) + (self.max_num_batched_tokens,)
+            ladder = [2048, 8192]
+            self.prefill_buckets = tuple(
+                b for b in ladder if b < self.max_num_batched_tokens
+            ) + (self.max_num_batched_tokens,)
 
     @property
     def max_blocks_per_seq(self) -> int:

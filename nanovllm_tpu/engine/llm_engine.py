@@ -27,6 +27,7 @@ from nanovllm_tpu.engine.model_runner import ModelRunner
 from nanovllm_tpu.engine.scheduler import Scheduler
 from nanovllm_tpu.engine.sequence import Sequence
 from nanovllm_tpu.sampling_params import SamplingParams
+from nanovllm_tpu.utils.metrics import EngineMetrics
 
 
 class LLMEngine:
@@ -47,6 +48,7 @@ class LLMEngine:
             config.eos = self.tokenizer.eos_token_id
         # Scheduler after the runner: KV sizing fills num_kvcache_blocks.
         self.scheduler = Scheduler(config)
+        self.metrics = EngineMetrics()
         atexit.register(self.exit)
 
     def exit(self):
@@ -70,6 +72,7 @@ class LLMEngine:
     # ---------------------------------------------------------------- loop
 
     def step(self) -> tuple[list[tuple[int, list[int]]], int]:
+        t0 = perf_counter()
         seqs, is_prefill = self.scheduler.schedule()
         # Signed count for the live display: +prefill tokens / -decode batch
         # size (reference llm_engine.py:51). Read before postprocess resets it.
@@ -78,9 +81,14 @@ class LLMEngine:
         )
         token_ids = self.model_runner.run(seqs, is_prefill)
         self.scheduler.postprocess(seqs, token_ids)
-        outputs = [
-            (seq.seq_id, seq.completion_token_ids) for seq in seqs if seq.is_finished
-        ]
+        self.metrics.record_step(num_tokens, perf_counter() - t0)
+        outputs = []
+        for seq in seqs:
+            if seq.num_completion_tokens == 1:
+                self.metrics.record_first_token(seq.arrival_time)
+            if seq.is_finished:
+                self.metrics.record_finished(seq.arrival_time)
+                outputs.append((seq.seq_id, seq.completion_token_ids))
         return outputs, num_tokens
 
     def is_finished(self) -> bool:

@@ -19,6 +19,9 @@ Parity: reference ``nanovllm/engine/model_runner.py``. TPU-first deltas
 
 from __future__ import annotations
 
+import os
+from time import perf_counter
+
 import numpy as np
 
 import jax
@@ -84,6 +87,16 @@ class ModelRunner:
         self.mesh = Mesh(np.asarray(devices[: self.tp]).reshape(self.tp), ("tp",))
         self.is_tpu = devices[0].platform in ("tpu", "axon")
 
+        # Persistent compilation cache: recompiling a bucket costs 20-40s on
+        # the tunneled TPU backend; cached reloads are sub-second.
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.environ.get(
+                    "NANOVLLM_TPU_CACHE", "/tmp/nanovllm_tpu_jax_cache"
+                ),
+            )
+
         self._load_params(random_weights)
         self._allocate_kv_cache()
         self._build_step_fns()
@@ -91,19 +104,15 @@ class ModelRunner:
         # Per-step PRNG stream for the Gumbel sampler (reference sampler.py).
         self._host_rng = np.random.default_rng(config.rng_seed)
 
-        # Prefill-sequence-count bucket ladder (coarse, to bound compilations).
-        ladder = [8, 32, 128]
-        self.prefill_seq_buckets = tuple(
-            b for b in ladder if b < config.max_num_seqs
-        ) + (config.max_num_seqs,)
-        # Token buckets extended past max_num_batched_tokens: per-seq q-tile
-        # alignment can pad a packed prefill beyond the scheduler's budget.
-        worst = config.max_num_batched_tokens + self.q_tile * config.max_num_seqs
-        extra, b = [], max(config.prefill_buckets)
-        while b < worst:
-            b *= 2
-            extra.append(b)
-        self.prefill_token_buckets = tuple(config.prefill_buckets) + tuple(extra)
+        # The scheduler budgets prefills in q-tile-padded units, so packed
+        # batches never exceed the largest compiled bucket.
+        if self.use_pallas:
+            config.schedule_token_align = self.q_tile
+        self.prefill_token_buckets = tuple(config.prefill_buckets)
+
+        aot = config.aot_warmup
+        if aot or (aot is None and self.is_tpu):
+            self.warmup()
 
     # ------------------------------------------------------------- weights
 
@@ -358,11 +367,58 @@ class ModelRunner:
                     out_specs=(P(), kv_spec),
                 )(params, kv, inputs)
 
-        # KV buffers are donated: XLA writes the scatter in place; one
+        # KV buffers are donated: the kernels update the cache in place; one
         # compiled program per (shape bucket, mode) — the TPU analogue of the
         # reference's CUDA-graph set (model_runner.py:222-257).
         self._step_fn = step  # raw (un-jitted) for AOT/lowering consumers
         self._step = jax.jit(step, donate_argnums=(1,), static_argnums=(3,))
+        # AOT executables per (t_bucket, s_bucket, is_prefill); filled by
+        # warmup(). Misses fall back to the jit path (compile on first hit).
+        self._compiled = {}
+
+    # -------------------------------------------------------------- warmup
+
+    def _dummy_inputs(self, t_bucket: int, s_bucket: int, is_prefill: bool):
+        n = min(2, s_bucket) if is_prefill else s_bucket
+        reqs = []
+        for i in range(n):
+            chunk = [1] * (2 if is_prefill else 1)
+            start = 0 if is_prefill else 1
+            reqs.append(
+                dict(token_ids=chunk, start=start, kv_len=start + len(chunk),
+                     block_table=[i], temperature=1.0)
+            )
+        q_tile = self.q_tile if (is_prefill and self.use_pallas) else None
+        return build_step_inputs(
+            reqs,
+            block_size=self.config.kvcache_block_size,
+            num_tokens_bucket=t_bucket,
+            num_seqs_bucket=s_bucket,
+            max_blocks_per_seq=self.config.max_blocks_per_seq,
+            rng=np.zeros(2, np.uint32),
+            q_tile=q_tile,
+        )
+
+    def warmup(self):
+        """AOT-compile every shape bucket (the analogue of the reference's
+        warmup + CUDA-graph capture, model_runner.py:91-101/222-257): one
+        program per decode bucket + one per prefill token bucket. With the
+        persistent compilation cache this is fast on every run but the
+        first."""
+        cfg = self.config
+        shapes = [(b, b, False) for b in cfg.decode_buckets]
+        shapes += [(t, cfg.max_num_seqs, True) for t in self.prefill_token_buckets]
+        for t_bucket, s_bucket, is_prefill in shapes:
+            t0 = perf_counter()
+            inputs = self._dummy_inputs(t_bucket, s_bucket, is_prefill)
+            self._compiled[(t_bucket, s_bucket, is_prefill)] = self._step.lower(
+                self.params, self.kv, inputs, is_prefill
+            ).compile()
+            mode = "prefill" if is_prefill else "decode"
+            print(
+                f"[warmup] {mode} bucket t={t_bucket} s={s_bucket}: "
+                f"{perf_counter() - t0:.1f}s"
+            )
 
     # ----------------------------------------------------------------- run
 
@@ -399,7 +455,7 @@ class ModelRunner:
             else:
                 num_tokens = sum(len(r["token_ids"]) for r in reqs)
             t_bucket = _pick_bucket(self.prefill_token_buckets, num_tokens)
-            s_bucket = _pick_bucket(self.prefill_seq_buckets, len(seqs))
+            s_bucket = cfg.max_num_seqs
         else:
             s_bucket = _pick_bucket(cfg.decode_buckets, len(seqs))
             t_bucket = s_bucket
@@ -413,7 +469,11 @@ class ModelRunner:
             rng=rng,
             q_tile=q_tile,
         )
-        tokens, self.kv = self._step(self.params, self.kv, inputs, is_prefill)
+        compiled = self._compiled.get((t_bucket, s_bucket, is_prefill))
+        if compiled is not None:
+            tokens, self.kv = compiled(self.params, self.kv, inputs)
+        else:
+            tokens, self.kv = self._step(self.params, self.kv, inputs, is_prefill)
         return np.asarray(tokens)[: len(seqs)].tolist()
 
     def exit(self):

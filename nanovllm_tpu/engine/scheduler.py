@@ -30,6 +30,9 @@ class Scheduler:
     def __init__(self, config: Config):
         self.max_num_seqs = config.max_num_seqs
         self.max_num_batched_tokens = config.max_num_batched_tokens
+        # Prefill budget is charged in padded units so per-seq q-tile
+        # alignment can never overflow the largest compiled token bucket.
+        self.token_align = max(1, getattr(config, "schedule_token_align", 1))
         self.eos = config.eos
         self.block_manager = BlockManager(
             config.num_kvcache_blocks, config.kvcache_block_size
@@ -59,10 +62,13 @@ class Scheduler:
                     break  # KV pool cannot host this prompt right now
                 cached = cached_blocks * self.block_manager.block_size
             remaining = seq.num_tokens - cached
+            align = self.token_align
             budget = self.max_num_batched_tokens - num_batched_tokens
-            if budget <= 0:
+            # Largest chunk whose padded size still fits the budget.
+            max_chunk = budget // align * align
+            if max_chunk <= 0:
                 break
-            chunk = min(remaining, budget)
+            chunk = min(remaining, max_chunk)
             if chunk < remaining and scheduled:
                 break  # a chunked (partial) prefill may only lead a batch
             if chunk < remaining:
@@ -75,7 +81,7 @@ class Scheduler:
             if not seq.block_table:
                 self.block_manager.allocate(seq)
             seq.num_scheduled_tokens = chunk
-            num_batched_tokens += chunk
+            num_batched_tokens += -(-chunk // align) * align
             scheduled.append(seq)
             if chunk == remaining:
                 seq.status = SequenceStatus.RUNNING

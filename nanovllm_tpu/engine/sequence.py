@@ -8,6 +8,7 @@ single-controller, so sequences never cross a process boundary.
 
 from enum import Enum, auto
 from itertools import count
+from time import perf_counter
 
 from nanovllm_tpu.sampling_params import SamplingParams
 
@@ -38,6 +39,7 @@ class Sequence:
         # for decode).
         self.num_scheduled_tokens = 0
         self.block_table: list[int] = []
+        self.arrival_time = perf_counter()  # for TTFT / e2e latency metrics
         self.temperature = sampling_params.temperature
         self.max_tokens = sampling_params.max_tokens
         self.ignore_eos = sampling_params.ignore_eos

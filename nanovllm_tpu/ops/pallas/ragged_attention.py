@@ -63,8 +63,8 @@ def _decode_kernel(
     num_seqs_ref,      # i32[1]
     # inputs
     q_ref,             # [Hkv, S, G, hd] VMEM
-    k_new_hbm,         # [Hkv, S, hd] ANY (one new row per sequence)
-    v_new_hbm,
+    k_new_ref,         # [Hkv, S, 1, hd] VMEM (one new row per sequence)
+    v_new_ref,
     k_hbm,             # [L, Hkv, blocks, block, hd] ANY (aliased in/out)
     v_hbm,
     # outputs
@@ -75,7 +75,9 @@ def _decode_kernel(
     k_buf,             # [2, Hkv, block, hd]
     v_buf,
     sems,              # DMA sems [2, 2] (k/v, slot)
-    w_sems,            # DMA sems [2] (k/v write)
+    w_sems,            # DMA sems [2] (k/v write-back)
+    wk_buf,            # [Hkv, 8, hd] staging for the aligned write-back tile
+    wv_buf,
     buf_idx_ref,       # SMEM i32[1]
     m_scr,             # f32[Hkv, G, 128]
     l_scr,             # f32[Hkv, G, 128]
@@ -120,31 +122,6 @@ def _decode_kernel(
     def _work():
         slot = buf_idx_ref[0]
 
-        @pl.when(j == 0)
-        def _append_kv():
-            # Store this sequence's new K/V row (position kv_len-1) into the
-            # aliased cache and block on completion BEFORE issuing any further
-            # page reads: every read issued from here on observes it. The one
-            # read that predates it — this sequence's own page-0 prefetch —
-            # is re-fetched below when page 0 is also the written page.
-            pos = kv_len - 1
-            page_id = tables_ref[s, pos // block_size]
-            off = pos % block_size
-            wk = pltpu.make_async_copy(
-                k_new_hbm.at[:, pl.ds(s, 1)],
-                k_out_hbm.at[layer, :, page_id, pl.ds(off, 1)],
-                w_sems.at[0],
-            )
-            wv = pltpu.make_async_copy(
-                v_new_hbm.at[:, pl.ds(s, 1)],
-                v_out_hbm.at[layer, :, page_id, pl.ds(off, 1)],
-                w_sems.at[1],
-            )
-            wk.start()
-            wv.start()
-            wk.wait()
-            wv.wait()
-
         # Prefetch the next working page into the other buffer. Padding
         # sequences (kv_len 0) sit past num_seqs, so nseq < num_seqs suffices.
         in_seq = j + 1 < num_blocks
@@ -164,16 +141,52 @@ def _decode_kernel(
             l_scr[...] = jnp.zeros_like(l_scr)
             acc_scr[...] = jnp.zeros_like(acc_scr)
 
-            # Page 0 was prefetched before the write when it is also the
-            # written page (single-page sequence): re-fetch it.
-            @pl.when(num_blocks == 1)
-            def _refetch():
-                read_page(s, 0, slot)
-                wait_page(slot)
-
         hkv, _, groups, hd = q_ref.shape
         q = q_ref[:, s].astype(jnp.float32)           # [Hkv, G, hd]
         k = k_buf[slot]                                # [Hkv, block, hd]
+        v = v_buf[slot]
+
+        is_last = j == num_blocks - 1
+        # The new K/V row lands in the last page at column kv_len-1. The page
+        # was read stale; substitute the row in registers for this step's
+        # attention, and persist an aligned 8-row tile back to the cache for
+        # future steps (a 1-row DMA at an arbitrary sublane offset is not
+        # expressible; an 8-aligned tile is). The written page is exclusively
+        # owned by this sequence, so nothing else in this grid reads it.
+        pos = kv_len - 1
+        off = pos - j * block_size                    # in-page column (last pg)
+        col = jax.lax.broadcasted_iota(jnp.int32, k.shape, 1)
+        patch = is_last & (col == off)
+        k = jnp.where(patch, k_new_ref[:, s].astype(k.dtype), k)
+        v = jnp.where(patch, v_new_ref[:, s].astype(v.dtype), v)
+
+        @pl.when(is_last)
+        def _write_back():
+            off8 = pl.multiple_of((off // 8) * 8, 8)
+            r = off - off8
+            rows_k = k_buf[slot, :, pl.ds(off8, 8), :]   # [Hkv, 8, hd]
+            rows_v = v_buf[slot, :, pl.ds(off8, 8), :]
+            sel = jax.lax.broadcasted_iota(jnp.int32, rows_k.shape, 1) == r
+            wk_buf[...] = jnp.where(sel, k_new_ref[:, s].astype(rows_k.dtype),
+                                    rows_k)
+            wv_buf[...] = jnp.where(sel, v_new_ref[:, s].astype(rows_v.dtype),
+                                    rows_v)
+            page_id = tables_ref[s, pos // block_size]
+            wk = pltpu.make_async_copy(
+                wk_buf,
+                k_out_hbm.at[layer, :, page_id, pl.ds(off8, 8)],
+                w_sems.at[0],
+            )
+            wv = pltpu.make_async_copy(
+                wv_buf,
+                v_out_hbm.at[layer, :, page_id, pl.ds(off8, 8)],
+                w_sems.at[1],
+            )
+            wk.start()
+            wv.start()
+            wk.wait()
+            wv.wait()
+
         # scores[h, g, t] = sum_d q[h,g,d] * k[h,t,d]
         scores = jax.lax.dot_general(
             q, k.astype(jnp.float32),
@@ -196,8 +209,7 @@ def _decode_kernel(
         m_scr[...] = jnp.broadcast_to(m_next[:, :, None], m_scr.shape)
         l_scr[...] = jnp.broadcast_to(l_next[:, :, None], l_scr.shape)
 
-        v = v_buf[slot]                                # [Hkv, block, hd]
-        # o[h, g, d] = sum_t p[h,g,t] * v[h,t,d]
+        # o[h, g, d] = sum_t p[h,g,t] * v[h,t,d]  (v patched above)
         o_curr = jax.lax.dot_general(
             p, v.astype(jnp.float32),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -231,16 +243,16 @@ def paged_decode_attention(
     groups = Hq // Hkv
     W = meta.block_tables.shape[1]
     q_hm = q.reshape(S, Hkv, groups, hd).transpose(1, 0, 2, 3)
-    k_new_hm = k_new.transpose(1, 0, 2).astype(k_cache.dtype)
-    v_new_hm = v_new.transpose(1, 0, 2).astype(v_cache.dtype)
+    k_new_hm = k_new.transpose(1, 0, 2)[:, :, None].astype(k_cache.dtype)
+    v_new_hm = v_new.transpose(1, 0, 2)[:, :, None].astype(v_cache.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(S, W),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # q
-            pl.BlockSpec(memory_space=pl.ANY),       # k_new (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),       # v_new
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # k_new [Hkv, S, 1, hd]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # v_new
             pl.BlockSpec(memory_space=pl.ANY),       # k pages (HBM)
             pl.BlockSpec(memory_space=pl.ANY),       # v pages
         ],
@@ -254,6 +266,8 @@ def paged_decode_attention(
             pltpu.VMEM((2, Hkv, block_size, hd), v_cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((Hkv, 8, hd), k_cache.dtype),
+            pltpu.VMEM((Hkv, 8, hd), v_cache.dtype),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.VMEM((Hkv, groups, 128), jnp.float32),
             pltpu.VMEM((Hkv, groups, 128), jnp.float32),
@@ -388,7 +402,13 @@ def _prefill_kernel(
                 @pl.when(wpos < kv_len)
                 def _write(w=w, wpos=wpos):
                     page_id = tables_ref[safe_seq, wpos // block_size]
-                    off = wpos % block_size
+                    # pos0 is q_tile-aligned and chunk starts are page-aligned
+                    # (scheduler invariant), so the in-page offset is a
+                    # multiple of min(q_tile, block) — assert it for Mosaic's
+                    # sublane-divisibility proof.
+                    off = pl.multiple_of(
+                        wpos % block_size, min(q_tile, block_size)
+                    )
                     src = pl.ds(t * q_tile + w * size, size)
                     wk = pltpu.make_async_copy(
                         k_new_hbm.at[:, src],
@@ -501,6 +521,7 @@ def ragged_prefill_attention(
     NT = meta.tile_seq.shape[0]
     assert NT * q_tile == T, f"q of {T} rows vs {NT} tiles of {q_tile}"
     assert block_size % q_tile == 0 or q_tile % block_size == 0
+    assert q_tile % 8 == 0 and block_size % 8 == 0, "sublane (8) alignment"
     W = meta.block_tables.shape[1]
     q_hm = q.reshape(T, Hkv, groups, hd).transpose(1, 0, 2, 3)
     k_new_hm = k_new.transpose(1, 0, 2).astype(k_cache.dtype)
