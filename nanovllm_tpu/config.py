@@ -41,9 +41,14 @@ class Config:
                                        # reference's CUDA-graph capture slot,
                                        # model_runner.py:222-257)
     # Scheduler charges ceil(chunk/align)*align tokens against the prefill
-    # budget so q-tile padding can never push a packed batch past the largest
+    # budget so q-tile padding can never push a packed bucket past the largest
     # compiled bucket. Set by the ModelRunner (q_tile on the Pallas path).
     schedule_token_align: int = 1
+    # Async pipeline depth: sampled tokens stay on-device (fed back into the
+    # next decode step from a slot buffer) and are fetched to host in one
+    # batched transfer every `fetch_interval` steps. EOS stops can lag by up
+    # to that many tokens (the overrun is truncated). 1 = fetch every step.
+    fetch_interval: int = 8
     # Decode batch buckets: the jit-compiled shape ladder (analogue of the
     # reference's CUDA-graph sizes 1,2,4,...,512, model_runner.py:226).
     decode_buckets: tuple = ()

@@ -164,8 +164,12 @@ class BlockManager:
 
     def hash_new_full_blocks(self, seq: Sequence):
         """Register hashes for blocks that became fully cached this step,
-        chaining from the previous block's hash."""
-        num_full_cached = seq.num_cached_tokens // self.block_size
+        chaining from the previous block's hash. Only fully *valued* blocks
+        are hashable — completion tokens may still be placeholders while
+        their sampled values sit on-device (async pipeline)."""
+        num_full_cached = min(
+            seq.num_cached_tokens, seq.num_valued_tokens
+        ) // self.block_size
         if seq.num_hashed_blocks >= num_full_cached:
             return
         prev = seq.num_hashed_blocks

@@ -35,6 +35,11 @@ class StepInputs(NamedTuple):
     # packed offset, so each BQ-row tile maps to exactly one sequence.
     tile_seq: jax.Array       # i32[NT] sequence of tile t (S for padding tiles)
     tile_pos0: jax.Array      # i32[NT] absolute position of tile t's row 0
+    # Async pipeline: device slot of each scheduled sequence (decode inputs
+    # gather the previous sampled token from the on-device last-token buffer)
+    # and the ring row this step's samples scatter into.
+    slot_ids: jax.Array       # i32[S] (dead slot for padding rows)
+    ring_pos: jax.Array       # i32[1]
 
 
 def build_step_inputs(
@@ -46,6 +51,8 @@ def build_step_inputs(
     max_blocks_per_seq: int,
     rng: np.ndarray,
     q_tile: int | None = None,
+    num_slots: int = 1,
+    ring_pos: int = 0,
 ) -> StepInputs:
     """Build a padded StepInputs batch on host.
 
@@ -73,6 +80,7 @@ def build_step_inputs(
     nt = t_pad // q_tile if q_tile else 0
     tile_seq = np.full(nt, s_pad, np.int32)
     tile_pos0 = np.zeros(nt, np.int32)
+    slot_ids = np.full(s_pad, num_slots - 1, np.int32)  # dead slot for padding
 
     offset = 0
     for i, r in enumerate(reqs):
@@ -99,6 +107,7 @@ def build_step_inputs(
         offset += n
         last_token_idx[i] = offset - 1
         temperatures[i] = r["temperature"]
+        slot_ids[i] = r.get("slot", num_slots - 1)
     assert offset <= t_pad, f"batch of {offset} tokens exceeds bucket {t_pad}"
     cu_q_lens[len(reqs) + 1:] = cu_q_lens[len(reqs)]
     num_seqs = np.array([len(reqs)], np.int32)
@@ -116,4 +125,6 @@ def build_step_inputs(
         rng=rng,
         tile_seq=tile_seq,
         tile_pos0=tile_pos0,
+        slot_ids=slot_ids,
+        ring_pos=np.asarray([ring_pos], np.int32),
     )

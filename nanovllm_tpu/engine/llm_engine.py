@@ -49,6 +49,11 @@ class LLMEngine:
         # Scheduler after the runner: KV sizing fills num_kvcache_blocks.
         self.scheduler = Scheduler(config)
         self.metrics = EngineMetrics()
+        # Async pipeline: steps whose sampled-token values are still on
+        # device, as (seqs, appended_flags) per ring row. Values arrive in
+        # one batched fetch per `fetch_interval` steps (drain()).
+        self.pending: list[tuple] = []
+        self._emitted: dict[int, list[int]] = {}
         atexit.register(self.exit)
 
     def exit(self):
@@ -71,7 +76,50 @@ class LLMEngine:
 
     # ---------------------------------------------------------------- loop
 
+    def drain(self) -> list[tuple[int, list[int]]]:
+        """Fetch the sampled-token ring (one device->host transfer) and apply
+        the values to every in-flight step: patch placeholders, stop at EOS,
+        register prefix-cache hashes, emit finished outputs."""
+        if not self.pending:
+            return []
+        ring = self.model_runner.fetch_ring()
+        outputs = []
+        for row, (seqs, appended) in enumerate(self.pending):
+            values = ring[row, : len(seqs)].tolist()
+            self.scheduler.apply_values(seqs, appended, values)
+            for seq, was_appended in zip(seqs, appended):
+                if not was_appended:
+                    continue
+                if seq.num_valued_tokens - seq.num_prompt_tokens == 1:
+                    self.metrics.record_first_token(seq.arrival_time)
+                if (
+                    seq.is_finished
+                    and seq.num_valued_tokens == seq.num_tokens
+                    and seq.seq_id not in self._emitted
+                ):
+                    self.metrics.record_finished(seq.arrival_time)
+                    self._emitted[seq.seq_id] = seq.completion_token_ids
+                    outputs.append((seq.seq_id, seq.completion_token_ids))
+        self.pending.clear()
+        return outputs
+
     def step(self) -> tuple[list[tuple[int, list[int]]], int]:
+        """Dispatch one step; drain the pipeline when the ring is full (or
+        when nothing is schedulable but values are still in flight)."""
+        outputs = []
+        if self.scheduler.is_finished():
+            return self.drain(), 0
+        # Drain BEFORE scheduling: (a) when the ring is full, (b) when a
+        # waiting sequence has unfetched completion tokens (a re-prefill after
+        # preemption embeds them from the host). Draining first also means a
+        # late EOS can never finish a sequence that was just scheduled.
+        if len(self.pending) >= self.model_runner.ring_size or any(
+            seq.num_valued_tokens < seq.num_tokens
+            for seq in self.scheduler.waiting
+        ):
+            outputs += self.drain()
+            if self.scheduler.is_finished():
+                return outputs, 0
         t0 = perf_counter()
         seqs, is_prefill = self.scheduler.schedule()
         # Signed count for the live display: +prefill tokens / -decode batch
@@ -79,20 +127,14 @@ class LLMEngine:
         num_tokens = (
             sum(seq.num_scheduled_tokens for seq in seqs) if is_prefill else -len(seqs)
         )
-        token_ids = self.model_runner.run(seqs, is_prefill)
-        self.scheduler.postprocess(seqs, token_ids)
+        self.model_runner.run(seqs, is_prefill, ring_pos=len(self.pending))
+        appended = self.scheduler.postprocess_lengths(seqs)
+        self.pending.append((seqs, appended))
         self.metrics.record_step(num_tokens, perf_counter() - t0)
-        outputs = []
-        for seq in seqs:
-            if seq.num_completion_tokens == 1:
-                self.metrics.record_first_token(seq.arrival_time)
-            if seq.is_finished:
-                self.metrics.record_finished(seq.arrival_time)
-                outputs.append((seq.seq_id, seq.completion_token_ids))
         return outputs, num_tokens
 
     def is_finished(self) -> bool:
-        return self.scheduler.is_finished()
+        return self.scheduler.is_finished() and not self.pending
 
     def generate(
         self,

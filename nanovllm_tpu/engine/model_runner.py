@@ -99,6 +99,7 @@ class ModelRunner:
 
         self._load_params(random_weights)
         self._allocate_kv_cache()
+        self._alloc_token_state()
         self._build_step_fns()
 
         # Per-step PRNG stream for the Gumbel sampler (reference sampler.py).
@@ -281,6 +282,25 @@ class ModelRunner:
             jax.device_put(jnp.zeros(shape, self.kv_dtype), sh),
         )
 
+    def _alloc_token_state(self):
+        """On-device sampled-token state for the async pipeline:
+        - last_buf[slot]: each sequence's latest sampled token, fed back as
+          the next decode step's input (no host round-trip per step — a
+          device->host fetch costs ~40ms through the tunneled runtime);
+        - ring[K, S]: per-step sampled tokens, fetched in one transfer every
+          K steps for EOS checks / output assembly.
+        """
+        cfg = self.config
+        self.num_slots = 2 * cfg.max_num_seqs + 1  # last = dead slot
+        self.ring_size = cfg.fetch_interval
+        rep = NamedSharding(self.mesh, P())
+        self.token_state = (
+            jax.device_put(jnp.zeros(self.num_slots, jnp.int32), rep),
+            jax.device_put(
+                jnp.zeros((self.ring_size, cfg.max_num_seqs), jnp.int32), rep
+            ),
+        )
+
     # ------------------------------------------------------------- step fn
 
     @property
@@ -328,8 +348,14 @@ class ModelRunner:
         tp = self.tp
         axis = "tp" if tp > 1 else None
 
-        def local_step(params, kv, inputs: StepInputs, is_prefill: bool):
+        def local_step(params, kv, tstate, inputs: StepInputs, is_prefill: bool):
             """Per-device program (the whole program when tp == 1)."""
+            last_buf, ring = tstate
+            if not is_prefill:
+                # Decode inputs come from the on-device last-token buffer —
+                # the host never needs the sampled values to keep stepping.
+                token_ids = last_buf[inputs.slot_ids]
+                inputs = inputs._replace(token_ids=token_ids)
             hidden, kv = family.forward(
                 spec,
                 params,
@@ -351,27 +377,33 @@ class ModelRunner:
                 logits = jax.lax.all_gather(logits, axis, axis=1, tiled=True)
             key = jax.random.wrap_key_data(inputs.rng)
             tokens = sample(logits, inputs.temperatures, key)
-            return tokens, kv
+            last_buf = last_buf.at[inputs.slot_ids].set(tokens)
+            ring = jax.lax.dynamic_update_slice(
+                ring, tokens[None], (inputs.ring_pos[0], jnp.int32(0))
+            )
+            return kv, (last_buf, ring)
 
         if tp == 1:
             step = local_step
         else:
             kv_spec = (self._kv_pspec(), self._kv_pspec())
+            tstate_spec = (P(), P())
             inputs_spec = StepInputs(*([P()] * len(StepInputs._fields)))
 
-            def step(params, kv, inputs, is_prefill):
+            def step(params, kv, tstate, inputs, is_prefill):
                 return _shard_map(
-                    lambda p, k, i: local_step(p, k, i, is_prefill),
+                    lambda p, k, t, i: local_step(p, k, t, i, is_prefill),
                     mesh=self.mesh,
-                    in_specs=(self._param_pspecs(), kv_spec, inputs_spec),
-                    out_specs=(P(), kv_spec),
-                )(params, kv, inputs)
+                    in_specs=(self._param_pspecs(), kv_spec, tstate_spec,
+                              inputs_spec),
+                    out_specs=(kv_spec, tstate_spec),
+                )(params, kv, tstate, inputs)
 
-        # KV buffers are donated: the kernels update the cache in place; one
-        # compiled program per (shape bucket, mode) — the TPU analogue of the
-        # reference's CUDA-graph set (model_runner.py:222-257).
+        # KV + token-state buffers are donated: the kernels update the cache
+        # in place; one compiled program per (shape bucket, mode) — the TPU
+        # analogue of the reference's CUDA-graph set (model_runner.py:222-257).
         self._step_fn = step  # raw (un-jitted) for AOT/lowering consumers
-        self._step = jax.jit(step, donate_argnums=(1,), static_argnums=(3,))
+        self._step = jax.jit(step, donate_argnums=(1, 2), static_argnums=(4,))
         # AOT executables per (t_bucket, s_bucket, is_prefill); filled by
         # warmup(). Misses fall back to the jit path (compile on first hit).
         self._compiled = {}
@@ -397,6 +429,7 @@ class ModelRunner:
             max_blocks_per_seq=self.config.max_blocks_per_seq,
             rng=np.zeros(2, np.uint32),
             q_tile=q_tile,
+            num_slots=self.num_slots,
         )
 
     def warmup(self):
@@ -412,7 +445,7 @@ class ModelRunner:
             t0 = perf_counter()
             inputs = self._dummy_inputs(t_bucket, s_bucket, is_prefill)
             self._compiled[(t_bucket, s_bucket, is_prefill)] = self._step.lower(
-                self.params, self.kv, inputs, is_prefill
+                self.params, self.kv, self.token_state, inputs, is_prefill
             ).compile()
             mode = "prefill" if is_prefill else "decode"
             print(
@@ -422,9 +455,11 @@ class ModelRunner:
 
     # ----------------------------------------------------------------- run
 
-    def run(self, seqs: list[Sequence], is_prefill: bool) -> list[int]:
-        """Execute one engine step; returns one sampled token per sequence
-        (garbage for chunk-incomplete prefills, ignored by postprocess)."""
+    def run(self, seqs: list[Sequence], is_prefill: bool, ring_pos: int = 0):
+        """Dispatch one engine step (async: does NOT fetch sampled tokens).
+        Decode input tokens are gathered on-device from the last-token slot
+        buffer; this step's samples land in ring row ``ring_pos`` and in each
+        sequence's slot. Fetch values later via ``fetch_ring``."""
         cfg = self.config
         reqs = []
         for seq in seqs:
@@ -432,9 +467,10 @@ class ModelRunner:
                 start = seq.num_cached_tokens
                 n = seq.num_scheduled_tokens
                 chunk = seq.token_ids[start: start + n]
+                assert -1 not in chunk, "prefill over unfetched token values"
             else:
                 start = seq.num_tokens - 1
-                chunk = [seq.last_token]
+                chunk = [0]  # value comes from the device slot buffer
             reqs.append(
                 dict(
                     token_ids=chunk,
@@ -442,6 +478,7 @@ class ModelRunner:
                     kv_len=start + len(chunk),
                     block_table=seq.block_table,
                     temperature=seq.temperature,
+                    slot=seq.device_slot,
                 )
             )
         q_tile = self.q_tile if (is_prefill and self.use_pallas) else None
@@ -468,15 +505,27 @@ class ModelRunner:
             max_blocks_per_seq=cfg.max_blocks_per_seq,
             rng=rng,
             q_tile=q_tile,
+            num_slots=self.num_slots,
+            ring_pos=ring_pos,
         )
         compiled = self._compiled.get((t_bucket, s_bucket, is_prefill))
         if compiled is not None:
-            tokens, self.kv = compiled(self.params, self.kv, inputs)
+            self.kv, self.token_state = compiled(
+                self.params, self.kv, self.token_state, inputs
+            )
         else:
-            tokens, self.kv = self._step(self.params, self.kv, inputs, is_prefill)
-        return np.asarray(tokens)[: len(seqs)].tolist()
+            self.kv, self.token_state = self._step(
+                self.params, self.kv, self.token_state, inputs, is_prefill
+            )
+
+    def fetch_ring(self) -> np.ndarray:
+        """One batched device->host transfer of the sampled-token ring
+        (i32[fetch_interval, max_num_seqs], row r = step dispatched with
+        ring_pos r since the previous fetch)."""
+        return np.asarray(self.token_state[1])
 
     def exit(self):
         """Release device buffers (reference model_runner.py:50-59)."""
         self.kv = None
         self.params = None
+        self.token_state = None

@@ -39,6 +39,9 @@ class Scheduler:
         )
         self.waiting: deque[Sequence] = deque()
         self.running: deque[Sequence] = deque()
+        # Device slots for on-device last-token feedback (async pipeline).
+        # 2x max_num_seqs: running seqs plus chunk-in-progress waiters.
+        self.free_slots: deque[int] = deque(range(2 * config.max_num_seqs))
 
     def is_finished(self) -> bool:
         return not self.waiting and not self.running
@@ -80,6 +83,8 @@ class Scheduler:
                     break
             if not seq.block_table:
                 self.block_manager.allocate(seq)
+            if seq.device_slot < 0:
+                seq.device_slot = self.free_slots.popleft()
             seq.num_scheduled_tokens = chunk
             num_batched_tokens += -(-chunk // align) * align
             scheduled.append(seq)
@@ -114,21 +119,65 @@ class Scheduler:
     def preempt(self, seq: Sequence):
         seq.status = SequenceStatus.WAITING
         self.block_manager.deallocate(seq)
+        self._free_slot(seq)
         self.waiting.appendleft(seq)
 
-    # ----------------------------------------------------------------- post
+    def _free_slot(self, seq: Sequence):
+        if seq.device_slot >= 0:
+            self.free_slots.append(seq.device_slot)
+            seq.device_slot = -1
 
-    def postprocess(self, seqs: list[Sequence], token_ids: list[int]):
-        for seq, token_id in zip(seqs, token_ids):
+    def finish(self, seq: Sequence):
+        seq.status = SequenceStatus.FINISHED
+        self.block_manager.deallocate(seq)
+        self._free_slot(seq)
+        if seq in self.running:
+            self.running.remove(seq)
+        elif seq in self.waiting:
+            # A preempted sequence whose last (in-flight) sample was an EOS.
+            self.waiting.remove(seq)
+
+    # ----------------------------------------------------------------- post
+    #
+    # Postprocess is split for the async pipeline: lengths advance as soon as
+    # a step is dispatched (the scheduler only needs counts), while sampled
+    # token *values* arrive later in a batched device fetch. The synchronous
+    # ``postprocess`` composes both (reference scheduler.py:81-92 semantics).
+
+    def postprocess_lengths(self, seqs: list[Sequence]) -> list[bool]:
+        """Advance per-seq bookkeeping for a dispatched step; returns one flag
+        per seq: True if a completion token (placeholder) was appended."""
+        appended = []
+        for seq in seqs:
+            if seq.is_finished:
+                appended.append(False)  # finished while the step was in flight
+                continue
             seq.num_cached_tokens += seq.num_scheduled_tokens
             seq.num_scheduled_tokens = 0
             self.block_manager.hash_new_full_blocks(seq)
             if seq.status == SequenceStatus.WAITING:
-                continue  # incomplete prefill chunk: no token to append yet
-            seq.append_token(token_id)
-            if (not seq.ignore_eos and token_id == self.eos) or (
-                seq.num_completion_tokens >= seq.max_tokens
-            ):
-                seq.status = SequenceStatus.FINISHED
-                self.block_manager.deallocate(seq)
-                self.running.remove(seq)
+                appended.append(False)  # incomplete prefill chunk
+                continue
+            seq.append_placeholder()
+            appended.append(True)
+            if seq.num_completion_tokens >= seq.max_tokens:
+                self.finish(seq)
+        return appended
+
+    def apply_values(self, seqs: list[Sequence], appended: list[bool],
+                     token_ids: list[int]):
+        """Patch fetched token values into their placeholders; stop at a
+        late-discovered EOS (truncate the overrun)."""
+        for seq, was_appended, token_id in zip(seqs, appended, token_ids):
+            if not was_appended or not seq.apply_value(int(token_id)):
+                continue
+            self.block_manager.hash_new_full_blocks(seq)
+            if not seq.ignore_eos and token_id == self.eos:
+                seq.truncate(seq.num_valued_tokens)
+                if seq.is_finished:
+                    continue  # already finished by max_tokens; output trimmed
+                self.finish(seq)
+
+    def postprocess(self, seqs: list[Sequence], token_ids: list[int]):
+        appended = self.postprocess_lengths(seqs)
+        self.apply_values(seqs, appended, token_ids)

@@ -40,6 +40,13 @@ class Sequence:
         self.num_scheduled_tokens = 0
         self.block_table: list[int] = []
         self.arrival_time = perf_counter()  # for TTFT / e2e latency metrics
+        # Async pipeline state: sampled tokens live on-device until the next
+        # ring fetch; completion tokens are appended as placeholders (-1) and
+        # patched when values arrive. ``num_valued_tokens`` is the watermark
+        # below which token_ids holds real values.
+        self.num_valued_tokens = len(token_ids)
+        # Device slot for last-sampled-token feedback (assigned by scheduler).
+        self.device_slot = -1
         self.temperature = sampling_params.temperature
         self.max_tokens = sampling_params.max_tokens
         self.ignore_eos = sampling_params.ignore_eos
@@ -79,9 +86,34 @@ class Sequence:
         return self.token_ids[i * self.block_size: (i + 1) * self.block_size]
 
     def append_token(self, token_id: int):
+        """Append a token whose value is known (synchronous path)."""
         self.token_ids.append(token_id)
         self.last_token = token_id
         self.num_tokens += 1
+        self.num_valued_tokens = self.num_tokens
+
+    def append_placeholder(self):
+        """Append a completion token whose value is still on-device."""
+        self.token_ids.append(-1)
+        self.num_tokens += 1
+
+    def apply_value(self, token_id: int) -> bool:
+        """Patch the oldest placeholder with its fetched value; returns False
+        if there is none (e.g. the tail was truncated at an earlier EOS)."""
+        if self.num_valued_tokens >= self.num_tokens:
+            return False
+        self.token_ids[self.num_valued_tokens] = token_id
+        self.last_token = token_id
+        self.num_valued_tokens += 1
+        return True
+
+    def truncate(self, num_tokens: int):
+        """Drop the tail (late-discovered EOS): keep ``num_tokens`` tokens."""
+        assert self.num_prompt_tokens <= num_tokens <= self.num_tokens
+        del self.token_ids[num_tokens:]
+        self.num_tokens = num_tokens
+        self.num_valued_tokens = min(self.num_valued_tokens, num_tokens)
+        self.last_token = self.token_ids[-1]
 
     def __repr__(self):
         return (

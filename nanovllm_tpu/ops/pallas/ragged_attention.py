@@ -53,6 +53,14 @@ def _cdiv(a, b):
 
 
 # =========================================================== decode kernel
+#
+# Grouped: each grid step processes GRP sequences against one page each,
+# batched into a single MXU-friendly dot with block-diagonal masking. A
+# one-sequence-per-step grid spends most of a decode step on per-grid-step
+# overhead and sub-MXU matmuls ([G, hd] x [hd, block]); grouping multiplies
+# the dot's N dim by GRP and divides grid steps by GRP.
+
+GRP = 8  # sequences per decode grid step (buckets must be multiples)
 
 
 def _decode_kernel(
@@ -61,147 +69,206 @@ def _decode_kernel(
     kv_lens_ref,       # i32[S]
     tables_ref,        # i32[S, W]
     num_seqs_ref,      # i32[1]
-    # inputs
-    q_ref,             # [Hkv, S, G, hd] VMEM
-    k_new_ref,         # [Hkv, S, 1, hd] VMEM (one new row per sequence)
+    # inputs (per-group blocks)
+    q_ref,             # [Hkv, GRP, G, hd] VMEM (group g)
+    k_new_ref,         # [Hkv, GRP, 1, hd] VMEM (one new row per sequence)
     v_new_ref,
     k_hbm,             # [L, Hkv, blocks, block, hd] ANY (aliased in/out)
     v_hbm,
     # outputs
-    o_ref,             # [Hkv, S, G, hd] VMEM
+    o_ref,             # [Hkv, GRP, G, hd] VMEM (group g)
     k_out_hbm,         # aliased views of k_hbm / v_hbm
     v_out_hbm,
     # scratch
-    k_buf,             # [2, Hkv, block, hd]
+    k_buf,             # [2, Hkv, GRP*block, hd]
     v_buf,
-    sems,              # DMA sems [2, 2] (k/v, slot)
+    sems,              # DMA sems [2, 2, GRP] (k/v, slot, lane)
     w_sems,            # DMA sems [2] (k/v write-back)
     wk_buf,            # [Hkv, 8, hd] staging for the aligned write-back tile
     wv_buf,
     buf_idx_ref,       # SMEM i32[1]
-    m_scr,             # f32[Hkv, G, 128]
-    l_scr,             # f32[Hkv, G, 128]
-    acc_scr,           # f32[Hkv, G, hd]
+    m_scr,             # f32[Hkv, GRP*G, 128]
+    l_scr,             # f32[Hkv, GRP*G, 128]
+    acc_scr,           # f32[Hkv, GRP*G, hd]
     *,
     block_size: int,
     sm_scale: float,
 ):
-    s, j = pl.program_id(0), pl.program_id(1)
-    num_seqs = num_seqs_ref[0]
-    kv_len = kv_lens_ref[s]
-    num_blocks = _cdiv(kv_len, block_size)  # pages this sequence needs
-
+    g, j = pl.program_id(0), pl.program_id(1)
     layer = layer_ref[0]
 
-    def read_page(seq, page, slot):
-        # Reads go through the aliased *output* refs: the same HBM buffer on
-        # hardware, and in interpret mode (where in/out are separate arrays)
-        # reads then observe the in-kernel KV appends.
-        page_id = tables_ref[seq, page]
-        pltpu.make_async_copy(
-            k_out_hbm.at[layer, :, page_id], k_buf.at[slot], sems.at[0, slot]
-        ).start()
-        pltpu.make_async_copy(
-            v_out_hbm.at[layer, :, page_id], v_buf.at[slot], sems.at[1, slot]
-        ).start()
+    def nb_of(seq):
+        return _cdiv(kv_lens_ref[seq], block_size)
 
-    def wait_page(slot):
-        pltpu.make_async_copy(
-            k_out_hbm.at[0, :, 0], k_buf.at[slot], sems.at[0, slot]
-        ).wait()
-        pltpu.make_async_copy(
-            v_out_hbm.at[0, :, 0], v_buf.at[slot], sems.at[1, slot]
-        ).wait()
+    def group_max_nb(grp):
+        m = nb_of(grp * GRP)
+        for i in range(1, GRP):
+            m = jnp.maximum(m, nb_of(grp * GRP + i))
+        return m
 
-    @pl.when((s == 0) & (j == 0))
+    gmax = group_max_nb(g)
+
+    def read_group_page(grp, page, slot):
+        # One page per live-at-this-depth sequence of the group, landing in
+        # that sequence's [block] strip of the buffer. Reads go through the
+        # aliased *output* refs: the same HBM buffer on hardware, and in
+        # interpret mode (separate arrays) reads then observe the appends.
+        for i in range(GRP):
+            seq = grp * GRP + i
+
+            @pl.when(page < nb_of(seq))
+            def _start(i=i, seq=seq):
+                page_id = tables_ref[seq, page]
+                pltpu.make_async_copy(
+                    k_out_hbm.at[layer, :, page_id],
+                    k_buf.at[slot, :, pl.ds(i * block_size, block_size)],
+                    sems.at[0, slot, i],
+                ).start()
+                pltpu.make_async_copy(
+                    v_out_hbm.at[layer, :, page_id],
+                    v_buf.at[slot, :, pl.ds(i * block_size, block_size)],
+                    sems.at[1, slot, i],
+                ).start()
+
+    def wait_group_page(grp, page, slot):
+        for i in range(GRP):
+            seq = grp * GRP + i
+
+            @pl.when(page < nb_of(seq))
+            def _wait(i=i, seq=seq):
+                pltpu.make_async_copy(
+                    k_out_hbm.at[0, :, 0],
+                    k_buf.at[slot, :, pl.ds(i * block_size, block_size)],
+                    sems.at[0, slot, i],
+                ).wait()
+                pltpu.make_async_copy(
+                    v_out_hbm.at[0, :, 0],
+                    v_buf.at[slot, :, pl.ds(i * block_size, block_size)],
+                    sems.at[1, slot, i],
+                ).wait()
+
+    @pl.when((g == 0) & (j == 0))
     def _init_first():
         buf_idx_ref[0] = 0
-        read_page(0, 0, 0)
+        read_group_page(0, 0, 0)
 
-    @pl.when(j < num_blocks)
+    @pl.when(j < gmax)
     def _work():
         slot = buf_idx_ref[0]
 
-        # Prefetch the next working page into the other buffer. Padding
-        # sequences (kv_len 0) sit past num_seqs, so nseq < num_seqs suffices.
-        in_seq = j + 1 < num_blocks
-        nseq = jnp.where(in_seq, s, s + 1)
-        npage = jnp.where(in_seq, j + 1, 0)
+        # Prefetch: rest of this group, else the next group's page 0.
+        in_group = j + 1 < gmax
+        ngrp = jnp.where(in_group, g, g + 1)
+        npage = jnp.where(in_group, j + 1, 0)
 
-        @pl.when(nseq < num_seqs)
+        @pl.when(ngrp < pl.num_programs(0))
         def _prefetch():
-            read_page(nseq, npage, 1 - slot)
+            read_group_page(ngrp, npage, 1 - slot)
 
-        wait_page(slot)
+        wait_group_page(g, j, slot)
         buf_idx_ref[0] = 1 - slot
 
         @pl.when(j == 0)
-        def _init_seq():
+        def _init_group():
             m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
             l_scr[...] = jnp.zeros_like(l_scr)
             acc_scr[...] = jnp.zeros_like(acc_scr)
 
-        hkv, _, groups, hd = q_ref.shape
-        q = q_ref[:, s].astype(jnp.float32)           # [Hkv, G, hd]
-        k = k_buf[slot]                                # [Hkv, block, hd]
-        v = v_buf[slot]
+        hkv, grp, groups, hd = q_ref.shape
 
-        is_last = j == num_blocks - 1
-        # The new K/V row lands in the last page at column kv_len-1. The page
-        # was read stale; substitute the row in registers for this step's
-        # attention, and persist an aligned 8-row tile back to the cache for
-        # future steps (a 1-row DMA at an arbitrary sublane offset is not
-        # expressible; an 8-aligned tile is). The written page is exclusively
-        # owned by this sequence, so nothing else in this grid reads it.
-        pos = kv_len - 1
-        off = pos - j * block_size                    # in-page column (last pg)
-        col = jax.lax.broadcasted_iota(jnp.int32, k.shape, 1)
-        patch = is_last & (col == off)
-        k = jnp.where(patch, k_new_ref[:, s].astype(k.dtype), k)
-        v = jnp.where(patch, v_new_ref[:, s].astype(v.dtype), v)
+        def per_seq_scalar(shape, dim, div, fn):
+            """Materialize fn(seq) across ``dim`` (where lane index // div is
+            the group-local sequence) via scalar-broadcast selects — Mosaic
+            cannot relayout a lane vector into a non-minor dim, so build the
+            tensor from SMEM scalars directly."""
+            idx = jax.lax.broadcasted_iota(jnp.int32, shape, dim) // div
+            out = jnp.zeros(shape, jnp.int32)
+            for i in range(GRP):
+                out = jnp.where(idx == i, fn(g * GRP + i), out)
+            return out
 
-        @pl.when(is_last)
-        def _write_back():
-            off8 = pl.multiple_of((off // 8) * 8, 8)
-            r = off - off8
-            rows_k = k_buf[slot, :, pl.ds(off8, 8), :]   # [Hkv, 8, hd]
-            rows_v = v_buf[slot, :, pl.ds(off8, 8), :]
-            sel = jax.lax.broadcasted_iota(jnp.int32, rows_k.shape, 1) == r
-            wk_buf[...] = jnp.where(sel, k_new_ref[:, s].astype(rows_k.dtype),
-                                    rows_k)
-            wv_buf[...] = jnp.where(sel, v_new_ref[:, s].astype(rows_v.dtype),
-                                    rows_v)
-            page_id = tables_ref[s, pos // block_size]
-            wk = pltpu.make_async_copy(
-                wk_buf,
-                k_out_hbm.at[layer, :, page_id, pl.ds(off8, 8)],
-                w_sems.at[0],
-            )
-            wv = pltpu.make_async_copy(
-                wv_buf,
-                v_out_hbm.at[layer, :, page_id, pl.ds(off8, 8)],
-                w_sems.at[1],
-            )
-            wk.start()
-            wv.start()
-            wk.wait()
-            wv.wait()
+        k = k_buf[slot].reshape(hkv, GRP, block_size, hd)
+        v = v_buf[slot].reshape(hkv, GRP, block_size, hd)
 
-        # scores[h, g, t] = sum_d q[h,g,d] * k[h,t,d]
+        # This step's new K/V row lands at global position kv_len-1, i.e. in
+        # page j exactly when j is the sequence's last page; substitute it in
+        # registers (the page was read stale).
+        kv4 = per_seq_scalar(k.shape, 1, 1, lambda s_: kv_lens_ref[s_])
+        pos4 = j * block_size + jax.lax.broadcasted_iota(jnp.int32, k.shape, 2)
+        patch = pos4 == kv4 - 1
+        k = jnp.where(patch, k_new_ref[...].astype(k.dtype), k)
+        v = jnp.where(patch, v_new_ref[...].astype(v.dtype), v)
+
+        # Persist an aligned 8-row tile holding the new row back to the cache
+        # (a 1-row DMA at an arbitrary sublane offset is not expressible).
+        # The written page is exclusively owned by its sequence.
+        for i in range(GRP):
+            off = kv_lens_ref[g * GRP + i] - 1 - j * block_size
+
+            @pl.when((off >= 0) & (off < block_size))
+            def _write_back(i=i, off=off):
+                off8 = pl.multiple_of((off // 8) * 8, 8)
+                r = off - off8
+                base = i * block_size
+                rows_k = k_buf[slot, :, pl.ds(base + off8, 8), :]
+                rows_v = v_buf[slot, :, pl.ds(base + off8, 8), :]
+                sel = jax.lax.broadcasted_iota(jnp.int32, rows_k.shape, 1) == r
+                wk_buf[...] = jnp.where(
+                    sel, k_new_ref[:, i].astype(rows_k.dtype), rows_k
+                )
+                wv_buf[...] = jnp.where(
+                    sel, v_new_ref[:, i].astype(rows_v.dtype), rows_v
+                )
+                page_id = tables_ref[g * GRP + i, j]
+                wk = pltpu.make_async_copy(
+                    wk_buf,
+                    k_out_hbm.at[layer, :, page_id, pl.ds(off8, 8)],
+                    w_sems.at[0],
+                )
+                wv = pltpu.make_async_copy(
+                    wv_buf,
+                    v_out_hbm.at[layer, :, page_id, pl.ds(off8, 8)],
+                    w_sems.at[1],
+                )
+                wk.start()
+                wv.start()
+                wk.wait()
+                wv.wait()
+
+        q = q_ref[...].astype(jnp.float32).reshape(hkv, GRP * groups, hd)
+        kf = k.reshape(hkv, GRP * block_size, hd).astype(jnp.float32)
+        vf = v.reshape(hkv, GRP * block_size, hd).astype(jnp.float32)
+
+        # scores[h, r, c]: one batched dot per head over the whole group.
         scores = jax.lax.dot_general(
-            q, k.astype(jnp.float32),
+            q, kf,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ) * sm_scale  # [Hkv, G, block]
+        ) * sm_scale                        # [Hkv, GRP*G, GRP*block]
 
-        kv_pos = j * block_size + jax.lax.broadcasted_iota(
-            jnp.int32, scores.shape, 2
-        )
-        scores = jnp.where(kv_pos < kv_len, scores, MASK_VALUE)
+        # Block-diagonal (row's sequence == column's sequence) + kv length.
+        row_seq = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) // groups
+        col_idx = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
+        col_seq = col_idx // block_size
+        kv_pos = j * block_size + col_idx % block_size
+        kv_len_col = per_seq_scalar(
+            scores.shape, 2, block_size, lambda s_: kv_lens_ref[s_]
+        )  # column c belongs to group-local sequence c // block_size
+        mask = (row_seq == col_seq) & (kv_pos < kv_len_col)
+        scores = jnp.where(mask, scores, MASK_VALUE)
 
-        m_prev = m_scr[:, :, 0]                       # [Hkv, G]
+        # Zero V's invalid columns: buffer strips of sequences with no page at
+        # this depth were never DMA'd, and 0 * garbage (NaN in interpret mode)
+        # would poison the p @ V dot even under zero weights.
+        v_shape = (hkv, GRP * block_size, hd)
+        col_v = jax.lax.broadcasted_iota(jnp.int32, v_shape, 1)
+        v_pos = j * block_size + col_v % block_size
+        v_len = per_seq_scalar(v_shape, 1, block_size, lambda s_: kv_lens_ref[s_])
+        vf = jnp.where(v_pos < v_len, vf, 0.0)
+
+        m_prev = m_scr[:, :, 0]                       # [Hkv, GRP*G]
         l_prev = l_scr[:, :, 0]
-        m_curr = jnp.max(scores, axis=-1)             # [Hkv, G]
+        m_curr = jnp.max(scores, axis=-1)
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp(m_prev - m_next)
         p = jnp.exp(scores - m_next[:, :, None])
@@ -209,20 +276,19 @@ def _decode_kernel(
         m_scr[...] = jnp.broadcast_to(m_next[:, :, None], m_scr.shape)
         l_scr[...] = jnp.broadcast_to(l_next[:, :, None], l_scr.shape)
 
-        # o[h, g, d] = sum_t p[h,g,t] * v[h,t,d]  (v patched above)
         o_curr = jax.lax.dot_general(
-            p, v.astype(jnp.float32),
+            p, vf,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         acc_scr[...] = acc_scr[...] * alpha[:, :, None] + o_curr
 
-        @pl.when(j == num_blocks - 1)
+        @pl.when(j == gmax - 1)
         def _store():
             l = l_scr[:, :, 0]
             l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-            out = acc_scr[...] * l_inv[:, :, None]    # [Hkv, G, hd]
-            o_ref[:, s] = out.astype(o_ref.dtype)
+            out = acc_scr[...] * l_inv[:, :, None]    # [Hkv, GRP*G, hd]
+            o_ref[...] = out.reshape(hkv, GRP, groups, hd).astype(o_ref.dtype)
 
 
 def paged_decode_attention(
@@ -242,36 +308,50 @@ def paged_decode_attention(
     _, Hkv, _, block_size, _ = k_cache.shape
     groups = Hq // Hkv
     W = meta.block_tables.shape[1]
+    assert S % GRP == 0, f"decode bucket {S} not a multiple of group {GRP}"
+    assert block_size % 8 == 0
     q_hm = q.reshape(S, Hkv, groups, hd).transpose(1, 0, 2, 3)
     k_new_hm = k_new.transpose(1, 0, 2)[:, :, None].astype(k_cache.dtype)
     v_new_hm = v_new.transpose(1, 0, 2)[:, :, None].astype(v_cache.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(S, W),
+        grid=(S // GRP, W),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # q
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # k_new [Hkv, S, 1, hd]
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # v_new
+            pl.BlockSpec(
+                (Hkv, GRP, groups, hd), lambda g, j, *_: (0, g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (Hkv, GRP, 1, hd), lambda g, j, *_: (0, g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (Hkv, GRP, 1, hd), lambda g, j, *_: (0, g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(memory_space=pl.ANY),       # k pages (HBM)
             pl.BlockSpec(memory_space=pl.ANY),       # v pages
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # o
+            pl.BlockSpec(
+                (Hkv, GRP, groups, hd), lambda g, j, *_: (0, g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(memory_space=pl.ANY),       # k pages (aliased)
             pl.BlockSpec(memory_space=pl.ANY),       # v pages (aliased)
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, Hkv, block_size, hd), k_cache.dtype),
-            pltpu.VMEM((2, Hkv, block_size, hd), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, Hkv, GRP * block_size, hd), k_cache.dtype),
+            pltpu.VMEM((2, Hkv, GRP * block_size, hd), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2, GRP)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((Hkv, 8, hd), k_cache.dtype),
             pltpu.VMEM((Hkv, 8, hd), v_cache.dtype),
             pltpu.SMEM((1,), jnp.int32),
-            pltpu.VMEM((Hkv, groups, 128), jnp.float32),
-            pltpu.VMEM((Hkv, groups, 128), jnp.float32),
-            pltpu.VMEM((Hkv, groups, hd), jnp.float32),
+            pltpu.VMEM((Hkv, GRP * groups, 128), jnp.float32),
+            pltpu.VMEM((Hkv, GRP * groups, 128), jnp.float32),
+            pltpu.VMEM((Hkv, GRP * groups, hd), jnp.float32),
         ],
     )
     kernel = functools.partial(
@@ -290,6 +370,7 @@ def paged_decode_attention(
         input_output_aliases={7: 1, 8: 2},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(

@@ -129,3 +129,19 @@ def test_sampling_temperature_smoke(llm):
     for out in outs:
         assert len(out["token_ids"]) == 5
         assert all(0 <= t < 512 for t in out["token_ids"])
+
+
+def test_async_pipeline_matches_sync(tiny_qwen3_dir):
+    """fetch_interval=8 (device token feedback, lagged EOS) must produce the
+    same outputs as fetch_interval=1, including EOS-truncated sequences."""
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(2, 500, size=n).tolist() for n in (9, 21, 33)]
+    sp = SamplingParams(temperature=0.0, max_tokens=24, ignore_eos=False)
+    outs = {}
+    for interval in (1, 8):
+        llm = LLM(tiny_qwen3_dir, fetch_interval=interval, **ENGINE_KW)
+        # Force a tiny vocab token as EOS so greedy decodes actually hit it.
+        ref_out = llm.generate(prompts, sp, use_tqdm=False)
+        outs[interval] = [o["token_ids"] for o in ref_out]
+        llm.exit()
+    assert outs[1] == outs[8]
