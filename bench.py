@@ -24,6 +24,11 @@ def main():
     max_len = int(os.environ.get("BENCH_MAX_LEN", 1024))
     min_len = max(1, max_len // 10)
     tp = int(os.environ.get("BENCH_TP", 1))
+    # BASELINE.md target config: Qwen3-0.6B INT8 weights on 1 chip.
+    quant = os.environ.get("BENCH_QUANT", "int8")
+    quant = None if quant in ("", "none", "bf16") else quant
+    kv_dtype = os.environ.get("BENCH_KV_DTYPE", "auto")
+    fetch_interval = int(os.environ.get("BENCH_FETCH_INTERVAL", 16))
 
     from nanovllm_tpu import LLM, SamplingParams
 
@@ -40,6 +45,9 @@ def main():
         max_model_len=4096,
         max_num_seqs=min(512, max(num_seqs, 8)),
         tensor_parallel_size=tp,
+        quantization=quant,
+        kv_cache_dtype=kv_dtype,
+        fetch_interval=fetch_interval,
     )
 
     rng = np.random.default_rng(0)

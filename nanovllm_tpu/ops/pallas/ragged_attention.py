@@ -187,8 +187,11 @@ def _decode_kernel(
                 out = jnp.where(idx == i, fn(g * GRP + i), out)
             return out
 
-        k = k_buf[slot].reshape(hkv, GRP, block_size, hd)
-        v = v_buf[slot].reshape(hkv, GRP, block_size, hd)
+        # Convert pages to f32 BEFORE any select: narrow cache dtypes (fp8 /
+        # int8) have (32,128) native tiling and masked selects on them force
+        # whole-buffer relayouts in Mosaic (measured ~8x step blowup).
+        k = k_buf[slot].reshape(hkv, GRP, block_size, hd).astype(jnp.float32)
+        v = v_buf[slot].reshape(hkv, GRP, block_size, hd).astype(jnp.float32)
 
         # This step's new K/V row lands at global position kv_len-1, i.e. in
         # page j exactly when j is the sequence's last page; substitute it in
@@ -196,8 +199,8 @@ def _decode_kernel(
         kv4 = per_seq_scalar(k.shape, 1, 1, lambda s_: kv_lens_ref[s_])
         pos4 = j * block_size + jax.lax.broadcasted_iota(jnp.int32, k.shape, 2)
         patch = pos4 == kv4 - 1
-        k = jnp.where(patch, k_new_ref[...].astype(k.dtype), k)
-        v = jnp.where(patch, v_new_ref[...].astype(v.dtype), v)
+        k = jnp.where(patch, k_new_ref[...].astype(jnp.float32), k)
+        v = jnp.where(patch, v_new_ref[...].astype(jnp.float32), v)
 
         # Persist an aligned 8-row tile holding the new row back to the cache
         # (a 1-row DMA at an arbitrary sublane offset is not expressible).
@@ -236,8 +239,8 @@ def _decode_kernel(
                 wv.wait()
 
         q = q_ref[...].astype(jnp.float32).reshape(hkv, GRP * groups, hd)
-        kf = k.reshape(hkv, GRP * block_size, hd).astype(jnp.float32)
-        vf = v.reshape(hkv, GRP * block_size, hd).astype(jnp.float32)
+        kf = k.reshape(hkv, GRP * block_size, hd)
+        vf = v.reshape(hkv, GRP * block_size, hd)
 
         # scores[h, r, c]: one batched dot per head over the whole group.
         scores = jax.lax.dot_general(

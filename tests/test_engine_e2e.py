@@ -145,3 +145,20 @@ def test_async_pipeline_matches_sync(tiny_qwen3_dir):
         outs[interval] = [o["token_ids"] for o in ref_out]
         llm.exit()
     assert outs[1] == outs[8]
+
+
+def test_fp8_kv_cache_close_to_bf16(tiny_qwen3_dir):
+    """fp8 KV cache runs end-to-end; greedy tokens mostly agree with the
+    full-precision cache on a tiny model (fp8 e4m3 has ~2 decimal digits)."""
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(2, 500, size=n).tolist() for n in (9, 21)]
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    kw = dict(ENGINE_KW)
+    ref_llm = LLM(tiny_qwen3_dir, **kw)
+    ref = [o["token_ids"] for o in ref_llm.generate(prompts, sp, use_tqdm=False)]
+    ref_llm.exit()
+    fp8_llm = LLM(tiny_qwen3_dir, kv_cache_dtype="fp8", **kw)
+    out = [o["token_ids"] for o in fp8_llm.generate(prompts, sp, use_tqdm=False)]
+    fp8_llm.exit()
+    agree = sum(a == b for o, r in zip(out, ref) for a, b in zip(o, r))
+    assert agree >= 10, (out, ref)  # >= ~60% token agreement on random tiny net
