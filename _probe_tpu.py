@@ -80,3 +80,44 @@ np.testing.assert_allclose(kf[:, slots[live]],
                            rtol=0, atol=1e-2)
 print("prefill write-back ok")
 print("TPU PROBE PASS")
+
+# ---- int8 KV quantized path on real chip
+kshape = (2, HKV, NB, BLOCK, HD)
+kc8 = (jnp.zeros(kshape, jnp.int8), jnp.zeros((2, NB, HKV, BLOCK), jnp.float32))
+vc8 = (jnp.zeros(kshape, jnp.int8), jnp.zeros((2, NB, HKV, BLOCK), jnp.float32))
+reqs = [dict(token_ids=list(range(c)), start=s, kv_len=s+c,
+             block_table=t, temperature=1.0)
+        for (s, c), t in zip(lens, tables2)]
+inputs = build_step_inputs(reqs, block_size=BLOCK, num_tokens_bucket=768,
+                           num_seqs_bucket=4, max_blocks_per_seq=2,
+                           rng=np.zeros(2, np.uint32), q_tile=128)
+meta = meta_of(inputs)
+# prefill into empty quantized cache
+ref, kr8, vr8 = ragged_paged_attention_ref(q, kn, vn, kc8, vc8, 0, meta, sm_scale=SM)
+out, ko8, vo8 = jax.jit(
+    lambda *a: ragged_prefill_attention(*a, 0, meta, sm_scale=SM, q_tile=128)
+)(q, kn, vn, kc8, vc8)
+live = np.asarray(inputs.seq_ids) < 4
+d = np.abs(np.asarray(out, np.float32)[live] - np.asarray(ref, np.float32)[live]).max()
+print("prefill int8-kv max diff vs oracle:", d)
+assert d < 0.08, d
+
+# decode over the prefilled quantized cache
+kv_lens2 = [301, 457, 65]
+reqs = [dict(token_ids=[1], start=n-1, kv_len=n, block_table=t,
+             temperature=1.0) for n, t in zip(kv_lens2, tables2)]
+inputs = build_step_inputs(reqs, block_size=BLOCK, num_tokens_bucket=8,
+                           num_seqs_bucket=8, max_blocks_per_seq=4,
+                           rng=np.zeros(2, np.uint32))
+meta = meta_of(inputs)
+qd = jnp.asarray(rng.standard_normal((8, HQ, HD)), jnp.bfloat16)
+knd = jnp.asarray(rng.standard_normal((8, HKV, HD)), jnp.bfloat16)
+vnd = jnp.asarray(rng.standard_normal((8, HKV, HD)), jnp.bfloat16)
+ref, _, _ = ragged_paged_attention_ref(qd, knd, vnd, kr8, vr8, 0, meta, sm_scale=SM)
+out, _, _ = jax.jit(
+    lambda *a: paged_decode_attention(*a, 0, meta, sm_scale=SM)
+)(qd, knd, vnd, ko8, vo8)
+d = np.abs(np.asarray(out[:3], np.float32) - np.asarray(ref[:3], np.float32)).max()
+print("decode int8-kv max diff vs oracle:", d)
+assert d < 0.08, d
+print("INT8-KV TPU PROBE PASS")

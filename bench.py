@@ -27,7 +27,7 @@ def main():
     # BASELINE.md target config: Qwen3-0.6B INT8 weights on 1 chip.
     quant = os.environ.get("BENCH_QUANT", "int8")
     quant = None if quant in ("", "none", "bf16") else quant
-    kv_dtype = os.environ.get("BENCH_KV_DTYPE", "auto")
+    kv_dtype = os.environ.get("BENCH_KV_DTYPE", "int8")
     fetch_interval = int(os.environ.get("BENCH_FETCH_INTERVAL", 16))
 
     from nanovllm_tpu import LLM, SamplingParams

@@ -77,12 +77,13 @@ class Config:
         assert self.quantization in (None, "int8", "int4", "fp8"), self.quantization
         if self.kv_cache_dtype == "auto":
             self.kv_cache_dtype = self.dtype
-        # fp8 (e4m3) KV stores K/V rows in 1 byte each without explicit
-        # scales: the attention kernels cast on write and dequant-cast to
-        # f32 on read. int8 KV (per-token scales) is not wired up yet.
-        assert self.kv_cache_dtype in ("bfloat16", "float16", "float32", "fp8"), (
-            f"unsupported kv_cache_dtype {self.kv_cache_dtype!r}"
-        )
+        # int8 KV stores values in 1 byte with an f32 scale per (token, head)
+        # — the fast quantized path (native int8 converts). fp8 (e4m3,
+        # scale-free) also works but v5e emulates fp8 converts in software,
+        # so it is slower than bf16 for decode-heavy work.
+        assert self.kv_cache_dtype in (
+            "bfloat16", "float16", "float32", "int8", "fp8"
+        ), f"unsupported kv_cache_dtype {self.kv_cache_dtype!r}"
         # Few, coarse buckets: every (bucket, mode) pair is a separate XLA
         # program; decode matmuls are weight-bandwidth-bound so padding a
         # decode batch up is nearly free, and large prefill buckets cost only

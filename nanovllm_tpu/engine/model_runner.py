@@ -209,15 +209,21 @@ class ModelRunner:
 
     # ------------------------------------------------------------ KV cache
 
+    @property
+    def kv_quantized(self) -> bool:
+        return self.config.kv_cache_dtype == "int8"
+
     def _kv_block_bytes(self) -> int:
         spec = self.spec
-        return (
+        per_value = jnp.dtype(self.kv_dtype).itemsize
+        scale = 4 / spec.head_dim if self.kv_quantized else 0  # f32 per token
+        return int(
             2
             * spec.num_layers
             * self.config.kvcache_block_size
             * spec.num_kv_heads
             * spec.head_dim
-            * jnp.dtype(self.kv_dtype).itemsize
+            * (per_value + scale)
         )
 
     def _auto_num_blocks(self) -> int:
@@ -263,7 +269,13 @@ class ModelRunner:
     def _kv_pspec(self):
         # Head-major cache [L, Hkv, blocks, block, hd]: kv heads shard over
         # the TP axis (reference model_runner.py:111 shards kv_heads/world).
-        return P(None, "tp", None, None, None)
+        # Quantized caches are (values, scales) pairs; scale slabs
+        # [L, blocks, Hkv, block] (page-major so a page's slab is one aligned
+        # [Hkv, block] tile) shard the same head dim.
+        vals = P(None, "tp", None, None, None)
+        if self.kv_quantized:
+            return (vals, P(None, None, "tp", None))
+        return vals
 
     def _allocate_kv_cache(self):
         cfg, spec = self.config, self.spec
@@ -276,11 +288,31 @@ class ModelRunner:
             cfg.kvcache_block_size,
             spec.head_dim,
         )
-        sh = NamedSharding(self.mesh, self._kv_pspec())
-        self.kv = (
-            jax.device_put(jnp.zeros(shape, self.kv_dtype), sh),
-            jax.device_put(jnp.zeros(shape, self.kv_dtype), sh),
-        )
+        if self.kv_quantized:
+            vspec, sspec = self._kv_pspec()
+            vsh = NamedSharding(self.mesh, vspec)
+            ssh = NamedSharding(self.mesh, sspec)
+
+            sshape = (
+                spec.num_layers,
+                cfg.num_kvcache_blocks,
+                spec.num_kv_heads,
+                cfg.kvcache_block_size,
+            )
+
+            def pool():
+                return (
+                    jax.device_put(jnp.zeros(shape, jnp.int8), vsh),
+                    jax.device_put(jnp.zeros(sshape, jnp.float32), ssh),
+                )
+
+            self.kv = (pool(), pool())
+        else:
+            sh = NamedSharding(self.mesh, self._kv_pspec())
+            self.kv = (
+                jax.device_put(jnp.zeros(shape, self.kv_dtype), sh),
+                jax.device_put(jnp.zeros(shape, self.kv_dtype), sh),
+            )
 
     def _alloc_token_state(self):
         """On-device sampled-token state for the async pipeline:

@@ -60,6 +60,23 @@ def write_kv(k_all, v_all, layer, k, v, slot_mapping):
     attention.py:23); they are redirected out of bounds and dropped.
     ``k, v: [T, num_kv_heads, head_dim]``.
     """
+    if isinstance(k_all, tuple):
+        # Quantized cache: (int8 values, f32 per-token scales).
+        from nanovllm_tpu.ops.pallas.ragged_attention import quantize_kv_rows
+
+        kq_all, ks_all = k_all
+        vq_all, vs_all = v_all
+        kq, ks = quantize_kv_rows(k)
+        vq, vs = quantize_kv_rows(v)
+        kq_all, vq_all = write_kv(kq_all, vq_all, layer, kq, vq, slot_mapping)
+        # Scales are page-major [L, blocks, Hkv, block].
+        L, nb, H, bs = ks_all.shape
+        pages = jnp.where(slot_mapping < 0, nb, slot_mapping // bs)
+        lanes = jnp.where(slot_mapping < 0, 0, slot_mapping % bs)
+        layer = jnp.asarray(layer, jnp.int32)
+        ks_all = ks_all.at[layer, pages, :, lanes].set(ks, mode="drop")
+        vs_all = vs_all.at[layer, pages, :, lanes].set(vs, mode="drop")
+        return (kq_all, ks_all), (vq_all, vs_all)
     L, num_kv_heads, num_blocks, block_size, head_dim = k_all.shape
     n_slots = num_blocks * block_size
     slots = jnp.where(slot_mapping < 0, n_slots, slot_mapping)
@@ -101,8 +118,17 @@ def _paged_attention_ref(
     *,
     sm_scale: float,
 ) -> jax.Array:
-    k_cache = jax.lax.dynamic_index_in_dim(k_all, layer, 0, keepdims=False)
-    v_cache = jax.lax.dynamic_index_in_dim(v_all, layer, 0, keepdims=False)
+    def layer_of(cache):
+        if isinstance(cache, tuple):
+            vals, scales = cache
+            v_ = jax.lax.dynamic_index_in_dim(vals, layer, 0, keepdims=False)
+            s_ = jax.lax.dynamic_index_in_dim(scales, layer, 0, keepdims=False)
+            # scales are page-major [blocks, Hkv, block] -> head-major.
+            return v_.astype(jnp.float32) * s_.transpose(1, 0, 2)[..., None]
+        return jax.lax.dynamic_index_in_dim(cache, layer, 0, keepdims=False)
+
+    k_cache = layer_of(k_all)
+    v_cache = layer_of(v_all)
     T, num_q_heads, head_dim = q.shape
     num_kv_heads, num_blocks, block_size, _ = k_cache.shape
     groups = num_q_heads // num_kv_heads

@@ -1,5 +1,6 @@
 """Pallas TPU kernels: paged decode attention + ragged paged prefill attention,
-with the KV-cache append **fused into the kernels** as DMA stores.
+with the KV-cache append **fused into the kernels** as DMA stores, in bf16 or
+int8-with-per-token-scales cache precision.
 
 The TPU-native replacement for the reference's attention stack
 (``nanovllm/layers/attention.py``): the Triton slot-scatter kernel
@@ -15,14 +16,15 @@ aliased cache buffer never moves.
 
 Design (see /opt/skills/guides/pallas_guide.md):
 - KV pages live head-major in HBM ([L, Hkv, num_blocks, block_size, hd]); each
-  (sequence|tile, page) step DMAs one page across all kv heads into a
-  double-buffered VMEM scratch, prefetching page i+1 while computing page i.
-- New K/V rows arrive head-major ([Hkv, T, hd]) in HBM; at each sequence/tile
-  start the kernel issues HBM->HBM copies into the aliased cache and blocks on
-  their completion before any page issued *after* the write is consumed. The
-  only read that can predate the write is the first page's prefetch; when the
-  written page IS page 0 (num_blocks == 1), that page is re-fetched after the
-  write completes.
+  grid step DMAs pages across all kv heads into double-buffered VMEM scratch,
+  prefetching the next step's pages while computing the current ones.
+- Quantized mode: the cache is a (values int8, scales f32) pair per K/V, with
+  one scale per (token, head) laid out [L, blocks, Hkv, block] (page slab = one aligned [Hkv, block] tile). New rows are
+  quantized by XLA outside the kernel; pages dequantize in registers with a
+  native int8->f32 convert + per-token multiply. (fp8 was measured ~8x slower
+  end-to-end: v5e has no hardware fp8, Mosaic emulates the converts.)
+- Pages convert to f32 BEFORE any masked select: narrow dtypes have (32,128)
+  native tiling and selects on them force whole-buffer relayouts.
 - Online softmax in fp32 (running m/l + unnormalized accumulator, one divide
   at the end); mask value -0.7*f32max, safe division for empty rows.
 - GQA batched over kv heads: q is pre-transposed (cheap XLA transpose outside
@@ -52,6 +54,20 @@ def _cdiv(a, b):
     return (a + b - 1) // b
 
 
+def _is_quantized(cache) -> bool:
+    return isinstance(cache, tuple)
+
+
+def quantize_kv_rows(x: jax.Array):
+    """Per-(token, head) symmetric int8 quantization of new K/V rows.
+    x: [T, Hkv, hd] -> (int8 [T, Hkv, hd], f32 scales [T, Hkv])."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
 # =========================================================== decode kernel
 #
 # Grouped: each grid step processes GRP sequences against one page each,
@@ -71,21 +87,33 @@ def _decode_kernel(
     num_seqs_ref,      # i32[1]
     # inputs (per-group blocks)
     q_ref,             # [Hkv, GRP, G, hd] VMEM (group g)
-    k_new_ref,         # [Hkv, GRP, 1, hd] VMEM (one new row per sequence)
+    k_new_ref,         # [Hkv, GRP, 1, hd] VMEM model-dtype new rows (compute)
     v_new_ref,
+    k_store_ref,       # [Hkv, GRP, 1, hd] VMEM cache-dtype rows (write-back)
+    v_store_ref,
+    ks_new_ref,        # [Hkv, GRP, block] VMEM f32 scale, lane-broadcast (q8)
+    vs_new_ref,
     k_hbm,             # [L, Hkv, blocks, block, hd] ANY (aliased in/out)
     v_hbm,
+    ks_hbm,            # [L, blocks, Hkv, block] ANY f32 scales (q8; aliased)
+    vs_hbm,
     # outputs
     o_ref,             # [Hkv, GRP, G, hd] VMEM (group g)
-    k_out_hbm,         # aliased views of k_hbm / v_hbm
+    k_out_hbm,         # aliased views of the cache arrays
     v_out_hbm,
+    ks_out_hbm,
+    vs_out_hbm,
     # scratch
-    k_buf,             # [2, Hkv, GRP*block, hd]
+    k_buf,             # [2, Hkv, GRP*block, hd] cache dtype
     v_buf,
-    sems,              # DMA sems [2, 2, GRP] (k/v, slot, lane)
-    w_sems,            # DMA sems [2] (k/v write-back)
-    wk_buf,            # [Hkv, 8, hd] staging for the aligned write-back tile
+    ks_buf,            # [2, Hkv, GRP*block] f32 (q8)
+    vs_buf,
+    sems,              # DMA sems [NCH, 2, GRP] (channel, slot, lane)
+    w_sems,            # DMA sems [4] write-backs
+    wk_buf,            # [Hkv, TILE, hd] staging for the aligned value tile
     wv_buf,
+    wks_buf,           # [Hkv, block] f32 staging for the scale slab (q8)
+    wvs_buf,
     buf_idx_ref,       # SMEM i32[1]
     m_scr,             # f32[Hkv, GRP*G, 128]
     l_scr,             # f32[Hkv, GRP*G, 128]
@@ -93,6 +121,8 @@ def _decode_kernel(
     *,
     block_size: int,
     sm_scale: float,
+    quantized: bool,
+    wb_tile: int,
 ):
     g, j = pl.program_id(0), pl.program_id(1)
     layer = layer_ref[0]
@@ -119,16 +149,28 @@ def _decode_kernel(
             @pl.when(page < nb_of(seq))
             def _start(i=i, seq=seq):
                 page_id = tables_ref[seq, page]
+                strip = pl.ds(i * block_size, block_size)
                 pltpu.make_async_copy(
                     k_out_hbm.at[layer, :, page_id],
-                    k_buf.at[slot, :, pl.ds(i * block_size, block_size)],
+                    k_buf.at[slot, :, strip],
                     sems.at[0, slot, i],
                 ).start()
                 pltpu.make_async_copy(
                     v_out_hbm.at[layer, :, page_id],
-                    v_buf.at[slot, :, pl.ds(i * block_size, block_size)],
+                    v_buf.at[slot, :, strip],
                     sems.at[1, slot, i],
                 ).start()
+                if quantized:
+                    pltpu.make_async_copy(
+                        ks_out_hbm.at[layer, page_id],
+                        ks_buf.at[slot, :, strip],
+                        sems.at[2, slot, i],
+                    ).start()
+                    pltpu.make_async_copy(
+                        vs_out_hbm.at[layer, page_id],
+                        vs_buf.at[slot, :, strip],
+                        sems.at[3, slot, i],
+                    ).start()
 
     def wait_group_page(grp, page, slot):
         for i in range(GRP):
@@ -136,16 +178,24 @@ def _decode_kernel(
 
             @pl.when(page < nb_of(seq))
             def _wait(i=i, seq=seq):
+                strip = pl.ds(i * block_size, block_size)
                 pltpu.make_async_copy(
-                    k_out_hbm.at[0, :, 0],
-                    k_buf.at[slot, :, pl.ds(i * block_size, block_size)],
+                    k_out_hbm.at[0, :, 0], k_buf.at[slot, :, strip],
                     sems.at[0, slot, i],
                 ).wait()
                 pltpu.make_async_copy(
-                    v_out_hbm.at[0, :, 0],
-                    v_buf.at[slot, :, pl.ds(i * block_size, block_size)],
+                    v_out_hbm.at[0, :, 0], v_buf.at[slot, :, strip],
                     sems.at[1, slot, i],
                 ).wait()
+                if quantized:
+                    pltpu.make_async_copy(
+                        ks_out_hbm.at[0, 0], ks_buf.at[slot, :, strip],
+                        sems.at[2, slot, i],
+                    ).wait()
+                    pltpu.make_async_copy(
+                        vs_out_hbm.at[0, 0], vs_buf.at[slot, :, strip],
+                        sems.at[3, slot, i],
+                    ).wait()
 
     @pl.when((g == 0) & (j == 0))
     def _init_first():
@@ -177,64 +227,108 @@ def _decode_kernel(
         hkv, grp, groups, hd = q_ref.shape
 
         def per_seq_scalar(shape, dim, div, fn):
-            """Materialize fn(seq) across ``dim`` (where lane index // div is
-            the group-local sequence) via scalar-broadcast selects — Mosaic
-            cannot relayout a lane vector into a non-minor dim, so build the
-            tensor from SMEM scalars directly."""
+            """Materialize fn(seq) across ``dim`` (where index // div is the
+            group-local sequence) via scalar-broadcast selects — Mosaic cannot
+            relayout a lane vector into a non-minor dim, so build the tensor
+            from SMEM scalars directly."""
             idx = jax.lax.broadcasted_iota(jnp.int32, shape, dim) // div
             out = jnp.zeros(shape, jnp.int32)
             for i in range(GRP):
                 out = jnp.where(idx == i, fn(g * GRP + i), out)
             return out
 
-        # Convert pages to f32 BEFORE any select: narrow cache dtypes (fp8 /
-        # int8) have (32,128) native tiling and masked selects on them force
-        # whole-buffer relayouts in Mosaic (measured ~8x step blowup).
+        # Convert pages to f32 BEFORE any select (narrow-dtype selects force
+        # relayouts). In int8 mode the per-token scales are NOT applied here:
+        # a [H, N] lane vector cannot relayout onto k's sublane dim, so the
+        # scales fold into the scores (k) and probabilities (v) instead,
+        # where the token dim is already on lanes.
         k = k_buf[slot].reshape(hkv, GRP, block_size, hd).astype(jnp.float32)
         v = v_buf[slot].reshape(hkv, GRP, block_size, hd).astype(jnp.float32)
 
         # This step's new K/V row lands at global position kv_len-1, i.e. in
         # page j exactly when j is the sequence's last page; substitute it in
-        # registers (the page was read stale).
+        # registers (the page was read stale; the new row is full-precision,
+        # so its folded scale is patched to 1 below).
         kv4 = per_seq_scalar(k.shape, 1, 1, lambda s_: kv_lens_ref[s_])
         pos4 = j * block_size + jax.lax.broadcasted_iota(jnp.int32, k.shape, 2)
         patch = pos4 == kv4 - 1
         k = jnp.where(patch, k_new_ref[...].astype(jnp.float32), k)
         v = jnp.where(patch, v_new_ref[...].astype(jnp.float32), v)
 
-        # Persist an aligned 8-row tile holding the new row back to the cache
-        # (a 1-row DMA at an arbitrary sublane offset is not expressible).
+        if quantized:
+            # Column scale vectors [Hkv, GRP*block] (token dim on lanes):
+            # freshly patched full-precision columns get scale 1, and columns
+            # past a sequence's kv length get 0 — their buffer strips may
+            # never have been DMA'd (NaN in interpret mode) and 0 * NaN would
+            # poison the folds despite the score mask.
+            n_cols = GRP * block_size
+            col2 = jax.lax.broadcasted_iota(jnp.int32, (hkv, n_cols), 1)
+            kvc2 = per_seq_scalar(
+                (hkv, n_cols), 1, block_size, lambda s_: kv_lens_ref[s_]
+            )
+            pos2 = j * block_size + col2 % block_size
+            ks_vec = jnp.where(pos2 < kvc2, ks_buf[slot], 0.0)
+            vs_vec = jnp.where(pos2 < kvc2, vs_buf[slot], 0.0)
+            ks_vec = jnp.where(pos2 == kvc2 - 1, 1.0, ks_vec)
+            vs_vec = jnp.where(pos2 == kvc2 - 1, 1.0, vs_vec)
+
+        # Persist an aligned tile holding the new (cache-dtype) row back to
+        # the cache for future steps (a 1-row DMA at an arbitrary sublane
+        # offset is not expressible; int8 needs 32-row alignment, bf16 8).
         # The written page is exclusively owned by its sequence.
         for i in range(GRP):
             off = kv_lens_ref[g * GRP + i] - 1 - j * block_size
 
             @pl.when((off >= 0) & (off < block_size))
             def _write_back(i=i, off=off):
-                off8 = pl.multiple_of((off // 8) * 8, 8)
-                r = off - off8
+                offt = pl.multiple_of((off // wb_tile) * wb_tile, wb_tile)
+                r = off - offt
                 base = i * block_size
-                rows_k = k_buf[slot, :, pl.ds(base + off8, 8), :]
-                rows_v = v_buf[slot, :, pl.ds(base + off8, 8), :]
+                rows_k = k_buf[slot, :, pl.ds(base + offt, wb_tile), :]
+                rows_v = v_buf[slot, :, pl.ds(base + offt, wb_tile), :]
                 sel = jax.lax.broadcasted_iota(jnp.int32, rows_k.shape, 1) == r
                 wk_buf[...] = jnp.where(
-                    sel, k_new_ref[:, i].astype(rows_k.dtype), rows_k
+                    sel, k_store_ref[:, i].astype(rows_k.dtype), rows_k
                 )
                 wv_buf[...] = jnp.where(
-                    sel, v_new_ref[:, i].astype(rows_v.dtype), rows_v
+                    sel, v_store_ref[:, i].astype(rows_v.dtype), rows_v
                 )
                 page_id = tables_ref[g * GRP + i, j]
                 wk = pltpu.make_async_copy(
                     wk_buf,
-                    k_out_hbm.at[layer, :, page_id, pl.ds(off8, 8)],
+                    k_out_hbm.at[layer, :, page_id, pl.ds(offt, wb_tile)],
                     w_sems.at[0],
                 )
                 wv = pltpu.make_async_copy(
                     wv_buf,
-                    v_out_hbm.at[layer, :, page_id, pl.ds(off8, 8)],
+                    v_out_hbm.at[layer, :, page_id, pl.ds(offt, wb_tile)],
                     w_sems.at[1],
                 )
                 wk.start()
                 wv.start()
+                if quantized:
+                    # Scale slabs are [Hkv, block] with block on the lane dim:
+                    # patch one lane in registers and rewrite the whole slab.
+                    lane = jax.lax.broadcasted_iota(
+                        jnp.int32, (hkv, block_size), 1
+                    )
+                    strip = pl.ds(base, block_size)
+                    wks_buf[...] = jnp.where(
+                        lane == off, ks_new_ref[:, i], ks_buf[slot, :, strip]
+                    )
+                    wvs_buf[...] = jnp.where(
+                        lane == off, vs_new_ref[:, i], vs_buf[slot, :, strip]
+                    )
+                    wks = pltpu.make_async_copy(
+                        wks_buf, ks_out_hbm.at[layer, page_id], w_sems.at[2]
+                    )
+                    wvs = pltpu.make_async_copy(
+                        wvs_buf, vs_out_hbm.at[layer, page_id], w_sems.at[3]
+                    )
+                    wks.start()
+                    wvs.start()
+                    wks.wait()
+                    wvs.wait()
                 wk.wait()
                 wv.wait()
 
@@ -248,6 +342,8 @@ def _decode_kernel(
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * sm_scale                        # [Hkv, GRP*G, GRP*block]
+        if quantized:
+            scores = scores * ks_vec[:, None, :]  # fold K dequant scales
 
         # Block-diagonal (row's sequence == column's sequence) + kv length.
         row_seq = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) // groups
@@ -279,6 +375,8 @@ def _decode_kernel(
         m_scr[...] = jnp.broadcast_to(m_next[:, :, None], m_scr.shape)
         l_scr[...] = jnp.broadcast_to(l_next[:, :, None], l_scr.shape)
 
+        if quantized:
+            p = p * vs_vec[:, None, :]      # fold V dequant scales
         o_curr = jax.lax.dot_general(
             p, vf,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -298,59 +396,95 @@ def paged_decode_attention(
     q: jax.Array,        # [S, Hq, hd] (one query token per sequence)
     k_new: jax.Array,    # [S, Hkv, hd] new K rows (appended at kv_len-1)
     v_new: jax.Array,
-    k_cache: jax.Array,  # [L, Hkv, blocks, block, hd] (stacked; reads `layer`)
-    v_cache: jax.Array,
+    k_cache,             # [L, Hkv, blocks, block, hd], or (values, scales)
+    v_cache,
     layer,
     meta,
     *,
     sm_scale: float,
     interpret: bool = False,
 ):
-    """Returns (out [S, Hq, hd], k_cache, v_cache) — caches updated in place."""
+    """Returns (out [S, Hq, hd], k_cache, v_cache) — caches updated in place.
+    Quantized caches are (int8 values, f32 per-token scales) pairs."""
+    quantized = _is_quantized(k_cache)
+    if quantized:
+        kc, ks = k_cache
+        vc, vs = v_cache
+    else:
+        kc, vc = k_cache, v_cache
+        ks = vs = jnp.zeros((1, 1, 1, 1), jnp.float32)
     S, Hq, hd = q.shape
-    _, Hkv, _, block_size, _ = k_cache.shape
+    _, Hkv, _, block_size, _ = kc.shape
     groups = Hq // Hkv
     W = meta.block_tables.shape[1]
     assert S % GRP == 0, f"decode bucket {S} not a multiple of group {GRP}"
-    assert block_size % 8 == 0
+    wb_tile = 32 if quantized else 8
+    assert block_size % wb_tile == 0
     q_hm = q.reshape(S, Hkv, groups, hd).transpose(1, 0, 2, 3)
-    k_new_hm = k_new.transpose(1, 0, 2)[:, :, None].astype(k_cache.dtype)
-    v_new_hm = v_new.transpose(1, 0, 2)[:, :, None].astype(v_cache.dtype)
+    k_new_hm = k_new.transpose(1, 0, 2)[:, :, None]
+    v_new_hm = v_new.transpose(1, 0, 2)[:, :, None]
+    if quantized:
+        kq, ksc = quantize_kv_rows(k_new)   # [S, Hkv, hd], [S, Hkv]
+        vq, vsc = quantize_kv_rows(v_new)
+        k_store = kq.transpose(1, 0, 2)[:, :, None]
+        v_store = vq.transpose(1, 0, 2)[:, :, None]
+        ks_new = jnp.broadcast_to(
+            ksc.T[:, :, None], (Hkv, S, block_size)
+        )
+        vs_new = jnp.broadcast_to(
+            vsc.T[:, :, None], (Hkv, S, block_size)
+        )
+    else:
+        k_store = k_new_hm.astype(kc.dtype)
+        v_store = v_new_hm.astype(vc.dtype)
+        ks_new = vs_new = jnp.zeros((Hkv, S, block_size), jnp.float32)
+        k_new_hm = k_store
+        v_new_hm = v_store
 
+    grp_block = lambda shape: pl.BlockSpec(
+        shape, lambda g, j, *_: (0, g) + (0,) * (len(shape) - 2),
+        memory_space=pltpu.VMEM,
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(S // GRP, W),
         in_specs=[
-            pl.BlockSpec(
-                (Hkv, GRP, groups, hd), lambda g, j, *_: (0, g, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (Hkv, GRP, 1, hd), lambda g, j, *_: (0, g, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (Hkv, GRP, 1, hd), lambda g, j, *_: (0, g, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pl.ANY),       # k pages (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),       # v pages
+            grp_block((Hkv, GRP, groups, hd)),   # q
+            grp_block((Hkv, GRP, 1, hd)),        # k_new (compute dtype)
+            grp_block((Hkv, GRP, 1, hd)),        # v_new
+            grp_block((Hkv, GRP, 1, hd)),        # k_store (cache dtype)
+            grp_block((Hkv, GRP, 1, hd)),        # v_store
+            grp_block((Hkv, GRP, block_size)),   # ks_new (lane-broadcast)
+            grp_block((Hkv, GRP, block_size)),   # vs_new
+            pl.BlockSpec(memory_space=pl.ANY),   # k pages (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),   # v pages
+            pl.BlockSpec(memory_space=pl.ANY),   # k scales
+            pl.BlockSpec(memory_space=pl.ANY),   # v scales
         ],
         out_specs=[
-            pl.BlockSpec(
-                (Hkv, GRP, groups, hd), lambda g, j, *_: (0, g, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pl.ANY),       # k pages (aliased)
-            pl.BlockSpec(memory_space=pl.ANY),       # v pages (aliased)
+            grp_block((Hkv, GRP, groups, hd)),   # o
+            pl.BlockSpec(memory_space=pl.ANY),   # aliased caches
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, Hkv, GRP * block_size, hd), k_cache.dtype),
-            pltpu.VMEM((2, Hkv, GRP * block_size, hd), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((2, 2, GRP)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((Hkv, 8, hd), k_cache.dtype),
-            pltpu.VMEM((Hkv, 8, hd), v_cache.dtype),
+            pltpu.VMEM((2, Hkv, GRP * block_size, hd), kc.dtype),
+            pltpu.VMEM((2, Hkv, GRP * block_size, hd), vc.dtype),
+            pltpu.VMEM(
+                (2, Hkv, GRP * block_size) if quantized else (1, 1, 1),
+                jnp.float32,
+            ),
+            pltpu.VMEM(
+                (2, Hkv, GRP * block_size) if quantized else (1, 1, 1),
+                jnp.float32,
+            ),
+            pltpu.SemaphoreType.DMA((4, 2, GRP)),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((Hkv, wb_tile, hd), kc.dtype),
+            pltpu.VMEM((Hkv, wb_tile, hd), vc.dtype),
+            pltpu.VMEM((Hkv, block_size) if quantized else (1, 1), jnp.float32),
+            pltpu.VMEM((Hkv, block_size) if quantized else (1, 1), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.VMEM((Hkv, GRP * groups, 128), jnp.float32),
             pltpu.VMEM((Hkv, GRP * groups, 128), jnp.float32),
@@ -358,19 +492,26 @@ def paged_decode_attention(
         ],
     )
     kernel = functools.partial(
-        _decode_kernel, block_size=block_size, sm_scale=sm_scale
+        _decode_kernel, block_size=block_size, sm_scale=sm_scale,
+        quantized=quantized, wb_tile=wb_tile,
     )
-    out, k_cache, v_cache = pl.pallas_call(
+    # Inputs count from the start of the scalar-prefetch operands: 4 scalars,
+    # then q(4) k_new(5) v_new(6) k_store(7) v_store(8) ks_new(9) vs_new(10)
+    # k_hbm(11) v_hbm(12) ks_hbm(13) vs_hbm(14).
+    aliases = {11: 1, 12: 2}
+    if quantized:
+        aliases.update({13: 3, 14: 4})
+    out, kc, vc, ks, vs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((Hkv, S, groups, hd), q.dtype),
-            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
-            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+            jax.ShapeDtypeStruct(kc.shape, kc.dtype),
+            jax.ShapeDtypeStruct(vc.shape, vc.dtype),
+            jax.ShapeDtypeStruct(ks.shape, ks.dtype),
+            jax.ShapeDtypeStruct(vs.shape, vs.dtype),
         ],
-        # Inputs count from the start of the scalar-prefetch operands:
-        # [4 scalars, q, k_new, v_new, k_cache(7), v_cache(8)].
-        input_output_aliases={7: 1, 8: 2},
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -379,9 +520,13 @@ def paged_decode_attention(
     )(
         jnp.reshape(jnp.asarray(layer, jnp.int32), (1,)),
         meta.kv_lens, meta.block_tables, meta.num_seqs,
-        q_hm, k_new_hm, v_new_hm, k_cache, v_cache,
+        q_hm, k_new_hm, v_new_hm, k_store, v_store, ks_new, vs_new,
+        kc, vc, ks, vs,
     )
-    return out.transpose(1, 0, 2, 3).reshape(S, Hq, hd), k_cache, v_cache
+    out = out.transpose(1, 0, 2, 3).reshape(S, Hq, hd)
+    if quantized:
+        return out, (kc, ks), (vc, vs)
+    return out, kc, vc
 
 
 # ========================================================== prefill kernel
@@ -397,18 +542,25 @@ def _prefill_kernel(
     num_seqs_ref,      # i32[1]
     # inputs
     q_ref,             # [Hkv, BQ, G, hd] VMEM (tile t)
-    k_new_hbm,         # [Hkv, T, hd] ANY (packed new rows, tile-aligned)
-    v_new_hbm,
+    k_store_hbm,       # [Hkv, T, hd] ANY cache-dtype new rows, tile-aligned
+    v_store_hbm,
+    ks_new_hbm,        # [Hkv, T] ANY f32 new-row scales (q8)
+    vs_new_hbm,
     k_hbm,             # [L, Hkv, blocks, block, hd] ANY (aliased in/out)
     v_hbm,
+    ks_hbm,            # [L, blocks, Hkv, block] ANY f32 (q8; aliased)
+    vs_hbm,
     # outputs
     o_ref,             # [Hkv, BQ, G, hd] VMEM (tile t)
-    k_out_hbm,         # aliased views of k_hbm / v_hbm
+    k_out_hbm,         # aliased views of the cache arrays
     v_out_hbm,
+    ks_out_hbm,
+    vs_out_hbm,
     # scratch
-    k_buf, v_buf,      # [2, Hkv, block, hd]
-    sems,              # [2, 2]
-    w_sems,            # [2]
+    k_buf, v_buf,      # [2, Hkv, block, hd] cache dtype
+    ks_buf, vs_buf,    # [2, Hkv, block] f32 (q8)
+    sems,              # [4, 2]
+    w_sems,            # [4]
     buf_idx_ref,       # SMEM i32[1]
     m_scr,             # f32[Hkv, BQ, G]
     l_scr,             # f32[Hkv, BQ, G]
@@ -417,6 +569,7 @@ def _prefill_kernel(
     block_size: int,
     q_tile: int,
     sm_scale: float,
+    quantized: bool,
 ):
     t, j = pl.program_id(0), pl.program_id(1)
     num_seqs = num_seqs_ref[0]
@@ -451,6 +604,15 @@ def _prefill_kernel(
         pltpu.make_async_copy(
             v_out_hbm.at[layer, :, page_id], v_buf.at[slot], sems.at[1, slot]
         ).start()
+        if quantized:
+            pltpu.make_async_copy(
+                ks_out_hbm.at[layer, page_id], ks_buf.at[slot],
+                sems.at[2, slot],
+            ).start()
+            pltpu.make_async_copy(
+                vs_out_hbm.at[layer, page_id], vs_buf.at[slot],
+                sems.at[3, slot],
+            ).start()
 
     def wait_page(slot):
         pltpu.make_async_copy(
@@ -459,6 +621,13 @@ def _prefill_kernel(
         pltpu.make_async_copy(
             v_out_hbm.at[0, :, 0], v_buf.at[slot], sems.at[1, slot]
         ).wait()
+        if quantized:
+            pltpu.make_async_copy(
+                ks_out_hbm.at[0, 0], ks_buf.at[slot], sems.at[2, slot]
+            ).wait()
+            pltpu.make_async_copy(
+                vs_out_hbm.at[0, 0], vs_buf.at[slot], sems.at[3, slot]
+            ).wait()
 
     @pl.when((t == 0) & (j == 0))
     def _init_first():
@@ -471,13 +640,13 @@ def _prefill_kernel(
 
         @pl.when(j == 0)
         def _append_kv():
-            # Store this tile's new K/V rows into the aliased cache. Chunk
-            # starts are page-aligned, so the tile's rows are one run inside a
-            # single page (q_tile <= block) or span whole pages (q_tile a
-            # multiple of block). Rows past kv_len are garbage but land in
-            # pages owned by this sequence and beyond its valid length; pages
-            # wholly past kv_len are skipped (their table entries may belong
-            # to other sequences).
+            # Store this tile's new K/V rows (and scales) into the aliased
+            # cache. Chunk starts are page-aligned, so the tile's rows are one
+            # run inside a single page (q_tile <= block) or span whole pages
+            # (q_tile a multiple of block). Rows past kv_len are garbage but
+            # land in pages owned by this sequence and beyond its valid
+            # length; pages wholly past kv_len are skipped (their table
+            # entries may belong to other sequences).
             n_writes = max(1, q_tile // block_size)
             size = min(q_tile, block_size)
             for w in range(n_writes):
@@ -495,17 +664,32 @@ def _prefill_kernel(
                     )
                     src = pl.ds(t * q_tile + w * size, size)
                     wk = pltpu.make_async_copy(
-                        k_new_hbm.at[:, src],
+                        k_store_hbm.at[:, src],
                         k_out_hbm.at[layer, :, page_id, pl.ds(off, size)],
                         w_sems.at[0],
                     )
                     wv = pltpu.make_async_copy(
-                        v_new_hbm.at[:, src],
+                        v_store_hbm.at[:, src],
                         v_out_hbm.at[layer, :, page_id, pl.ds(off, size)],
                         w_sems.at[1],
                     )
                     wk.start()
                     wv.start()
+                    if quantized:
+                        wks = pltpu.make_async_copy(
+                            ks_new_hbm.at[:, src],
+                            ks_out_hbm.at[layer, page_id, :, pl.ds(off, size)],
+                            w_sems.at[2],
+                        )
+                        wvs = pltpu.make_async_copy(
+                            vs_new_hbm.at[:, src],
+                            vs_out_hbm.at[layer, page_id, :, pl.ds(off, size)],
+                            w_sems.at[3],
+                        )
+                        wks.start()
+                        wvs.start()
+                        wks.wait()
+                        wvs.wait()
                     wk.wait()
                     wv.wait()
 
@@ -546,13 +730,18 @@ def _prefill_kernel(
 
         hkv, bq, groups, hd = q_ref.shape
         q = q_ref[...].astype(jnp.float32)             # [Hkv, BQ, G, hd]
-        k = k_buf[slot]                                 # [Hkv, block, hd]
-        # scores[h, bq, g, tok] — batched over kv heads.
+        k = k_buf[slot].astype(jnp.float32)            # [Hkv, block, hd]
+        v = v_buf[slot].astype(jnp.float32)
+        # scores[h, bq, g, tok] — batched over kv heads. In int8 mode the
+        # per-token scales fold into the scores / probabilities (token dim on
+        # lanes there; it cannot relayout onto k/v's sublane dim).
         scores = jax.lax.dot_general(
-            q, k.astype(jnp.float32),
+            q, k,
             dimension_numbers=(((3,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * sm_scale  # [Hkv, BQ, G, block]
+        if quantized:
+            scores = scores * ks_buf[slot][:, None, None, :]
 
         kv_pos = j * block_size + jax.lax.broadcasted_iota(
             jnp.int32, scores.shape, 3
@@ -569,10 +758,11 @@ def _prefill_kernel(
         l_scr[...] = alpha * l_prev + jnp.sum(p, axis=-1)
         m_scr[...] = m_next
 
-        v = v_buf[slot]                                  # [Hkv, block, hd]
         # o[h, bq, g, d] = sum_tok p[h,bq,g,tok] * v[h,tok,d]
+        if quantized:
+            p = p * vs_buf[slot][:, None, None, :]
         o_curr = jax.lax.dot_general(
-            p, v.astype(jnp.float32),
+            p, v,
             dimension_numbers=(((3,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
@@ -589,8 +779,8 @@ def ragged_prefill_attention(
     q: jax.Array,        # [T, Hq, hd] packed ragged, q_tile-aligned per seq
     k_new: jax.Array,    # [T, Hkv, hd] packed new K rows (same alignment)
     v_new: jax.Array,
-    k_cache: jax.Array,  # [L, Hkv, blocks, block, hd] (stacked; reads `layer`)
-    v_cache: jax.Array,
+    k_cache,             # [L, Hkv, blocks, block, hd], or (values, scales)
+    v_cache,
     layer,
     meta,
     *,
@@ -598,9 +788,17 @@ def ragged_prefill_attention(
     q_tile: int = 128,
     interpret: bool = False,
 ):
-    """Returns (out [T, Hq, hd], k_cache, v_cache) — caches updated in place."""
+    """Returns (out [T, Hq, hd], k_cache, v_cache) — caches updated in place.
+    Quantized caches are (int8 values, f32 per-token scales) pairs."""
+    quantized = _is_quantized(k_cache)
+    if quantized:
+        kc, ks = k_cache
+        vc, vs = v_cache
+    else:
+        kc, vc = k_cache, v_cache
+        ks = vs = jnp.zeros((1, 1, 1, 1), jnp.float32)
     T, Hq, hd = q.shape
-    _, Hkv, _, block_size, _ = k_cache.shape
+    _, Hkv, _, block_size, _ = kc.shape
     groups = Hq // Hkv
     NT = meta.tile_seq.shape[0]
     assert NT * q_tile == T, f"q of {T} rows vs {NT} tiles of {q_tile}"
@@ -608,8 +806,17 @@ def ragged_prefill_attention(
     assert q_tile % 8 == 0 and block_size % 8 == 0, "sublane (8) alignment"
     W = meta.block_tables.shape[1]
     q_hm = q.reshape(T, Hkv, groups, hd).transpose(1, 0, 2, 3)
-    k_new_hm = k_new.transpose(1, 0, 2).astype(k_cache.dtype)
-    v_new_hm = v_new.transpose(1, 0, 2).astype(v_cache.dtype)
+    if quantized:
+        kq, ksc = quantize_kv_rows(k_new)
+        vq, vsc = quantize_kv_rows(v_new)
+        k_store = kq.transpose(1, 0, 2)
+        v_store = vq.transpose(1, 0, 2)
+        ks_new = ksc.T       # [Hkv, T] f32
+        vs_new = vsc.T
+    else:
+        k_store = k_new.transpose(1, 0, 2).astype(kc.dtype)
+        v_store = v_new.transpose(1, 0, 2).astype(vc.dtype)
+        ks_new = vs_new = jnp.zeros((1, 1), jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
@@ -619,24 +826,36 @@ def ragged_prefill_attention(
                 (Hkv, q_tile, groups, hd), lambda t, j, *_: (0, t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pl.ANY),       # k_new (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),       # v_new
+            pl.BlockSpec(memory_space=pl.ANY),       # k_store (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),       # v_store
+            pl.BlockSpec(memory_space=pl.ANY),       # ks_new
+            pl.BlockSpec(memory_space=pl.ANY),       # vs_new
             pl.BlockSpec(memory_space=pl.ANY),       # k pages (HBM)
             pl.BlockSpec(memory_space=pl.ANY),       # v pages
+            pl.BlockSpec(memory_space=pl.ANY),       # k scales
+            pl.BlockSpec(memory_space=pl.ANY),       # v scales
         ],
         out_specs=[
             pl.BlockSpec(
                 (Hkv, q_tile, groups, hd), lambda t, j, *_: (0, t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pl.ANY),       # k pages (aliased)
-            pl.BlockSpec(memory_space=pl.ANY),       # v pages (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),       # aliased caches
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, Hkv, block_size, hd), k_cache.dtype),
-            pltpu.VMEM((2, Hkv, block_size, hd), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, Hkv, block_size, hd), kc.dtype),
+            pltpu.VMEM((2, Hkv, block_size, hd), vc.dtype),
+            pltpu.VMEM(
+                (2, Hkv, block_size) if quantized else (1, 1, 1), jnp.float32
+            ),
+            pltpu.VMEM(
+                (2, Hkv, block_size) if quantized else (1, 1, 1), jnp.float32
+            ),
+            pltpu.SemaphoreType.DMA((4, 2)),
+            pltpu.SemaphoreType.DMA((4,)),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.VMEM((Hkv, q_tile, groups), jnp.float32),
             pltpu.VMEM((Hkv, q_tile, groups), jnp.float32),
@@ -648,18 +867,25 @@ def ragged_prefill_attention(
         block_size=block_size,
         q_tile=q_tile,
         sm_scale=sm_scale,
+        quantized=quantized,
     )
-    out, k_cache, v_cache = pl.pallas_call(
+    # Inputs count from the start of the scalar-prefetch operands: 6 scalars,
+    # then q(6) k_store(7) v_store(8) ks_new(9) vs_new(10) k_hbm(11) v_hbm(12)
+    # ks_hbm(13) vs_hbm(14).
+    aliases = {11: 1, 12: 2}
+    if quantized:
+        aliases.update({13: 3, 14: 4})
+    out, kc, vc, ks, vs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((Hkv, T, groups, hd), q.dtype),
-            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
-            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+            jax.ShapeDtypeStruct(kc.shape, kc.dtype),
+            jax.ShapeDtypeStruct(vc.shape, vc.dtype),
+            jax.ShapeDtypeStruct(ks.shape, ks.dtype),
+            jax.ShapeDtypeStruct(vs.shape, vs.dtype),
         ],
-        # Inputs count from the start of the scalar-prefetch operands:
-        # [6 scalars, q, k_new, v_new, k_cache(9), v_cache(10)].
-        input_output_aliases={9: 1, 10: 2},
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024,
@@ -668,6 +894,9 @@ def ragged_prefill_attention(
     )(
         jnp.reshape(jnp.asarray(layer, jnp.int32), (1,)),
         meta.tile_seq, meta.tile_pos0, meta.kv_lens, meta.block_tables,
-        meta.num_seqs, q_hm, k_new_hm, v_new_hm, k_cache, v_cache,
+        meta.num_seqs, q_hm, k_store, v_store, ks_new, vs_new, kc, vc, ks, vs,
     )
-    return out.transpose(1, 0, 2, 3).reshape(T, Hq, hd), k_cache, v_cache
+    out = out.transpose(1, 0, 2, 3).reshape(T, Hq, hd)
+    if quantized:
+        return out, (kc, ks), (vc, vs)
+    return out, kc, vc

@@ -162,3 +162,21 @@ def test_fp8_kv_cache_close_to_bf16(tiny_qwen3_dir):
     fp8_llm.exit()
     agree = sum(a == b for o, r in zip(out, ref) for a, b in zip(o, r))
     assert agree >= 10, (out, ref)  # >= ~60% token agreement on random tiny net
+
+
+def test_int8_kv_cache_close_to_bf16(tiny_qwen3_dir):
+    """int8 KV (per-token scales) end-to-end; greedy tokens track the
+    full-precision cache closely (127-level quantization per row)."""
+    rng = np.random.default_rng(12)
+    prompts = [rng.integers(2, 500, size=n).tolist() for n in (9, 21)]
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    kw = dict(ENGINE_KW)
+    kw["kvcache_block_size"] = 32
+    ref_llm = LLM(tiny_qwen3_dir, **kw)
+    ref = [o["token_ids"] for o in ref_llm.generate(prompts, sp, use_tqdm=False)]
+    ref_llm.exit()
+    q_llm = LLM(tiny_qwen3_dir, kv_cache_dtype="int8", **kw)
+    out = [o["token_ids"] for o in q_llm.generate(prompts, sp, use_tqdm=False)]
+    q_llm.exit()
+    agree = sum(a == b for o, r in zip(out, ref) for a, b in zip(o, r))
+    assert agree >= 12, (out, ref)

@@ -212,3 +212,73 @@ def test_decode_single_and_full_bucket(n_seqs):
         np.asarray(out)[:n_seqs], np.asarray(ref)[:n_seqs], rtol=2e-5, atol=2e-5
     )
     assert_written(ko, vo, kn, vn, inputs)
+
+
+def test_decode_int8_kv_matches_oracle():
+    """int8 KV cache (per-token scales): kernel vs oracle, block 32 (int8
+    write-back tiles are 32 rows)."""
+    block = 32
+    rng = np.random.default_rng(5)
+    kq = np.clip(rng.standard_normal((1, HKV, 16, block, HD)) * 40, -127, 127)
+    vq = np.clip(rng.standard_normal((1, HKV, 16, block, HD)) * 40, -127, 127)
+    kc = (jnp.asarray(kq, jnp.int8), jnp.asarray(
+        rng.uniform(0.005, 0.02, (1, 16, HKV, block)), jnp.float32))
+    vc = (jnp.asarray(vq, jnp.int8), jnp.asarray(
+        rng.uniform(0.005, 0.02, (1, 16, HKV, block)), jnp.float32))
+    kv_lens = [3, 32, 65, 90]
+    tables = [[0, 1, 2], [3, 4, 5], [6, 7, 8], [9, 10, 11]]
+    reqs = [
+        dict(token_ids=[1], start=n - 1, kv_len=n,
+             block_table=t[: -(-n // block)], temperature=1.0)
+        for n, t in zip(kv_lens, tables)
+    ]
+    inputs = build_step_inputs(
+        reqs, block_size=block, num_tokens_bucket=8, num_seqs_bucket=8,
+        max_blocks_per_seq=3, rng=np.zeros(2, np.uint32))
+    meta = meta_from_inputs(inputs)
+    q = jnp.asarray(rng.standard_normal((8, HQ, HD)), jnp.float32)
+    kn, vn = new_kv(rng, 8)
+
+    ref, kr, vr = ragged_paged_attention_ref(q, kn, vn, kc, vc, 0, meta, sm_scale=SM)
+    out, ko, vo = paged_decode_attention(
+        q, kn, vn, kc, vc, 0, meta, sm_scale=SM, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out)[:4], np.asarray(ref)[:4], rtol=2e-2, atol=2e-2
+    )
+    # The quantized new rows + scales must round-trip through the cache.
+    np.testing.assert_array_equal(np.asarray(ko[0]), np.asarray(kr[0]))
+    np.testing.assert_allclose(np.asarray(ko[1]), np.asarray(kr[1]),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_prefill_int8_kv_matches_oracle():
+    block = 32
+    q_tile = 8
+    rng = np.random.default_rng(6)
+    shape = (1, HKV, 16, block, HD)
+    sshape = (1, 16, HKV, block)
+    kc = (jnp.zeros(shape, jnp.int8), jnp.zeros(sshape, jnp.float32))
+    vc = (jnp.zeros(shape, jnp.int8), jnp.zeros(sshape, jnp.float32))
+    lens = [5, 40, 16]
+    tables = [[0, 1], [2, 3], [4]]
+    reqs = [
+        dict(token_ids=list(range(n)), start=0, kv_len=n,
+             block_table=t, temperature=1.0)
+        for n, t in zip(lens, tables)
+    ]
+    inputs = build_step_inputs(
+        reqs, block_size=block, num_tokens_bucket=72, num_seqs_bucket=4,
+        max_blocks_per_seq=2, rng=np.zeros(2, np.uint32), q_tile=q_tile)
+    meta = meta_from_inputs(inputs)
+    q = jnp.asarray(rng.standard_normal((72, HQ, HD)), jnp.float32)
+    kn, vn = new_kv(rng, 72)
+
+    ref, _, _ = ragged_paged_attention_ref(q, kn, vn, kc, vc, 0, meta, sm_scale=SM)
+    out, ko, vo = ragged_prefill_attention(
+        q, kn, vn, kc, vc, 0, meta, sm_scale=SM, q_tile=q_tile, interpret=True
+    )
+    live = np.asarray(inputs.seq_ids) < 4
+    np.testing.assert_allclose(
+        np.asarray(out)[live], np.asarray(ref)[live], rtol=2e-2, atol=2e-2
+    )
