@@ -29,6 +29,7 @@ def main():
     quant = None if quant in ("", "none", "bf16") else quant
     kv_dtype = os.environ.get("BENCH_KV_DTYPE", "int8")
     fetch_interval = int(os.environ.get("BENCH_FETCH_INTERVAL", 16))
+    block = int(os.environ.get("BENCH_BLOCK", 256))
 
     from nanovllm_tpu import LLM, SamplingParams
 
@@ -48,6 +49,7 @@ def main():
         quantization=quant,
         kv_cache_dtype=kv_dtype,
         fetch_interval=fetch_interval,
+        kvcache_block_size=block,
     )
 
     rng = np.random.default_rng(0)

@@ -1,0 +1,90 @@
+"""Model-family coverage: Llama and Qwen2 (same decoder family as Qwen3 with
+different spec flags — qkv bias for Qwen2, no q/k-norm for both) run through
+the full engine and match HF greedy decoding."""
+
+import numpy as np
+import pytest
+
+from nanovllm_tpu import LLM, SamplingParams
+
+ENGINE_KW = dict(
+    max_num_batched_tokens=128,
+    max_num_seqs=8,
+    max_model_len=128,
+    kvcache_block_size=16,
+    num_kvcache_blocks=64,
+    decode_buckets=(8,),
+    prefill_buckets=(128,),
+    dtype="float32",
+    use_pallas_attention=False,
+)
+
+
+def _save_tiny(tmp_path_factory, family):
+    import torch
+
+    if family == "llama":
+        from transformers import LlamaConfig as Cfg
+        from transformers import LlamaForCausalLM as Model
+        extra = {}
+    else:
+        from transformers import Qwen2Config as Cfg
+        from transformers import Qwen2ForCausalLM as Model
+        extra = {}
+    cfg = Cfg(
+        vocab_size=512,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        max_position_embeddings=512,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+        torch_dtype="float32",
+        **extra,
+    )
+    torch.manual_seed(1)
+    model = Model(cfg)
+    path = tmp_path_factory.mktemp(f"tiny_{family}")
+    model.save_pretrained(path, safe_serialization=True)
+
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from transformers import PreTrainedTokenizerFast
+
+    tok = Tokenizer(WordLevel({"<eos>": 0, "<unk>": 1}, unk_token="<unk>"))
+    PreTrainedTokenizerFast(
+        tokenizer_object=tok, unk_token="<unk>", eos_token="<eos>"
+    ).save_pretrained(path)
+    return str(path), model
+
+
+def _hf_greedy(model, token_ids, n_new):
+    import torch
+
+    model.eval()
+    ids = list(token_ids)
+    with torch.no_grad():
+        for _ in range(n_new):
+            logits = model(torch.tensor([ids])).logits[0, -1]
+            ids.append(int(logits.argmax()))
+    return ids[len(token_ids):]
+
+
+@pytest.mark.parametrize("family", ["llama", "qwen2"])
+def test_family_greedy_matches_hf(tmp_path_factory, family):
+    path, hf_model = _save_tiny(tmp_path_factory, family)
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(2, 500, size=n).tolist() for n in (6, 19, 30)]
+    n_new = 10
+    llm = LLM(path, **ENGINE_KW)
+    outs = llm.generate(
+        prompts,
+        SamplingParams(temperature=0.0, max_tokens=n_new, ignore_eos=True),
+        use_tqdm=False,
+    )
+    llm.exit()
+    for prompt, out in zip(prompts, outs):
+        assert out["token_ids"] == _hf_greedy(hf_model, prompt, n_new), family
