@@ -1,4 +1,7 @@
 """Microbenchmark the decode attention kernel + full decode step on TPU."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 import numpy as np
 import jax, jax.numpy as jnp

@@ -1,4 +1,7 @@
 """Compile + numerics probe of both Pallas kernels on the real TPU chip."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 import jax, jax.numpy as jnp
 from nanovllm_tpu.engine.inputs import build_step_inputs

@@ -54,6 +54,9 @@ class Config:
     decode_buckets: tuple = ()
     prefill_buckets: tuple = ()
     rng_seed: int = 0
+    # When set, generate() runs under jax.profiler.trace writing an xplane
+    # trace here (view with tensorboard-plugin-profile / xprof).
+    profile_dir: str | None = None
 
     def __post_init__(self):
         assert os.path.isdir(self.model), f"model path {self.model!r} is not a directory"

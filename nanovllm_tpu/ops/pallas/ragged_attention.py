@@ -123,6 +123,7 @@ def _decode_kernel(
     sm_scale: float,
     quantized: bool,
     wb_tile: int,
+    interpret: bool,
 ):
     g, j = pl.program_id(0), pl.program_id(1)
     layer = layer_ref[0]
@@ -237,20 +238,24 @@ def _decode_kernel(
                 out = jnp.where(idx == i, fn(g * GRP + i), out)
             return out
 
-        # Convert pages to f32 BEFORE any select (narrow-dtype selects force
-        # relayouts). In int8 mode the per-token scales are NOT applied here:
-        # a [H, N] lane vector cannot relayout onto k's sublane dim, so the
-        # scales fold into the scores (k) and probabilities (v) instead,
-        # where the token dim is already on lanes.
+        # Convert pages to bf16 BEFORE any select (narrow-dtype selects force
+        # relayouts; bf16 operands keep the dots at full MXU rate — f32 dots
+        # run at a fraction of it). In int8 mode the per-token scales are NOT
+        # applied here: a [H, N] lane vector cannot relayout onto k's sublane
+        # dim, so the scales fold into the scores (k) and probabilities (v)
+        # instead, where the token dim is already on lanes.
         k = k_buf[slot].reshape(hkv, GRP, block_size, hd).astype(jnp.float32)
         v = v_buf[slot].reshape(hkv, GRP, block_size, hd).astype(jnp.float32)
 
         # This step's new K/V row lands at global position kv_len-1, i.e. in
         # page j exactly when j is the sequence's last page; substitute it in
         # registers (the page was read stale; the new row is full-precision,
-        # so its folded scale is patched to 1 below).
-        kv4 = per_seq_scalar(k.shape, 1, 1, lambda s_: kv_lens_ref[s_])
-        pos4 = j * block_size + jax.lax.broadcasted_iota(jnp.int32, k.shape, 2)
+        # so its folded scale is patched to 1 below). The mask is built at
+        # [.., block, 1] and lane-broadcast: materializing per-seq scalars
+        # over the full [.., block, hd] tensor costs 8 selects x 2M elements.
+        mshape = (hkv, GRP, block_size, 1)
+        kv4 = per_seq_scalar(mshape, 1, 1, lambda s_: kv_lens_ref[s_])
+        pos4 = j * block_size + jax.lax.broadcasted_iota(jnp.int32, mshape, 2)
         patch = pos4 == kv4 - 1
         k = jnp.where(patch, k_new_ref[...].astype(jnp.float32), k)
         v = jnp.where(patch, v_new_ref[...].astype(jnp.float32), v)
@@ -356,14 +361,19 @@ def _decode_kernel(
         mask = (row_seq == col_seq) & (kv_pos < kv_len_col)
         scores = jnp.where(mask, scores, MASK_VALUE)
 
-        # Zero V's invalid columns: buffer strips of sequences with no page at
-        # this depth were never DMA'd, and 0 * garbage (NaN in interpret mode)
-        # would poison the p @ V dot even under zero weights.
-        v_shape = (hkv, GRP * block_size, hd)
-        col_v = jax.lax.broadcasted_iota(jnp.int32, v_shape, 1)
-        v_pos = j * block_size + col_v % block_size
-        v_len = per_seq_scalar(v_shape, 1, block_size, lambda s_: kv_lens_ref[s_])
-        vf = jnp.where(v_pos < v_len, vf, 0.0)
+        if interpret:
+            # Zero V's invalid columns: buffer strips of sequences with no
+            # page at this depth were never DMA'd — NaN in interpret mode,
+            # and 0 * NaN would poison the p @ V dot even under zero weights.
+            # On hardware the strips are stale-but-finite and p's zeros (and
+            # the vs_vec zeros in int8 mode) already cancel them.
+            v_shape = (hkv, GRP * block_size, hd)
+            col_v = jax.lax.broadcasted_iota(jnp.int32, v_shape, 1)
+            v_pos = j * block_size + col_v % block_size
+            v_len = per_seq_scalar(
+                v_shape, 1, block_size, lambda s_: kv_lens_ref[s_]
+            )
+            vf = jnp.where(v_pos < v_len, vf, 0.0)
 
         m_prev = m_scr[:, :, 0]                       # [Hkv, GRP*G]
         l_prev = l_scr[:, :, 0]
@@ -493,7 +503,7 @@ def paged_decode_attention(
     )
     kernel = functools.partial(
         _decode_kernel, block_size=block_size, sm_scale=sm_scale,
-        quantized=quantized, wb_tile=wb_tile,
+        quantized=quantized, wb_tile=wb_tile, interpret=interpret,
     )
     # Inputs count from the start of the scalar-prefetch operands: 4 scalars,
     # then q(4) k_new(5) v_new(6) k_store(7) v_store(8) ks_new(9) vs_new(10)

@@ -163,15 +163,26 @@ def embed_rows(w, ids: jax.Array, dtype) -> jax.Array:
     return rows * w.scale[ids].astype(dtype)[:, None]
 
 
+def _dot_f32(a: jax.Array, b_t: jax.Array) -> jax.Array:
+    """a @ b_t.T with bf16 operands and f32 accumulation: full MXU rate
+    (f32 x f32 dots run at a fraction of the bf16 rate)."""
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16),
+        b_t.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def head_matmul(h: jax.Array, w) -> jax.Array:
     """LM-head logits: h [S, D] @ w.T for w stored [vocab, D]."""
     if not isinstance(w, QuantWeight):
-        return h.astype(jnp.float32) @ w.astype(jnp.float32).T
+        return _dot_f32(h, w)
     if w.mode == "int4":
         v, d = w.q.shape
         g = d // w.scale.shape[-1]
-        hg = h.astype(jnp.float32).reshape(h.shape[0], d // g, g)
-        qg = w.q.reshape(v, d // g, g).astype(jnp.float32)
+        hg = h.astype(jnp.bfloat16).reshape(h.shape[0], d // g, g)
+        qg = w.q.reshape(v, d // g, g).astype(jnp.bfloat16)
         # partial[G, s, v] = sum_i h[s, G, i] q[v, G, i]
         partial = jax.lax.dot_general(
             hg, qg, dimension_numbers=(((2,), (2,)), ((1,), (1,))),
@@ -179,7 +190,7 @@ def head_matmul(h: jax.Array, w) -> jax.Array:
         )
         scale = w.scale.astype(jnp.float32).T[:, None, :]  # [d/g, 1, v]
         return jnp.sum(partial * scale, axis=0)
-    logits = h.astype(jnp.float32) @ w.q.astype(jnp.float32).T
+    logits = _dot_f32(h, w.q)
     return logits * w.scale.astype(jnp.float32)[None, :]
 
 

