@@ -180,3 +180,25 @@ def test_int8_kv_cache_close_to_bf16(tiny_qwen3_dir):
     q_llm.exit()
     agree = sum(a == b for o, r in zip(out, ref) for a, b in zip(o, r))
     assert agree >= 12, (out, ref)
+
+
+def test_preemption_recompute_under_pipeline(tiny_qwen3_dir):
+    """KV-pool pressure forces preempt-by-recompute while sampled values are
+    still in flight (the engine must drain before re-prefilling); greedy
+    outputs match a run with a roomy pool."""
+    rng = np.random.default_rng(21)
+    prompts = [rng.integers(2, 500, size=n).tolist() for n in (30, 28, 26)]
+    sp = SamplingParams(temperature=0.0, max_tokens=24, ignore_eos=True)
+    kw = dict(ENGINE_KW)
+    kw["fetch_interval"] = 8
+    roomy = LLM(tiny_qwen3_dir, **kw)
+    ref = [o["token_ids"] for o in roomy.generate(prompts, sp, use_tqdm=False)]
+    roomy.exit()
+
+    # 3 seqs x (30 prompt + 24 out) = ~162 tokens but only 8 blocks x 16 =
+    # 128 slots: decode must preempt and recompute.
+    kw["num_kvcache_blocks"] = 8
+    tight = LLM(tiny_qwen3_dir, **kw)
+    out = [o["token_ids"] for o in tight.generate(prompts, sp, use_tqdm=False)]
+    tight.exit()
+    assert out == ref
