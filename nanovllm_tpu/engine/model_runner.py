@@ -111,7 +111,12 @@ class ModelRunner:
             config.schedule_token_align = self.q_tile
         self.prefill_token_buckets = tuple(config.prefill_buckets)
 
+        # enforce_eager skips ahead-of-time bucket compilation (the analogue
+        # of the reference's "skip CUDA graph capture", model_runner.py:36);
+        # buckets then compile lazily on first use.
         aot = config.aot_warmup
+        if config.enforce_eager:
+            aot = False
         if aot or (aot is None and self.is_tpu):
             self.warmup()
 

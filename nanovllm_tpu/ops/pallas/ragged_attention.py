@@ -110,11 +110,12 @@ def _decode_kernel(
     vs_buf,
     sems,              # DMA sems [NCH, 2, GRP] (channel, slot, lane)
     w_sems,            # DMA sems [4] write-backs
-    wk_buf,            # [Hkv, TILE, hd] staging for the aligned value tile
+    wk_buf,            # [GRP, Hkv, TILE, hd] per-lane write-back staging
     wv_buf,
-    wks_buf,           # [Hkv, block] f32 staging for the scale slab (q8)
+    wks_buf,           # [GRP, Hkv, block] f32 per-lane scale-slab staging (q8)
     wvs_buf,
     buf_idx_ref,       # SMEM i32[1]
+    wb_flags,          # SMEM i32[GRP]: lane has an in-flight write-back
     m_scr,             # f32[Hkv, GRP*G, 128]
     l_scr,             # f32[Hkv, GRP*G, 128]
     acc_scr,           # f32[Hkv, GRP*G, hd]
@@ -198,9 +199,29 @@ def _decode_kernel(
                         sems.at[3, slot, i],
                     ).wait()
 
+    def _wait_lane_writes(i):
+        # Waits must mirror the starts exactly (2 channels, 4 if quantized).
+        pltpu.make_async_copy(
+            wk_buf.at[i], k_out_hbm.at[0, :, 0, pl.ds(0, wb_tile)],
+            w_sems.at[0, i],
+        ).wait()
+        pltpu.make_async_copy(
+            wv_buf.at[i], v_out_hbm.at[0, :, 0, pl.ds(0, wb_tile)],
+            w_sems.at[1, i],
+        ).wait()
+        if quantized:
+            pltpu.make_async_copy(
+                wks_buf.at[i], ks_out_hbm.at[0, 0], w_sems.at[2, i]
+            ).wait()
+            pltpu.make_async_copy(
+                wvs_buf.at[i], vs_out_hbm.at[0, 0], w_sems.at[3, i]
+            ).wait()
+
     @pl.when((g == 0) & (j == 0))
     def _init_first():
         buf_idx_ref[0] = 0
+        for i in range(GRP):
+            wb_flags[i] = 0
         read_group_page(0, 0, 0)
 
     @pl.when(j < gmax)
@@ -280,37 +301,44 @@ def _decode_kernel(
         # Persist an aligned tile holding the new (cache-dtype) row back to
         # the cache for future steps (a 1-row DMA at an arbitrary sublane
         # offset is not expressible; int8 needs 32-row alignment, bf16 8).
-        # The written page is exclusively owned by its sequence.
+        # The written page is exclusively owned by its sequence, so the DMA
+        # is NOT waited here: synchronous waits serialize ~256 write-backs
+        # per layer per step on DMA latency. Each lane has its own staging
+        # buffers; a lane's previous write is waited only when the lane
+        # writes again (>= one full group later) or at the last grid step.
         for i in range(GRP):
             off = kv_lens_ref[g * GRP + i] - 1 - j * block_size
 
             @pl.when((off >= 0) & (off < block_size))
             def _write_back(i=i, off=off):
+                @pl.when(wb_flags[i] == 1)
+                def _drain_prev(i=i):
+                    _wait_lane_writes(i)
+
+                wb_flags[i] = 1
                 offt = pl.multiple_of((off // wb_tile) * wb_tile, wb_tile)
                 r = off - offt
                 base = i * block_size
                 rows_k = k_buf[slot, :, pl.ds(base + offt, wb_tile), :]
                 rows_v = v_buf[slot, :, pl.ds(base + offt, wb_tile), :]
                 sel = jax.lax.broadcasted_iota(jnp.int32, rows_k.shape, 1) == r
-                wk_buf[...] = jnp.where(
+                wk_buf[i] = jnp.where(
                     sel, k_store_ref[:, i].astype(rows_k.dtype), rows_k
                 )
-                wv_buf[...] = jnp.where(
+                wv_buf[i] = jnp.where(
                     sel, v_store_ref[:, i].astype(rows_v.dtype), rows_v
                 )
                 page_id = tables_ref[g * GRP + i, j]
-                wk = pltpu.make_async_copy(
-                    wk_buf,
+                pltpu.make_async_copy(
+                    wk_buf.at[i],
                     k_out_hbm.at[layer, :, page_id, pl.ds(offt, wb_tile)],
-                    w_sems.at[0],
-                )
-                wv = pltpu.make_async_copy(
-                    wv_buf,
+                    w_sems.at[0, i],
+                ).start()
+                pltpu.make_async_copy(
+                    wv_buf.at[i],
                     v_out_hbm.at[layer, :, page_id, pl.ds(offt, wb_tile)],
-                    w_sems.at[1],
-                )
-                wk.start()
-                wv.start()
+                    w_sems.at[1, i],
+                ).start()
                 if quantized:
                     # Scale slabs are [Hkv, block] with block on the lane dim:
                     # patch one lane in registers and rewrite the whole slab.
@@ -318,24 +346,20 @@ def _decode_kernel(
                         jnp.int32, (hkv, block_size), 1
                     )
                     strip = pl.ds(base, block_size)
-                    wks_buf[...] = jnp.where(
+                    wks_buf[i] = jnp.where(
                         lane == off, ks_new_ref[:, i], ks_buf[slot, :, strip]
                     )
-                    wvs_buf[...] = jnp.where(
+                    wvs_buf[i] = jnp.where(
                         lane == off, vs_new_ref[:, i], vs_buf[slot, :, strip]
                     )
-                    wks = pltpu.make_async_copy(
-                        wks_buf, ks_out_hbm.at[layer, page_id], w_sems.at[2]
-                    )
-                    wvs = pltpu.make_async_copy(
-                        wvs_buf, vs_out_hbm.at[layer, page_id], w_sems.at[3]
-                    )
-                    wks.start()
-                    wvs.start()
-                    wks.wait()
-                    wvs.wait()
-                wk.wait()
-                wv.wait()
+                    pltpu.make_async_copy(
+                        wks_buf.at[i], ks_out_hbm.at[layer, page_id],
+                        w_sems.at[2, i],
+                    ).start()
+                    pltpu.make_async_copy(
+                        wvs_buf.at[i], vs_out_hbm.at[layer, page_id],
+                        w_sems.at[3, i],
+                    ).start()
 
         q = q_ref[...].astype(jnp.float32).reshape(hkv, GRP * groups, hd)
         kf = k.reshape(hkv, GRP * block_size, hd)
@@ -400,6 +424,16 @@ def _decode_kernel(
             l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
             out = acc_scr[...] * l_inv[:, :, None]    # [Hkv, GRP*G, hd]
             o_ref[...] = out.reshape(hkv, GRP, groups, hd).astype(o_ref.dtype)
+
+    @pl.when(
+        (g == pl.num_programs(0) - 1) & (j == pl.num_programs(1) - 1)
+    )
+    def _drain_all_writes():
+        for i in range(GRP):
+            @pl.when(wb_flags[i] == 1)
+            def _drain(i=i):
+                _wait_lane_writes(i)
+                wb_flags[i] = 0
 
 
 def paged_decode_attention(
@@ -490,12 +524,17 @@ def paged_decode_attention(
                 jnp.float32,
             ),
             pltpu.SemaphoreType.DMA((4, 2, GRP)),
-            pltpu.SemaphoreType.DMA((4,)),
-            pltpu.VMEM((Hkv, wb_tile, hd), kc.dtype),
-            pltpu.VMEM((Hkv, wb_tile, hd), vc.dtype),
-            pltpu.VMEM((Hkv, block_size) if quantized else (1, 1), jnp.float32),
-            pltpu.VMEM((Hkv, block_size) if quantized else (1, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((4, GRP)),
+            pltpu.VMEM((GRP, Hkv, wb_tile, hd), kc.dtype),
+            pltpu.VMEM((GRP, Hkv, wb_tile, hd), vc.dtype),
+            pltpu.VMEM(
+                (GRP, Hkv, block_size) if quantized else (1, 1, 1), jnp.float32
+            ),
+            pltpu.VMEM(
+                (GRP, Hkv, block_size) if quantized else (1, 1, 1), jnp.float32
+            ),
             pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((GRP,), jnp.int32),
             pltpu.VMEM((Hkv, GRP * groups, 128), jnp.float32),
             pltpu.VMEM((Hkv, GRP * groups, 128), jnp.float32),
             pltpu.VMEM((Hkv, GRP * groups, hd), jnp.float32),
