@@ -18,13 +18,20 @@ Design (see /opt/skills/guides/pallas_guide.md):
 - KV pages live head-major in HBM ([L, Hkv, num_blocks, block_size, hd]); each
   grid step DMAs pages across all kv heads into double-buffered VMEM scratch,
   prefetching the next step's pages while computing the current ones.
-- Quantized mode: the cache is a (values int8, scales f32) pair per K/V, with
-  one scale per (token, head) laid out [L, blocks, Hkv, block] (page slab = one aligned [Hkv, block] tile). New rows are
-  quantized by XLA outside the kernel; pages dequantize in registers with a
-  native int8->f32 convert + per-token multiply. (fp8 was measured ~8x slower
+- Quantized mode: the cache is a (values int8, scales f32) pair per K/V, one
+  scale per (token, head), laid out page-major [L, blocks, Hkv, block] so a
+  page's scales form one aligned [Hkv, block] tile. New rows are quantized by
+  XLA outside the kernel; in-kernel the scales FOLD into the scores (K) and
+  probabilities (V) — the token dim sits on lanes there, and a lane vector
+  cannot relayout onto the pages' sublane dim. (fp8 was measured ~8x slower
   end-to-end: v5e has no hardware fp8, Mosaic emulates the converts.)
 - Pages convert to f32 BEFORE any masked select: narrow dtypes have (32,128)
   native tiling and selects on them force whole-buffer relayouts.
+- Cache appends: prefill writes new rows page-by-page before its reads (page
+  0 is re-fetched when its prefetch predates the write); decode patches the
+  new row in registers for its own attention and persists an aligned tile
+  asynchronously — written pages have no same-invocation readers, so the
+  DMAs drain lazily (per-lane staging; final drain at the last grid step).
 - Online softmax in fp32 (running m/l + unnormalized accumulator, one divide
   at the end); mask value -0.7*f32max, safe division for empty rows.
 - GQA batched over kv heads: q is pre-transposed (cheap XLA transpose outside

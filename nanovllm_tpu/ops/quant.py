@@ -198,9 +198,3 @@ def shape_of(w) -> tuple:
     """Logical (dequantized) shape of a parameter leaf."""
     return w.q.shape if isinstance(w, QuantWeight) else w.shape
 
-
-def nbytes_of(w) -> int:
-    if isinstance(w, QuantWeight):
-        qbits = 4 if w.mode == "int4" else 8
-        return w.q.size * qbits // 8 + w.scale.size * w.scale.dtype.itemsize
-    return w.size * w.dtype.itemsize
