@@ -28,7 +28,7 @@ def main():
     quant = os.environ.get("BENCH_QUANT", "int8")
     quant = None if quant in ("", "none", "bf16") else quant
     kv_dtype = os.environ.get("BENCH_KV_DTYPE", "int8")
-    fetch_interval = int(os.environ.get("BENCH_FETCH_INTERVAL", 16))
+    fetch_interval = int(os.environ.get("BENCH_FETCH_INTERVAL", 64))
     block = int(os.environ.get("BENCH_BLOCK", 256))
 
     from nanovllm_tpu import LLM, SamplingParams
@@ -36,9 +36,11 @@ def main():
     model_dir = os.environ.get("BENCH_MODEL")
     random_weights = model_dir is None
     if random_weights:
-        from nanovllm_tpu.utils.testing import QWEN3_0_6B, make_qwen3_dir
+        from nanovllm_tpu.utils.testing import QWEN3_0_6B, QWEN3_8B, make_qwen3_dir
 
-        model_dir = make_qwen3_dir("/tmp/qwen3-0.6b-bench", QWEN3_0_6B)
+        arch = os.environ.get("BENCH_ARCH", "0.6b")
+        cfgs = {"0.6b": QWEN3_0_6B, "8b": QWEN3_8B}
+        model_dir = make_qwen3_dir(f"/tmp/qwen3-{arch}-bench", cfgs[arch])
 
     llm = LLM(
         model_dir,

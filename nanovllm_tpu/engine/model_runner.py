@@ -125,10 +125,13 @@ class ModelRunner:
     def _load_params(self, random_weights: bool):
         spec, cfg = self.spec, self.config
         if random_weights:
+            # Init on CPU: a large model's full-precision random init would
+            # not fit device HBM alongside its (possibly quantized) copy.
             key = jax.random.PRNGKey(cfg.rng_seed)
-            host = jax.tree.map(
-                np.asarray, self.family.init_params(spec, key, self.dtype)
-            )
+            with jax.default_device(jax.devices("cpu")[0]):
+                host = jax.tree.map(
+                    np.asarray, self.family.init_params(spec, key, self.dtype)
+                )
         else:
             plan = self.family.hf_param_plan(spec, tp=self.tp)
             host = load_params(spec, plan, cfg.model, tp=self.tp)
