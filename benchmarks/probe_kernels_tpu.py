@@ -16,7 +16,8 @@ def meta_of(i):
     return AttentionMeta(
         positions=i.positions, slot_mapping=i.slot_mapping, seq_ids=i.seq_ids,
         kv_lens=i.kv_lens, block_tables=i.block_tables, cu_q_lens=i.cu_q_lens,
-        num_seqs=i.num_seqs, tile_seq=i.tile_seq, tile_pos0=i.tile_pos0)
+        num_seqs=i.num_seqs, tile_seq=i.tile_seq, tile_pos0=i.tile_pos0,
+        pair_tile=i.pair_tile, pair_page=i.pair_page)
 
 rng = np.random.default_rng(0)
 NB = 64

@@ -35,6 +35,11 @@ class StepInputs(NamedTuple):
     # packed offset, so each BQ-row tile maps to exactly one sequence.
     tile_seq: jax.Array       # i32[NT] sequence of tile t (S for padding tiles)
     tile_pos0: jax.Array      # i32[NT] absolute position of tile t's row 0
+    # Flat worklist of active (tile, page) pairs, tile-major: the kernel grid
+    # iterates only real work instead of a dense NT x W grid that is mostly
+    # skipped. Padding pairs carry tile NT (sentinel).
+    pair_tile: jax.Array      # i32[NP]
+    pair_page: jax.Array      # i32[NP]
     # Async pipeline: device slot of each scheduled sequence (decode inputs
     # gather the previous sampled token from the on-device last-token buffer)
     # and the ring row this step's samples scatter into.
@@ -53,6 +58,7 @@ def build_step_inputs(
     q_tile: int | None = None,
     num_slots: int = 1,
     ring_pos: int = 0,
+    num_pairs_bucket: int | None = None,
 ) -> StepInputs:
     """Build a padded StepInputs batch on host.
 
@@ -80,6 +86,7 @@ def build_step_inputs(
     nt = t_pad // q_tile if q_tile else 0
     tile_seq = np.full(nt, s_pad, np.int32)
     tile_pos0 = np.zeros(nt, np.int32)
+    pairs: list[tuple[int, int]] = []
     slot_ids = np.full(s_pad, num_slots - 1, np.int32)  # dead slot for padding
 
     offset = 0
@@ -93,7 +100,11 @@ def build_step_inputs(
             t0 = offset // q_tile
             for t in range(t0, -(-(offset + n) // q_tile)):
                 tile_seq[t] = i
-                tile_pos0[t] = start + (t - t0) * q_tile
+                pos0 = start + (t - t0) * q_tile
+                tile_pos0[t] = pos0
+                # Pages this tile reads: up to its causal frontier.
+                kv_limit = min(r["kv_len"], pos0 + q_tile)
+                pairs += [(t, j) for j in range(-(-kv_limit // block_size))]
         token_ids[offset: offset + n] = chunk
         pos = np.arange(start, start + n, dtype=np.int32)
         positions[offset: offset + n] = pos
@@ -109,6 +120,17 @@ def build_step_inputs(
         temperatures[i] = r["temperature"]
         slot_ids[i] = r.get("slot", num_slots - 1)
     assert offset <= t_pad, f"batch of {offset} tokens exceeds bucket {t_pad}"
+    if num_pairs_bucket is None:
+        num_pairs_bucket = len(pairs)  # unpadded (tests / ad-hoc callers)
+    assert len(pairs) <= num_pairs_bucket, (
+        f"{len(pairs)} active (tile, page) pairs exceed bucket {num_pairs_bucket}"
+    )
+    pair_tile = np.full(max(num_pairs_bucket, 1), nt, np.int32)  # nt = dead
+    pair_page = np.zeros(max(num_pairs_bucket, 1), np.int32)
+    if pairs:
+        arr = np.asarray(pairs, np.int32)
+        pair_tile[: len(pairs)] = arr[:, 0]
+        pair_page[: len(pairs)] = arr[:, 1]
     cu_q_lens[len(reqs) + 1:] = cu_q_lens[len(reqs)]
     num_seqs = np.array([len(reqs)], np.int32)
     return StepInputs(
@@ -125,6 +147,8 @@ def build_step_inputs(
         rng=rng,
         tile_seq=tile_seq,
         tile_pos0=tile_pos0,
+        pair_tile=pair_tile,
+        pair_page=pair_page,
         slot_ids=slot_ids,
         ring_pos=np.asarray([ring_pos], np.int32),
     )

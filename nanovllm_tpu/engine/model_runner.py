@@ -110,6 +110,16 @@ class ModelRunner:
         if self.use_pallas:
             config.schedule_token_align = self.q_tile
         self.prefill_token_buckets = tuple(config.prefill_buckets)
+        # Active (tile, page) pair buckets per prefill token bucket: the
+        # prefill kernel grid is a flat worklist, so its length is a compiled
+        # shape too. Two rungs: a typical-load rung and the dense worst case.
+        self.prefill_pair_buckets = {}
+        for tb in self.prefill_token_buckets:
+            nt = tb // self.q_tile
+            full = nt * config.max_blocks_per_seq
+            self.prefill_pair_buckets[tb] = tuple(
+                sorted({min(4 * nt, full), full})
+            )
 
         # enforce_eager skips ahead-of-time bucket compilation (the analogue
         # of the reference's "skip CUDA graph capture", model_runner.py:36);
@@ -450,7 +460,8 @@ class ModelRunner:
 
     # -------------------------------------------------------------- warmup
 
-    def _dummy_inputs(self, t_bucket: int, s_bucket: int, is_prefill: bool):
+    def _dummy_inputs(self, t_bucket: int, s_bucket: int, is_prefill: bool,
+                      p_bucket: int = 1):
         n = min(2, s_bucket) if is_prefill else s_bucket
         reqs = []
         for i in range(n):
@@ -470,6 +481,7 @@ class ModelRunner:
             rng=np.zeros(2, np.uint32),
             q_tile=q_tile,
             num_slots=self.num_slots,
+            num_pairs_bucket=p_bucket,
         )
 
     def warmup(self):
@@ -479,18 +491,21 @@ class ModelRunner:
         persistent compilation cache this is fast on every run but the
         first."""
         cfg = self.config
-        shapes = [(b, b, False) for b in cfg.decode_buckets]
-        shapes += [(t, cfg.max_num_seqs, True) for t in self.prefill_token_buckets]
-        for t_bucket, s_bucket, is_prefill in shapes:
+        shapes = [(b, b, 1, False) for b in cfg.decode_buckets]
+        for t in self.prefill_token_buckets:
+            for pb in (self.prefill_pair_buckets[t] if self.use_pallas else (1,)):
+                shapes.append((t, cfg.max_num_seqs, pb, True))
+        for t_bucket, s_bucket, p_bucket, is_prefill in shapes:
             t0 = perf_counter()
-            inputs = self._dummy_inputs(t_bucket, s_bucket, is_prefill)
-            self._compiled[(t_bucket, s_bucket, is_prefill)] = self._step.lower(
+            inputs = self._dummy_inputs(t_bucket, s_bucket, is_prefill, p_bucket)
+            key = (t_bucket, s_bucket, p_bucket, is_prefill)
+            self._compiled[key] = self._step.lower(
                 self.params, self.kv, self.token_state, inputs, is_prefill
             ).compile()
             mode = "prefill" if is_prefill else "decode"
             print(
-                f"[warmup] {mode} bucket t={t_bucket} s={s_bucket}: "
-                f"{perf_counter() - t0:.1f}s"
+                f"[warmup] {mode} bucket t={t_bucket} s={s_bucket} "
+                f"pairs={p_bucket}: {perf_counter() - t0:.1f}s"
             )
 
     # ----------------------------------------------------------------- run
@@ -522,17 +537,28 @@ class ModelRunner:
                 )
             )
         q_tile = self.q_tile if (is_prefill and self.use_pallas) else None
+        p_bucket = 1
         if is_prefill:
             if q_tile:
-                # Exact packed length under per-seq q-tile alignment.
-                off = 0
+                # Exact packed length under per-seq q-tile alignment, plus
+                # the active (tile, page) pair count for the worklist grid.
+                off, npairs = 0, 0
+                bsz = cfg.kvcache_block_size
                 for r in reqs:
-                    off = -(-off // q_tile) * q_tile + len(r["token_ids"])
+                    off = -(-off // q_tile) * q_tile
+                    for pos0 in range(r["start"], r["kv_len"], q_tile):
+                        lim = min(r["kv_len"], pos0 + q_tile)
+                        npairs += -(-lim // bsz)
+                    off += len(r["token_ids"])
                 num_tokens = -(-off // q_tile) * q_tile
             else:
                 num_tokens = sum(len(r["token_ids"]) for r in reqs)
             t_bucket = _pick_bucket(self.prefill_token_buckets, num_tokens)
             s_bucket = cfg.max_num_seqs
+            if q_tile:
+                p_bucket = _pick_bucket(
+                    self.prefill_pair_buckets[t_bucket], npairs
+                )
         else:
             s_bucket = _pick_bucket(cfg.decode_buckets, len(seqs))
             t_bucket = s_bucket
@@ -547,8 +573,9 @@ class ModelRunner:
             q_tile=q_tile,
             num_slots=self.num_slots,
             ring_pos=ring_pos,
+            num_pairs_bucket=p_bucket if q_tile else None,
         )
-        compiled = self._compiled.get((t_bucket, s_bucket, is_prefill))
+        compiled = self._compiled.get((t_bucket, s_bucket, p_bucket, is_prefill))
         if compiled is not None:
             self.kv, self.token_state = compiled(
                 self.params, self.kv, self.token_state, inputs

@@ -25,6 +25,7 @@ from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from nanovllm_tpu.ops import quant
@@ -152,6 +153,8 @@ def forward(
         num_seqs=inputs.num_seqs,
         tile_seq=inputs.tile_seq,
         tile_pos0=inputs.tile_pos0,
+        pair_tile=inputs.pair_tile,
+        pair_page=inputs.pair_page,
     )
 
     def layer_fn(carry, lp):
@@ -282,27 +285,37 @@ def _param_shapes(spec: Qwen3Spec) -> dict:
     return shapes
 
 
-def init_params(spec: Qwen3Spec, key, dtype=jnp.bfloat16):
+def init_params(spec: Qwen3Spec, seed_or_key=0, dtype=jnp.bfloat16):
     """Random parameters with the real structure (benchmarking without
-    downloaded checkpoints; values don't affect throughput)."""
+    downloaded checkpoints; values don't affect throughput). Uses numpy's
+    generator: jax.random on CPU takes ~an hour for an 8B-param tree."""
+    import ml_dtypes
+
+    if np.isscalar(seed_or_key):
+        seed = int(seed_or_key)
+    else:  # a jax PRNG key (legacy callers)
+        seed = int(np.asarray(jax.random.key_data(seed_or_key)).ravel()[-1])
+    rng = np.random.default_rng(seed)
+    np_dtype = ml_dtypes.bfloat16 if dtype == jnp.bfloat16 else np.dtype(dtype)
     shapes = _param_shapes(spec)
     flat, treedef = jax.tree.flatten(shapes, is_leaf=lambda x: isinstance(x, tuple))
-    keys = jax.random.split(key, len(flat))
     leaves = []
-    for k, shape in zip(keys, flat):
+    for shape in flat:
         if len(shape) <= 2 and shape[-1] != spec.hidden_size:
-            leaves.append(jnp.ones(shape, dtype))  # norm weights
+            leaves.append(np.ones(shape, np_dtype))  # norm weights
         else:
             scale = (shape[-2] if len(shape) > 1 else shape[-1]) ** -0.5
-            leaves.append(scale * jax.random.normal(k, shape, dtype))
+            leaves.append(
+                (scale * rng.standard_normal(shape, np.float32)).astype(np_dtype)
+            )
     params = jax.tree.unflatten(treedef, leaves)
     # Norm-like params should init to ones regardless of shape heuristics.
     for name in ("input_norm", "post_norm", "q_norm", "k_norm"):
         if name in params["layers"]:
-            params["layers"][name] = jnp.ones_like(params["layers"][name])
-    params["final_norm"] = jnp.ones_like(params["final_norm"])
+            params["layers"][name] = np.ones_like(params["layers"][name])
+    params["final_norm"] = np.ones_like(params["final_norm"])
     if spec.has_qkv_bias:
-        params["layers"]["qkv_bias"] = jnp.zeros_like(params["layers"]["qkv_bias"])
+        params["layers"]["qkv_bias"] = np.zeros_like(params["layers"]["qkv_bias"])
     return params
 
 

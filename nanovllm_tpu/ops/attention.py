@@ -45,6 +45,8 @@ class AttentionMeta(NamedTuple):
     num_seqs: jax.Array       # i32[1] live sequence count
     tile_seq: jax.Array       # i32[NT] q-tile -> sequence (prefill kernel)
     tile_pos0: jax.Array      # i32[NT] q-tile row-0 absolute position
+    pair_tile: jax.Array      # i32[NP] active (tile, page) worklist
+    pair_page: jax.Array      # i32[NP]
 
 
 def write_kv(k_all, v_all, layer, k, v, slot_mapping):

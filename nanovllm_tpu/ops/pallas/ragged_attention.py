@@ -596,6 +596,8 @@ def _prefill_kernel(
     kv_lens_ref,       # i32[S]
     tables_ref,        # i32[S, W]
     num_seqs_ref,      # i32[1]
+    pair_tile_ref,     # i32[NP] active (tile, page) worklist, tile-major
+    pair_page_ref,     # i32[NP]
     # inputs
     q_ref,             # [Hkv, BQ, G, hd] VMEM (tile t)
     k_store_hbm,       # [Hkv, T, hd] ANY cache-dtype new rows, tile-aligned
@@ -627,10 +629,19 @@ def _prefill_kernel(
     sm_scale: float,
     quantized: bool,
 ):
-    t, j = pl.program_id(0), pl.program_id(1)
+    # The grid is a flat worklist of active (tile, page) pairs: a dense
+    # (tiles x pages) grid is ~75% skipped steps whose per-step scalar work
+    # still costs real time. Pairs are tile-major; padding pairs carry the
+    # NT sentinel tile.
+    i = pl.program_id(0)
+    nt = tile_seq_ref.shape[0]
+    t = jnp.minimum(pair_tile_ref[i], nt - 1)
+    j = pair_page_ref[i]
+    pair_live = pair_tile_ref[i] < nt
+
     num_seqs = num_seqs_ref[0]
     seq = tile_seq_ref[t]
-    live = seq < num_seqs
+    live = pair_live & (seq < num_seqs)
     safe_seq = jnp.where(live, seq, 0)
     pos0 = tile_pos0_ref[t]
     kv_len = jnp.where(live, kv_lens_ref[safe_seq], 0)
@@ -638,21 +649,12 @@ def _prefill_kernel(
     kv_limit = jnp.where(live, jnp.minimum(kv_len, pos0 + q_tile), 0)
     num_blocks = _cdiv(kv_limit, block_size)
 
-    def tile_blocks(tile):
-        t_seq = tile_seq_ref[tile]
-        t_live = t_seq < num_seqs
-        lim = jnp.where(
-            t_live,
-            jnp.minimum(kv_lens_ref[jnp.where(t_live, t_seq, 0)],
-                        tile_pos0_ref[tile] + q_tile),
-            0,
-        )
-        return _cdiv(lim, block_size)
-
     layer = layer_ref[0]
 
-    def read_page(tile, page, slot):
+    def read_pair(pair, slot):
         # Reads through the aliased *output* refs (see decode kernel note).
+        tile = jnp.minimum(pair_tile_ref[pair], nt - 1)
+        page = pair_page_ref[pair]
         page_id = tables_ref[tile_seq_ref[tile], page]
         pltpu.make_async_copy(
             k_out_hbm.at[layer, :, page_id], k_buf.at[slot], sems.at[0, slot]
@@ -685,12 +687,12 @@ def _prefill_kernel(
                 vs_out_hbm.at[0, 0], vs_buf.at[slot], sems.at[3, slot]
             ).wait()
 
-    @pl.when((t == 0) & (j == 0))
+    @pl.when(i == 0)
     def _init_first():
         buf_idx_ref[0] = 0
-        read_page(0, 0, 0)
+        read_pair(0, 0)
 
-    @pl.when(j < num_blocks)
+    @pl.when(live & (j < num_blocks))
     def _work():
         slot = buf_idx_ref[0]
 
@@ -749,23 +751,15 @@ def _prefill_kernel(
                     wk.wait()
                     wv.wait()
 
-        # Next working (tile, page): rest of this tile, else next live tile's
-        # page 0 (live tiles are contiguous at the front of the grid). Issued
-        # after the j==0 writes above, so it observes them.
-        in_tile = j + 1 < num_blocks
-        ntile = jnp.where(in_tile, t, t + 1)
-        npage = jnp.where(in_tile, j + 1, 0)
-        nt_total = pl.num_programs(0)
-        has_next = jnp.where(
-            ntile < nt_total,
-            jnp.where(in_tile, True,
-                      tile_blocks(jnp.minimum(ntile, nt_total - 1)) > 0),
-            False,
-        )
+        # Prefetch the next pair (live pairs are contiguous at the front of
+        # the worklist). Issued after the j==0 writes above, so it observes
+        # them.
+        nxt = jnp.minimum(i + 1, pl.num_programs(0) - 1)
+        has_next = (i + 1 < pl.num_programs(0)) & (pair_tile_ref[nxt] < nt)
 
         @pl.when(has_next)
         def _prefetch():
-            read_page(ntile, npage, 1 - slot)
+            read_pair(nxt, 1 - slot)
 
         wait_page(slot)
         buf_idx_ref[0] = 1 - slot
@@ -781,7 +775,7 @@ def _prefill_kernel(
             # q_tile <= block this is exactly the single-page-tile case).
             @pl.when(live & (pos0 < block_size))
             def _refetch():
-                read_page(t, 0, slot)
+                read_pair(i, slot)
                 wait_page(slot)
 
         hkv, bq, groups, hd = q_ref.shape
@@ -874,12 +868,18 @@ def ragged_prefill_attention(
         v_store = v_new.transpose(1, 0, 2).astype(vc.dtype)
         ks_new = vs_new = jnp.zeros((1, 1), jnp.float32)
 
+    NP = meta.pair_tile.shape[0]
+
+    def q_index(i, layer_r, tile_seq_r, tile_pos0_r, kv_lens_r, tables_r,
+                num_seqs_r, pair_tile_r, pair_page_r):
+        return (0, jnp.minimum(pair_tile_r[i], NT - 1), 0, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
-        grid=(NT, W),
+        num_scalar_prefetch=8,
+        grid=(NP,),
         in_specs=[
             pl.BlockSpec(
-                (Hkv, q_tile, groups, hd), lambda t, j, *_: (0, t, 0, 0),
+                (Hkv, q_tile, groups, hd), q_index,
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),       # k_store (HBM)
@@ -893,7 +893,7 @@ def ragged_prefill_attention(
         ],
         out_specs=[
             pl.BlockSpec(
-                (Hkv, q_tile, groups, hd), lambda t, j, *_: (0, t, 0, 0),
+                (Hkv, q_tile, groups, hd), q_index,
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),       # aliased caches
@@ -925,12 +925,12 @@ def ragged_prefill_attention(
         sm_scale=sm_scale,
         quantized=quantized,
     )
-    # Inputs count from the start of the scalar-prefetch operands: 6 scalars,
-    # then q(6) k_store(7) v_store(8) ks_new(9) vs_new(10) k_hbm(11) v_hbm(12)
-    # ks_hbm(13) vs_hbm(14).
-    aliases = {11: 1, 12: 2}
+    # Inputs count from the start of the scalar-prefetch operands: 8 scalars,
+    # then q(8) k_store(9) v_store(10) ks_new(11) vs_new(12) k_hbm(13)
+    # v_hbm(14) ks_hbm(15) vs_hbm(16).
+    aliases = {13: 1, 14: 2}
     if quantized:
-        aliases.update({13: 3, 14: 4})
+        aliases.update({15: 3, 16: 4})
     out, kc, vc, ks, vs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -943,14 +943,15 @@ def ragged_prefill_attention(
         ],
         input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",),
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(
         jnp.reshape(jnp.asarray(layer, jnp.int32), (1,)),
         meta.tile_seq, meta.tile_pos0, meta.kv_lens, meta.block_tables,
-        meta.num_seqs, q_hm, k_store, v_store, ks_new, vs_new, kc, vc, ks, vs,
+        meta.num_seqs, meta.pair_tile, meta.pair_page,
+        q_hm, k_store, v_store, ks_new, vs_new, kc, vc, ks, vs,
     )
     out = out.transpose(1, 0, 2, 3).reshape(T, Hq, hd)
     if quantized:

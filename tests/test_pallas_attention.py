@@ -45,6 +45,8 @@ def meta_from_inputs(inputs):
         num_seqs=inputs.num_seqs,
         tile_seq=inputs.tile_seq,
         tile_pos0=inputs.tile_pos0,
+        pair_tile=inputs.pair_tile,
+        pair_page=inputs.pair_page,
     )
 
 
