@@ -355,9 +355,13 @@ class ModelRunner:
 
     @property
     def use_pallas(self) -> bool:
+        # The kernels slice the cache's head_dim as whole 128-lane tiles;
+        # models with head_dim not a multiple of 128 (e.g. 64) fall back to
+        # the jnp reference implementation (correct but unoptimized).
+        supported = self.spec.head_dim % 128 == 0
         if self.config.use_pallas_attention is None:
-            return self.is_tpu
-        return self.config.use_pallas_attention
+            return self.is_tpu and supported
+        return self.config.use_pallas_attention and supported
 
     def _attn_impls(self):
         """(prefill_impl, decode_impl) — Pallas kernels on TPU, jnp oracle
