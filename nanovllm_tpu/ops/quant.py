@@ -85,39 +85,54 @@ def quantize_array(w: np.ndarray | jax.Array, mode: str, *, axis: int,
     ``axis`` is the contraction (in) dim for matmul weights, the feature dim
     for embeddings. int4 uses group-wise scales along ``axis`` (the group dim
     is inserted where ``axis`` was, i.e. scale keeps w's rank).
+
+    The math runs as a jitted CPU program: single-threaded numpy passes over
+    a multi-billion-parameter tree take tens of minutes; XLA:CPU is
+    multithreaded.
     """
-    w = np.asarray(w, np.float32)
+    w = np.asarray(w)
     axis = axis % w.ndim
+    g = None
     if mode == "int4":
         g = group or INT4_GROUP
         while w.shape[axis] % g:
             g //= 2  # shrink to a divisor for off-size dims (tiny test models)
         assert g >= 1
-        shape = w.shape[:axis] + (w.shape[axis] // g, g) + w.shape[axis + 1:]
-        wg = w.reshape(shape)
-        amax = np.abs(wg).max(axis=axis + 1, keepdims=True)
-        scale = np.maximum(amax, 1e-8) / 7.0
-        q = np.clip(np.rint(wg / scale), -8, 7)
-        q = np.asarray(q.reshape(w.shape), _storage_dtype(mode))
-        return QuantWeight(
-            q=q,
-            scale=np.asarray(np.squeeze(scale, axis=axis + 1), np.float32),
-            mode=mode,
-        )
-    amax = np.abs(w).max(axis=axis)
-    if mode == "int8":
-        scale = np.maximum(amax, 1e-8) / 127.0
-        q = np.clip(np.rint(w / np.expand_dims(scale, axis)), -127, 127)
-    elif mode == "fp8":
-        scale = np.maximum(amax, 1e-8) / _FP8_MAX
-        q = w / np.expand_dims(scale, axis)
-    else:
-        raise ValueError(f"unknown weight quant mode {mode!r}")
-    return QuantWeight(
-        q=np.asarray(q, _storage_dtype(mode)),
-        scale=np.asarray(scale, np.float32),
-        mode=mode,
-    )
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        q, scale = _quantize_jit(mode, axis, g)(w)
+    return QuantWeight(q=np.asarray(q), scale=np.asarray(scale), mode=mode)
+
+
+@functools.lru_cache(maxsize=None)
+def _quantize_jit(mode: str, axis: int, group: int | None):
+    def fn(w):
+        wf = w.astype(jnp.float32)
+        if mode == "int4":
+            g = group
+            shape = wf.shape[:axis] + (wf.shape[axis] // g, g) + wf.shape[axis + 1:]
+            wg = wf.reshape(shape)
+            amax = jnp.max(jnp.abs(wg), axis=axis + 1, keepdims=True)
+            scale = jnp.maximum(amax, 1e-8) / 7.0
+            q = jnp.clip(jnp.round(wg / scale), -8, 7)
+            return (
+                q.reshape(wf.shape).astype(jnp.int4),
+                jnp.squeeze(scale, axis=axis + 1),
+            )
+        amax = jnp.max(jnp.abs(wf), axis=axis)
+        if mode == "int8":
+            scale = jnp.maximum(amax, 1e-8) / 127.0
+            q = jnp.clip(
+                jnp.round(wf / jnp.expand_dims(scale, axis)), -127, 127
+            ).astype(jnp.int8)
+        elif mode == "fp8":
+            scale = jnp.maximum(amax, 1e-8) / _FP8_MAX
+            q = (wf / jnp.expand_dims(scale, axis)).astype(jnp.float8_e4m3fn)
+        else:
+            raise ValueError(f"unknown weight quant mode {mode!r}")
+        return q, scale
+
+    return jax.jit(fn)
 
 
 # ---------------------------------------------------------------- matmul
