@@ -30,6 +30,7 @@ def main():
     kv_dtype = os.environ.get("BENCH_KV_DTYPE", "int8")
     fetch_interval = int(os.environ.get("BENCH_FETCH_INTERVAL", 64))
     block = int(os.environ.get("BENCH_BLOCK", 256))
+    hbm_util = float(os.environ.get("BENCH_HBM_UTIL", 0.9))
 
     from nanovllm_tpu import LLM, SamplingParams
 
@@ -52,6 +53,7 @@ def main():
         kv_cache_dtype=kv_dtype,
         fetch_interval=fetch_interval,
         kvcache_block_size=block,
+        hbm_utilization=hbm_util,
     )
 
     rng = np.random.default_rng(0)

@@ -135,16 +135,17 @@ class ModelRunner:
     def _load_params(self, random_weights: bool):
         spec, cfg = self.spec, self.config
         if random_weights:
-            # Init on CPU: a large model's full-precision random init would
-            # not fit device HBM alongside its (possibly quantized) copy.
-            key = jax.random.PRNGKey(cfg.rng_seed)
-            with jax.default_device(jax.devices("cpu")[0]):
-                host = jax.tree.map(
-                    np.asarray, self.family.init_params(spec, key, self.dtype)
-                )
-        else:
-            plan = self.family.hf_param_plan(spec, tp=self.tp)
-            host = load_params(spec, plan, cfg.model, tp=self.tp)
+            # Generate directly on the accelerator, in storage dtype, already
+            # sharded: this host's memory bandwidth (~40 MB/s writes) makes a
+            # host-side multi-GB init + transfer take tens of minutes.
+            self.params = self.family.device_init_params(
+                spec, cfg.rng_seed, self.dtype,
+                quant=cfg.quantization, tp=self.tp,
+                shardings=self._param_shardings(),
+            )
+            return
+        plan = self.family.hf_param_plan(spec, tp=self.tp)
+        host = load_params(spec, plan, cfg.model, tp=self.tp)
         if cfg.quantization:
             host = self.family.quantize_params(
                 spec, host, cfg.quantization, tp=self.tp
