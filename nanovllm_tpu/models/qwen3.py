@@ -400,6 +400,7 @@ def _device_quant_leaf(shape: tuple, mode: str, key, *, kind: str, tp: int,
         gen = lambda: jax.random.randint(key, shape, -8, 8, jnp.int8).astype(
             jnp.int4
         )
+        qsh = quant.packed_int4_format(shape, qsh)
         sshape = shape[:1] + (in_dim // g,) + shape[2:]
         qmax = 7.0
     else:

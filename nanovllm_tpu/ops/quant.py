@@ -135,6 +135,30 @@ def _quantize_jit(mode: str, axis: int, group: int | None):
     return jax.jit(fn)
 
 
+def packed_int4_format(shape: tuple, sharding):
+    """Ask for the *packed* int4 device layout explicitly (two values per
+    byte, TPU tiling ((64,128),(8,1)) — the (8k,128)/(k,1) narrow-dtype
+    pattern with k = 8). The runtime's layout-assignment default for jit
+    outputs and host device_puts is UNPACKED int4
+    (sub_byte_element_size_in_bits=0), while AOT-lowered step executables
+    require the packed default for their int4 parameters — mismatched
+    layouts are a dispatch error, and unpacked int4 would also stream
+    int8-sized bytes, forfeiting the packing bandwidth win."""
+    if sharding is None:
+        return None
+    devs = getattr(sharding, "device_set", None)
+    if not devs or next(iter(devs)).platform not in ("tpu", "axon"):
+        return sharding  # CPU backend: no TPU tilings
+    from jax.experimental.layout import Format, Layout
+
+    layout = Layout(
+        major_to_minor=tuple(range(len(shape))),
+        tiling=((64, 128), (8, 1)),
+        sub_byte_element_size_in_bits=4,
+    )
+    return Format(layout, sharding)
+
+
 # ---------------------------------------------------------------- matmul
 
 
@@ -145,21 +169,29 @@ def matmul(x: jax.Array, w) -> jax.Array:
     if w.mode == "int4":
         gi = w.scale.shape[-2]
         g = w.q.shape[-2] // gi
+        n_out = w.q.shape[-1]
         t = x.shape[:-1]
-        xg = x.reshape(*t, gi, g)
-        qg = w.q.reshape(gi, g, w.q.shape[-1]).astype(x.dtype)
-        # partial[..., G, out] = sum_i x[..., G, i] q[G, i, out]
-        partial = jax.lax.dot_general(
-            xg, qg,
-            dimension_numbers=(((xg.ndim - 1,), (1,)), ((xg.ndim - 2,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        # dot_general puts batch dims first: [G, ..., out].
-        out = jnp.sum(
-            partial * w.scale.astype(jnp.float32).reshape(
-                gi, *([1] * len(t)), -1),
-            axis=0,
-        )
+        # Accumulate over groups in a loop: the live state is one [T, out]
+        # f32 accumulator. (A single batched-over-groups dot_general computes
+        # the same thing but materializes partial[G, T, out] — 26 GB for an
+        # 8B gate_up at the 8192-token prefill bucket.)
+        scale = w.scale.astype(jnp.float32)
+
+        def body(i, acc):
+            xg = jax.lax.dynamic_slice_in_dim(x, i * g, g, axis=x.ndim - 1)
+            qg = jax.lax.dynamic_slice_in_dim(
+                w.q, i * g, g, axis=w.q.ndim - 2
+            ).astype(x.dtype)
+            si = jax.lax.dynamic_slice_in_dim(scale, i, 1, axis=scale.ndim - 2)
+            part = jax.lax.dot_general(
+                xg, qg,
+                dimension_numbers=(((xg.ndim - 1,), (qg.ndim - 2,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return acc + part * si.reshape(*([1] * len(t)), n_out)
+
+        acc = jnp.zeros((*t, n_out), jnp.float32)
+        out = jax.lax.fori_loop(0, gi, body, acc)
         return out.astype(x.dtype)
     out = x @ w.q.astype(x.dtype)
     return out * w.scale.astype(x.dtype)
@@ -195,16 +227,28 @@ def head_matmul(h: jax.Array, w) -> jax.Array:
         return _dot_f32(h, w)
     if w.mode == "int4":
         v, d = w.q.shape
-        g = d // w.scale.shape[-1]
-        hg = h.astype(jnp.bfloat16).reshape(h.shape[0], d // g, g)
-        qg = w.q.reshape(v, d // g, g).astype(jnp.bfloat16)
-        # partial[G, s, v] = sum_i h[s, G, i] q[v, G, i]
-        partial = jax.lax.dot_general(
-            hg, qg, dimension_numbers=(((2,), (2,)), ((1,), (1,))),
-            preferred_element_type=jnp.float32,
+        gi = w.scale.shape[-1]
+        g = d // gi
+        hb = h.astype(jnp.bfloat16)
+        # Group-loop accumulation (see matmul): live state is one [S, V] f32
+        # accumulator instead of partial[G, S, V] (5 GB at S=256, V=152k).
+        scale = w.scale.astype(jnp.float32)  # [V, d/g]
+
+        def body(i, acc):
+            hg = jax.lax.dynamic_slice_in_dim(hb, i * g, g, axis=1)
+            qg = jax.lax.dynamic_slice_in_dim(w.q, i * g, g, axis=1).astype(
+                jnp.bfloat16
+            )
+            si = jax.lax.dynamic_slice_in_dim(scale, i, 1, axis=1)  # [V, 1]
+            part = jax.lax.dot_general(
+                hg, qg, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return acc + part * si.T
+
+        return jax.lax.fori_loop(
+            0, gi, body, jnp.zeros((h.shape[0], v), jnp.float32)
         )
-        scale = w.scale.astype(jnp.float32).T[:, None, :]  # [d/g, 1, v]
-        return jnp.sum(partial * scale, axis=0)
     logits = _dot_f32(h, w.q)
     return logits * w.scale.astype(jnp.float32)[None, :]
 
