@@ -84,6 +84,18 @@ class ModelRunner:
         assert self.tp <= len(devices), (
             f"tensor_parallel_size={self.tp} but only {len(devices)} devices"
         )
+        # Multi-host (DCN): every host runs this same program (multi-controller
+        # SPMD, SURVEY.md §5/§7: the deterministic scheduler + a shared rng
+        # seed keep per-host StepInputs identical, so no control-plane
+        # messages are needed — the reference's SHM/pickle mailbox,
+        # model_runner.py:41-89, has no equivalent). The mesh must span every
+        # process's devices so all hosts participate in each jitted step.
+        self.n_proc = jax.process_count()
+        if self.n_proc > 1:
+            assert self.tp == len(devices), (
+                f"multi-host runs require tensor_parallel_size == global device "
+                f"count ({len(devices)}), got {self.tp}"
+            )
         self.mesh = Mesh(np.asarray(devices[: self.tp]).reshape(self.tp), ("tp",))
         self.is_tpu = devices[0].platform in ("tpu", "axon")
 
@@ -154,11 +166,11 @@ class ModelRunner:
         def put(leaf, sh):
             if isinstance(leaf, QuantWeight):
                 return QuantWeight(
-                    q=jax.device_put(leaf.q, sh.q),
-                    scale=jax.device_put(leaf.scale, sh.scale),
+                    q=self._put_quant_storage(leaf, sh.q),
+                    scale=self._global_put(leaf.scale, sh.scale),
                     mode=leaf.mode,
                 )
-            return jax.device_put(np.asarray(leaf, self._np_dtype()), sh)
+            return self._global_put(np.asarray(leaf, self._np_dtype()), sh)
 
         self.params = jax.tree.map(
             put,
@@ -169,6 +181,31 @@ class ModelRunner:
 
     def _np_dtype(self):
         return jnp.dtype(self.dtype)
+
+    def _put_quant_storage(self, leaf: QuantWeight, sharding):
+        """Place quantized storage on device. int4 on TPU needs an explicit
+        detour: a host int4 device_put lands UNPACKED (one byte per value),
+        which both mismatches AOT executables' packed-parameter layouts and
+        doubles HBM bytes — so ship the bytes as int8 and convert to packed
+        int4 on-device (values live in the low nibble: ((b+8)&15)-8)."""
+        packed = quant.packed_int4_format(leaf.q.shape, sharding)
+        if leaf.mode != "int4" or packed is sharding:
+            return self._global_put(leaf.q, sharding)
+        x8 = self._global_put(np.asarray(leaf.q).view(np.int8), sharding)
+        return jax.jit(
+            lambda x: (((x + 8) & 15) - 8).astype(jnp.int4),
+            out_shardings=packed,
+        )(x8)
+
+    def _global_put(self, arr, sharding):
+        """device_put that also works when ``sharding`` spans multiple hosts
+        (each host holds the full array; only addressable shards transfer)."""
+        if self.n_proc == 1:
+            return jax.device_put(arr, sharding)
+        arr = np.asarray(arr)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx]
+        )
 
     def _param_pspecs(self):
         """PartitionSpecs per parameter: column-parallel weights shard the
@@ -321,17 +358,23 @@ class ModelRunner:
 
             def pool():
                 return (
-                    jax.device_put(jnp.zeros(shape, jnp.int8), vsh),
-                    jax.device_put(jnp.zeros(sshape, jnp.float32), ssh),
+                    self._device_zeros(shape, jnp.int8, vsh),
+                    self._device_zeros(sshape, jnp.float32, ssh),
                 )
 
             self.kv = (pool(), pool())
         else:
             sh = NamedSharding(self.mesh, self._kv_pspec())
             self.kv = (
-                jax.device_put(jnp.zeros(shape, self.kv_dtype), sh),
-                jax.device_put(jnp.zeros(shape, self.kv_dtype), sh),
+                self._device_zeros(shape, self.kv_dtype, sh),
+                self._device_zeros(shape, self.kv_dtype, sh),
             )
+
+    @staticmethod
+    def _device_zeros(shape, dtype, sharding):
+        """Allocate a zeroed (possibly multi-host) sharded buffer on device —
+        no host materialization or transfer."""
+        return jax.jit(lambda: jnp.zeros(shape, dtype), out_shardings=sharding)()
 
     def _alloc_token_state(self):
         """On-device sampled-token state for the async pipeline:
@@ -346,9 +389,9 @@ class ModelRunner:
         self.ring_size = cfg.fetch_interval
         rep = NamedSharding(self.mesh, P())
         self.token_state = (
-            jax.device_put(jnp.zeros(self.num_slots, jnp.int32), rep),
-            jax.device_put(
-                jnp.zeros((self.ring_size, cfg.max_num_seqs), jnp.int32), rep
+            self._device_zeros((self.num_slots,), jnp.int32, rep),
+            self._device_zeros(
+                (self.ring_size, cfg.max_num_seqs), jnp.int32, rep
             ),
         )
 
@@ -508,10 +551,11 @@ class ModelRunner:
                 self.params, self.kv, self.token_state, inputs, is_prefill
             ).compile()
             mode = "prefill" if is_prefill else "decode"
-            print(
-                f"[warmup] {mode} bucket t={t_bucket} s={s_bucket} "
-                f"pairs={p_bucket}: {perf_counter() - t0:.1f}s"
-            )
+            if jax.process_index() == 0:
+                print(
+                    f"[warmup] {mode} bucket t={t_bucket} s={s_bucket} "
+                    f"pairs={p_bucket}: {perf_counter() - t0:.1f}s"
+                )
 
     # ----------------------------------------------------------------- run
 
@@ -580,6 +624,17 @@ class ModelRunner:
             ring_pos=ring_pos,
             num_pairs_bucket=p_bucket if q_tile else None,
         )
+        if self.n_proc > 1:
+            # Multi-host: every host builds identical StepInputs (deterministic
+            # scheduler + shared rng seed); wrap them as globally-replicated
+            # arrays so the global-mesh jit accepts them.
+            rep = NamedSharding(self.mesh, P())
+            inputs = jax.tree.map(
+                lambda a: jax.make_array_from_callback(
+                    np.shape(a), rep, lambda idx, a=a: np.asarray(a)[idx]
+                ),
+                inputs,
+            )
         compiled = self._compiled.get((t_bucket, s_bucket, p_bucket, is_prefill))
         if compiled is not None:
             self.kv, self.token_state = compiled(
@@ -593,8 +648,9 @@ class ModelRunner:
     def fetch_ring(self) -> np.ndarray:
         """One batched device->host transfer of the sampled-token ring
         (i32[fetch_interval, max_num_seqs], row r = step dispatched with
-        ring_pos r since the previous fetch)."""
-        return np.asarray(self.token_state[1])
+        ring_pos r since the previous fetch). The ring is replicated, so on
+        multi-host runs each host reads its local copy (no DCN traffic)."""
+        return np.asarray(self.token_state[1].addressable_data(0))
 
     def exit(self):
         """Release device buffers (reference model_runner.py:50-59)."""

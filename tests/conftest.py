@@ -21,6 +21,12 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-process / long-compile tests"
+    )
+
+
 @pytest.fixture(scope="session")
 def tiny_qwen3_dir(tmp_path_factory):
     """Create a tiny random-weight HF Qwen3 checkpoint on disk (no network)."""
