@@ -4,8 +4,9 @@ Each family module exposes:
 - ``spec_from_hf(hf_config) -> Spec`` (static architecture description)
 - ``forward(spec, params, kv, inputs, ...) -> (hidden, new_kv)``
 - ``hf_param_plan(spec, tp) -> plan`` consumed by ``utils.loader``
-- ``init_params(spec, key, dtype, tp)`` random init (benchmarks without
-  downloaded weights)
+- ``device_init_params(spec, seed, dtype, quant=, tp=, shardings=)``
+  on-device random init in storage dtype (benchmarks without downloaded
+  weights); ``init_params`` is the host-side equivalent
 """
 
 from nanovllm_tpu.models import qwen3

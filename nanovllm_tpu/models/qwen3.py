@@ -285,18 +285,10 @@ def _param_shapes(spec: Qwen3Spec) -> dict:
     return shapes
 
 
-def init_params(spec: Qwen3Spec, seed_or_key=0, dtype=jnp.bfloat16, *,
-                quant: str | None = None, tp: int = 1):
-    """Random parameters with the real structure (benchmarking without
-    downloaded checkpoints; values don't affect throughput). Uses numpy's
-    generator: jax.random on CPU takes ~an hour for an 8B-param tree.
-
-    ``quant``: generate matmul weights directly in their quantized storage
-    format (random narrow ints + constant scales). The full-precision
-    init + quantize pass dominates large-model bench startup on a 1-core
-    host (~30+ min for 8B); direct generation is minutes, and throughput
-    is identical — only byte layout matters.
-    """
+def init_params(spec: Qwen3Spec, seed_or_key=0, dtype=jnp.bfloat16):
+    """Random host-side parameters with the real structure. Prefer
+    ``device_init_params`` (the engine's path): this host's memory bandwidth
+    makes multi-GB numpy generation take tens of minutes."""
     import ml_dtypes
 
     if np.isscalar(seed_or_key):
@@ -306,24 +298,17 @@ def init_params(spec: Qwen3Spec, seed_or_key=0, dtype=jnp.bfloat16, *,
     rng = np.random.default_rng(seed)
     np_dtype = ml_dtypes.bfloat16 if dtype == jnp.bfloat16 else np.dtype(dtype)
     shapes = _param_shapes(spec)
-    quant_paths = set(QUANT_PLAN) if quant else set()
-
-    def dense(shape):
+    flat, treedef = jax.tree.flatten(shapes, is_leaf=lambda x: isinstance(x, tuple))
+    leaves = []
+    for shape in flat:
         if len(shape) <= 2 and shape[-1] != spec.hidden_size:
-            return np.ones(shape, np_dtype)  # norm weights
-        scale = (shape[-2] if len(shape) > 1 else shape[-1]) ** -0.5
-        return (scale * rng.standard_normal(shape, np.float32)).astype(np_dtype)
-
-    def walk(node, path):
-        if isinstance(node, dict):
-            return {k: walk(v, path + (k,)) for k, v in node.items()}
-        if path in quant_paths:
-            return _random_quant_weight(
-                node, quant, rng, kind=QUANT_PLAN[path], tp=tp
+            leaves.append(np.ones(shape, np_dtype))  # norm weights
+        else:
+            scale = (shape[-2] if len(shape) > 1 else shape[-1]) ** -0.5
+            leaves.append(
+                (scale * rng.standard_normal(shape, np.float32)).astype(np_dtype)
             )
-        return dense(node)
-
-    params = walk(shapes, ())
+    params = jax.tree.unflatten(treedef, leaves)
     # Norm-like params should init to ones regardless of shape heuristics.
     for name in ("input_norm", "post_norm", "q_norm", "k_norm"):
         if name in params["layers"]:
@@ -388,7 +373,9 @@ def device_init_params(spec: Qwen3Spec, seed: int = 0, dtype=jnp.bfloat16, *,
 
 def _device_quant_leaf(shape: tuple, mode: str, key, *, kind: str, tp: int,
                        sharding):
-    """On-device analogue of ``_random_quant_weight`` (same layouts)."""
+    """A random QuantWeight in storage format, matching
+    ``quantize_array(..., axis=1)``'s layouts exactly (scale shapes, int4
+    group shrinking for off-size / TP-split contraction dims)."""
     in_dim = shape[1]
     qsh = ssh = None
     if sharding is not None:
@@ -415,39 +402,6 @@ def _device_quant_leaf(shape: tuple, mode: str, key, *, kind: str, tp: int,
     q = jax.jit(gen, **({"out_shardings": qsh} if qsh is not None else {}))()
     sfn = lambda: jnp.full(sshape, in_dim ** -0.5 / qmax, jnp.float32)
     scale = jax.jit(sfn, **({"out_shardings": ssh} if ssh is not None else {}))()
-    return quant.QuantWeight(q=q, scale=scale, mode=mode)
-
-
-def _random_quant_weight(shape: tuple, mode: str, rng, *, kind: str, tp: int):
-    """A ``QuantWeight`` generated directly in storage format, matching
-    ``quantize_array(..., axis=1)``'s layout exactly (scale shapes, int4
-    group shrinking for off-size / TP-split contraction dims)."""
-    import ml_dtypes
-
-    in_dim = shape[1]
-    # Random raw bytes reinterpreted as narrow ints. PCG64 fills ~44 MB/s on
-    # a 1-core host, so one 16 MiB entropy block is tiled to size at memcpy
-    # speed (weight values don't affect throughput; they only must be sane).
-    n = int(np.prod(shape))
-    block = rng.bytes(min(n, 1 << 24))
-    raw = np.frombuffer((block * (-(-n // len(block))))[:n], np.uint8)
-    if mode == "int4":
-        g = quant.INT4_GROUP
-        while in_dim % g or (kind == "row" and (in_dim // g) % tp):
-            g //= 2
-        q = ((raw & 0xF).view(np.int8) - 8).astype(ml_dtypes.int4).reshape(shape)
-        sshape = shape[:1] + (in_dim // g,) + shape[2:]
-        qmax = 7.0
-    else:
-        if mode == "int8":
-            q = raw.view(np.int8).reshape(shape)
-        else:  # fp8: map bytes onto small ints (raw fp8 bit patterns -> NaNs)
-            q = ((raw & 0xF).view(np.int8) - 8).astype(
-                ml_dtypes.float8_e4m3fn
-            ).reshape(shape)
-        sshape = shape[:1] + shape[2:]
-        qmax = 127.0 if mode == "int8" else 8.0
-    scale = np.full(sshape, in_dim ** -0.5 / qmax, np.float32)
     return quant.QuantWeight(q=q, scale=scale, mode=mode)
 
 
