@@ -94,10 +94,20 @@ class Config:
         # model_runner.py:226 — graphs are cheap to capture; XLA programs are
         # not, so we keep the ladder short.)
         if not self.decode_buckets:
-            ladder = [8, 64]
+            # Finer rungs than r1's (8, 64, max): decode wall time scales with
+            # the *bucketed* batch's KV reads, so padding 140 live seqs to 256
+            # wastes real HBM bandwidth. The compile cache amortizes the
+            # extra programs.
+            ladder = [8, 16, 32, 64, 96, 128, 160, 192, 224]
             self.decode_buckets = tuple(b for b in ladder if b < self.max_num_seqs) + (
                 self.max_num_seqs,
             )
+        # The Pallas decode kernel processes sequences in groups of 8 (GRP in
+        # ops/pallas/ragged_attention.py); round every rung up so any
+        # user-supplied ladder (or an off-size max_num_seqs) compiles.
+        self.decode_buckets = tuple(
+            sorted({-(-b // 8) * 8 for b in self.decode_buckets})
+        )
         if not self.prefill_buckets:
             ladder = [2048, 8192]
             self.prefill_buckets = tuple(

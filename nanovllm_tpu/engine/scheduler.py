@@ -57,6 +57,11 @@ class Scheduler:
         num_batched_tokens = 0
         while self.waiting and len(scheduled) < self.max_num_seqs:
             seq = self.waiting[0]
+            if seq.device_slot < 0 and not self.free_slots:
+                # Admission is otherwise bounded only by KV capacity; a pool
+                # that can host more than 2*max_num_seqs concurrent prompts
+                # must not outrun the device slot buffer.
+                break
             if seq.block_table:
                 cached = seq.num_cached_tokens  # continuation chunk
             else:

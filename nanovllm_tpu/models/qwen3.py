@@ -126,6 +126,10 @@ def forward(
     axis: str | None = None,
     attn_impl,    # (q, k_new, v_new, k_all, v_all, layer, meta) -> (o, k, v)
     scan_layers: bool = True,
+    rope: tuple | None = None,  # precomputed (cos, sin) tables — pass them
+                                # through the jit as arguments; computed
+                                # in-trace they bloat every bucket executable
+                                # with a [max_position, hd/2] x2 constant
 ):
     """One forward pass over a ragged packed batch; returns (hidden [T, D],
     updated kv). Runs unsharded (tp=1) or as the per-device program inside
@@ -139,7 +143,7 @@ def forward(
     x = _embed_lookup(params["embed"], inputs.token_ids, axis, dtype)
     t = x.shape[0]
 
-    cos, sin = rope_tables(spec)
+    cos, sin = rope if rope is not None else rope_tables(spec)
     safe_pos = jnp.clip(inputs.positions, 0, spec.max_position - 1)
     cos_t, sin_t = cos[safe_pos], sin[safe_pos]
 

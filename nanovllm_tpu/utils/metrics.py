@@ -1,8 +1,19 @@
-"""Serving metrics: TTFT, per-step throughput, token accounting.
+"""Serving metrics: TTFT, per-phase throughput, token accounting.
 
 Beyond-reference observability (the reference only shows live tok/s in a tqdm
 postfix, llm_engine.py:76-83; SURVEY.md §5 calls for structured per-step
 metrics — the BASELINE target metric is output tok/s/chip + p50 TTFT).
+
+Honest timing under the async pipeline: dispatching a step returns before the
+device executes it, so per-dispatch timestamps measure host overhead only.
+Instead, each ring drain (a device->host fetch that blocks until every
+dispatched step has executed) closes a measurement interval: the wall time
+from the interval's first dispatch to the drain is device-true time for
+exactly the steps dispatched inside it, and is attributed to the prefill /
+decode phases in proportion to their dispatched token counts (an interval is
+usually single-phase under prefill-priority scheduling; mixed intervals are
+split approximately). Per-step completion timestamps (for TTFT / e2e
+latency) are interpolated across the interval by cumulative token weight.
 """
 
 from __future__ import annotations
@@ -27,28 +38,58 @@ class EngineMetrics:
     e2e_latencies: list[float] = field(default_factory=list)  # s, per request
     prefill_tokens: int = 0
     decode_tokens: int = 0
-    prefill_time: float = 0.0   # s in prefill steps
-    decode_time: float = 0.0    # s in decode steps
+    prefill_time: float = 0.0   # s of drained (device-true) prefill work
+    decode_time: float = 0.0    # s of drained (device-true) decode work
     num_prefill_steps: int = 0
     num_decode_steps: int = 0
     start_time: float = field(default_factory=perf_counter)
+    # Open measurement interval: signed token counts of dispatched,
+    # not-yet-drained steps (+prefill tokens / -decode batch size), and the
+    # timestamp of the interval's first dispatch.
+    _interval_steps: list[int] = field(default_factory=list)
+    _interval_start: float | None = None
 
-    def record_step(self, num_tokens: int, dt: float):
+    def record_dispatch(self, num_tokens: int):
         """num_tokens: signed step size (+prefill tokens / -decode batch)."""
+        if self._interval_start is None:
+            self._interval_start = perf_counter()
+        self._interval_steps.append(num_tokens)
         if num_tokens > 0:
             self.prefill_tokens += num_tokens
-            self.prefill_time += dt
             self.num_prefill_steps += 1
         else:
             self.decode_tokens += -num_tokens
-            self.decode_time += dt
             self.num_decode_steps += 1
 
-    def record_first_token(self, arrival_time: float):
-        self.ttfts.append(perf_counter() - arrival_time)
+    def record_drain(self) -> list[float]:
+        """Close the open interval (call right after the blocking ring fetch).
+        Returns the estimated completion timestamp of each step in the
+        interval (ring-row order), for TTFT / e2e attribution."""
+        steps = self._interval_steps
+        if not steps:
+            return []
+        t1 = perf_counter()
+        t0 = self._interval_start
+        dt = max(t1 - t0, 0.0)
+        weights = [abs(n) for n in steps]
+        total_w = sum(weights) or len(steps)
+        p_tok = sum(n for n in steps if n > 0)
+        d_tok = sum(-n for n in steps if n < 0)
+        self.prefill_time += dt * (p_tok / (p_tok + d_tok)) if p_tok else 0.0
+        self.decode_time += dt * (d_tok / (p_tok + d_tok)) if d_tok else 0.0
+        times, acc = [], 0.0
+        for w in weights:
+            acc += w if total_w else 1.0
+            times.append(t0 + dt * acc / total_w)
+        self._interval_steps = []
+        self._interval_start = None
+        return times
 
-    def record_finished(self, arrival_time: float):
-        self.e2e_latencies.append(perf_counter() - arrival_time)
+    def record_first_token(self, arrival_time: float, done_time: float):
+        self.ttfts.append(done_time - arrival_time)
+
+    def record_finished(self, arrival_time: float, done_time: float):
+        self.e2e_latencies.append(done_time - arrival_time)
 
     def summary(self) -> dict:
         wall = perf_counter() - self.start_time

@@ -144,3 +144,29 @@ def test_prefix_cached_admission_counts_fewer_tokens():
     seqs, is_prefill = sched.schedule()
     assert is_prefill and seqs == [b, c]
     assert b.num_scheduled_tokens == 4 and b.num_cached_tokens == 8
+
+
+def test_admission_bounded_by_device_slots():
+    # ADVICE r1 (high): a KV pool large enough to host more than
+    # 2*max_num_seqs one-block prompts must not exhaust the slot buffer —
+    # admission stops instead of crashing on free_slots.popleft().
+    sched = make_scheduler(num_blocks=64, max_seqs=4, max_tokens=64)
+    n_slots = len(sched.free_slots)  # 2 * max_num_seqs = 8
+    seqs = [make_seq([1, 2, 3], max_tokens=64, ignore_eos=True)
+            for _ in range(n_slots + 3)]
+    for s in seqs:
+        sched.add(s)
+    admitted = set()
+    # Prefill in waves of max_num_seqs until slots run dry; never crashes.
+    for _ in range(4):
+        out, is_prefill = sched.schedule()
+        assert is_prefill
+        sched.postprocess(out, [7] * len(out))
+        admitted |= set(out)
+        if not sched.free_slots:
+            break
+    assert len(admitted) <= n_slots
+    # Once slots are exhausted the scheduler falls back to decode.
+    out, is_prefill = sched.schedule()
+    assert not is_prefill
+    assert all(s.device_slot >= 0 for s in out)
