@@ -1,0 +1,140 @@
+"""v5e-16 scaling-efficiency harness (BASELINE: >=85% to v5e-16 on 32B INT4).
+
+Ready-to-run on a real multi-host v5e slice; also self-tests on a virtual
+CPU mesh (--cpu N) so the harness logic stays green in CI.
+
+Usage (per host of the slice, e.g. 4 hosts x 4 chips of a v5e-16):
+    python benchmarks/scaling_harness.py \
+        --coordinator <host0>:9876 --num-processes 4 --process-id <rank>
+    # env: BENCH_ARCH=32b BENCH_QUANT=int4 (defaults below)
+
+The engine runs multi-controller SPMD (every host executes the identical
+deterministic schedule over a global mesh; see utils/distributed.py). The
+harness measures offline output tok/s at the global batch, divides by chip
+count, and reports efficiency vs the recorded single-chip rate for the same
+per-chip workload.
+
+Expected-efficiency model (why >=85% is attainable): per decode step the
+TP-sharded layer runs two psums of the hidden activations ([S, D] bf16) over
+ICI. For Qwen3-32B (D=5120) at S=256 a ring all-reduce moves
+2*(N-1)/N * S*D*2B ~ 5 MB per psum; v5e ICI is ~45 GB/s/link x 4 links, so
+~0.12 ms of comm per layer-pair vs ~0.6 ms of HBM-bound compute per layer at
+1/16th of the weights — and XLA's latency-hiding scheduler overlaps the psum
+with the following matmul (verified by benchmarks/check_tp_overlap.py).
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QWEN3_32B = dict(
+    vocab_size=152064, hidden_size=5120, intermediate_size=27648,
+    num_hidden_layers=64, num_attention_heads=64, num_key_value_heads=8,
+    head_dim=128, max_position_embeddings=40960, rope_theta=1000000.0,
+    rms_norm_eps=1e-6, tie_word_embeddings=False,
+)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--coordinator", default=None,
+                    help="host:port of process 0 (multi-host DCN runs)")
+    ap.add_argument("--num-processes", type=int, default=1)
+    ap.add_argument("--process-id", type=int, default=0)
+    ap.add_argument("--cpu", type=int, default=0,
+                    help="run on N virtual CPU devices (harness self-test)")
+    ap.add_argument("--num-seqs", type=int,
+                    default=int(os.environ.get("BENCH_NUM_SEQS", 256)))
+    ap.add_argument("--max-len", type=int,
+                    default=int(os.environ.get("BENCH_MAX_LEN", 1024)))
+    ap.add_argument("--single-chip-rate", type=float, default=float(
+        os.environ.get("BENCH_SINGLE_CHIP_RATE", 0)),
+        help="recorded 1-chip tok/s for the same per-chip workload "
+             "(efficiency denominator)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                f"{flags} --xla_force_host_platform_device_count={args.cpu}"
+            ).strip()
+        jax.config.update("jax_platforms", "cpu")
+    if args.coordinator:
+        from nanovllm_tpu.utils.distributed import init_multihost
+
+        init_multihost(args.coordinator, args.num_processes, args.process_id)
+
+    import numpy as np
+
+    from nanovllm_tpu import LLM, SamplingParams
+    from nanovllm_tpu.utils.testing import (
+        QWEN3_0_6B, QWEN3_8B, make_qwen3_dir)
+
+    archs = {"0.6b": QWEN3_0_6B, "8b": QWEN3_8B, "32b": QWEN3_32B}
+    arch_name = os.environ.get("BENCH_ARCH", "32b" if not args.cpu else "0.6b")
+    arch = dict(archs[arch_name])
+    if args.cpu:  # shrink for the self-test
+        arch.update(num_hidden_layers=2, vocab_size=2048, hidden_size=256,
+                    intermediate_size=512, num_attention_heads=8,
+                    num_key_value_heads=8, head_dim=32)
+    model_dir = make_qwen3_dir(f"/tmp/qwen3-{arch_name}-scaling", arch)
+
+    n_chips = len(jax.devices())
+    quant = os.environ.get("BENCH_QUANT", None if args.cpu else "int4")
+    llm = LLM(
+        model_dir,
+        random_weights=True,
+        tensor_parallel_size=n_chips,
+        max_model_len=4096 if not args.cpu else 256,
+        max_num_seqs=min(512, max(args.num_seqs, 8)),
+        max_num_batched_tokens=16384 if not args.cpu else 256,
+        kvcache_block_size=256 if not args.cpu else 16,
+        quantization=quant,
+        kv_cache_dtype="int8" if not args.cpu else "auto",
+        num_kvcache_blocks=-1 if not args.cpu else 64,
+        **({} if not args.cpu else dict(
+            decode_buckets=(8,), prefill_buckets=(256,))),
+    )
+    rng = np.random.default_rng(0)
+    min_len = max(1, args.max_len // 10)
+    n = args.num_seqs if not args.cpu else 4
+    prompts = [rng.integers(0, 2000, size=int(
+        rng.integers(min_len, args.max_len) if not args.cpu else 12
+    )).tolist() for _ in range(n)]
+    sp = [SamplingParams(temperature=0.6, ignore_eos=True, max_tokens=int(
+        rng.integers(min_len, args.max_len) if not args.cpu else 8
+    )) for _ in range(n)]
+    llm.generate(["warmup"], SamplingParams(max_tokens=8, ignore_eos=True),
+                 use_tqdm=False)
+
+    from time import time
+
+    from nanovllm_tpu.utils.metrics import EngineMetrics
+
+    llm.metrics = EngineMetrics()
+    t0 = time()
+    llm.generate(prompts, sp, use_tqdm=args.process_id == 0)
+    wall = time() - t0
+    total = sum(s.max_tokens for s in sp)
+    rate = total / wall
+    per_chip = rate / n_chips
+    result = {
+        "metric": "scaling_tok_per_s_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "tok/s/chip",
+        "chips": n_chips,
+        "total_tok_per_s": round(rate, 2),
+        "efficiency_vs_single_chip": round(
+            per_chip / args.single_chip_rate, 4) if args.single_chip_rate else None,
+    }
+    if args.process_id == 0:
+        print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

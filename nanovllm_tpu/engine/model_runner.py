@@ -110,13 +110,12 @@ class ModelRunner:
             )
 
         self._load_params(random_weights)
-        self._allocate_kv_cache()
         self._alloc_token_state()
         self._init_rope()
+        # Step fns are built (not compiled) before the KV pool is sized: auto
+        # sizing probe-compiles the largest prefill bucket against a tiny
+        # cache and reads the compiler's actual peak (see _auto_num_blocks).
         self._build_step_fns()
-
-        # Per-step PRNG stream for the Gumbel sampler (reference sampler.py).
-        self._host_rng = np.random.default_rng(config.rng_seed)
 
         # The scheduler budgets prefills in q-tile-padded units, so packed
         # batches never exceed the largest compiled bucket.
@@ -133,6 +132,11 @@ class ModelRunner:
             self.prefill_pair_buckets[tb] = tuple(
                 sorted({min(4 * nt, full), full})
             )
+
+        self._allocate_kv_cache()
+
+        # Per-step PRNG stream for the Gumbel sampler (reference sampler.py).
+        self._host_rng = np.random.default_rng(config.rng_seed)
 
         # enforce_eager skips ahead-of-time bucket compilation (the analogue
         # of the reference's "skip CUDA graph capture", model_runner.py:36);
@@ -248,29 +252,62 @@ class ModelRunner:
 
     def _kv_block_bytes(self) -> int:
         spec = self.spec
+        hd = self.kernel_head_dim
         per_value = jnp.dtype(self.kv_dtype).itemsize
-        scale = 4 / spec.head_dim if self.kv_quantized else 0  # f32 per token
+        scale = 4 / hd if self.kv_quantized else 0  # f32 per (token, head)
         return int(
             2
             * spec.num_layers
             * self.config.kvcache_block_size
             * spec.num_kv_heads
-            * spec.head_dim
+            * hd
             * (per_value + scale)
         )
 
+    def _probe_step_peak_bytes(self, probe_blocks: int) -> int:
+        """Compile the largest prefill bucket against a ``probe_blocks``-page
+        cache and read the compiler's per-device memory footprint (arguments
+        + un-aliased outputs + temporaries). The TPU analogue of the
+        reference's warmup-profiling (model_runner.py:91-114): exact, no
+        hand-tuned activation constants."""
+        cfg = self.config
+        kv = self._make_kv_pool(probe_blocks)
+        t = max(self.prefill_token_buckets)
+        pb = max(self.prefill_pair_buckets[t]) if self.use_pallas else 1
+        saved = cfg.num_kvcache_blocks
+        cfg.num_kvcache_blocks = probe_blocks  # dummy tables index the probe
+        try:
+            inputs = self._dummy_inputs(t, cfg.max_num_seqs, True, pb)
+        finally:
+            cfg.num_kvcache_blocks = saved
+        compiled = self._step.lower(
+            self.params, kv, self.token_state, self.rope, inputs, True
+        ).compile()
+        ma = compiled.memory_analysis()
+        summed = (
+            int(ma.argument_size_in_bytes)
+            + int(ma.output_size_in_bytes)
+            + int(ma.temp_size_in_bytes)
+            - int(ma.alias_size_in_bytes)
+        )
+        # peak_memory_in_bytes (where reported) also covers generated code
+        # and runtime scratch; take the safer (larger) figure.
+        peak = max(summed, int(getattr(ma, "peak_memory_in_bytes", 0) or 0))
+        assert peak > 0
+        # The probe cache (an argument) is replaced by the real pool.
+        return peak - probe_blocks * (self._kv_block_bytes() // self.tp)
+
     def _auto_num_blocks(self) -> int:
         """Size the KV pool from free device memory (reference
-        model_runner.py:103-114, minus the warmup-profiling dance: activation
-        peak is estimated analytically from the largest compiled bucket)."""
-        cfg, spec = self.config, self.spec
+        model_runner.py:103-114): limit x utilization minus the
+        compiler-measured non-KV peak of the hungriest step program."""
+        cfg = self.config
         stats = {}
         try:
             stats = jax.local_devices()[0].memory_stats() or {}
         except Exception:
             pass
         limit = stats.get("bytes_limit")
-        used = stats.get("bytes_in_use")
         if not limit:
             if not self.is_tpu:
                 # CPU / unknown backend: a small fixed pool. CPU XLA ignores
@@ -280,22 +317,12 @@ class ModelRunner:
             # TPU without memory_stats (tunneled runtime): v5e exposes 15.75
             # GiB of usable HBM (measured from the compiler's OOM report).
             limit = cfg.hbm_bytes or int(15.75 * 1024**3)
-        if used is None:
-            used = sum(
-                a.size * a.dtype.itemsize for a in jax.tree.leaves(self.params)
-            )
-        t_max = max(cfg.prefill_buckets)
-        act_bytes = jnp.dtype(self.dtype).itemsize
-        # Peak live activations inside one scanned layer: qkv + gate/up
-        # intermediates + a few hidden-sized residuals, plus fp32 logits.
-        activation_peak = (
-            t_max * (2 * spec.intermediate_size + 8 * spec.hidden_size) * act_bytes
-            + cfg.max_num_seqs * spec.vocab_size * 4
-        )
-        free = int(limit * cfg.hbm_utilization) - used - activation_peak
+        non_kv_peak = self._probe_step_peak_bytes(probe_blocks=64)
+        free = int(limit * cfg.hbm_utilization) - non_kv_peak
         num = free // (self._kv_block_bytes() // self.tp)
         assert num > 0, (
-            f"not enough device memory for KV cache: limit={limit}, used={used}"
+            f"not enough device memory for KV cache: limit={limit}, "
+            f"non-KV peak={non_kv_peak}"
         )
         return int(num)
 
@@ -311,15 +338,19 @@ class ModelRunner:
         return vals
 
     def _allocate_kv_cache(self):
-        cfg, spec = self.config, self.spec
+        cfg = self.config
         if cfg.num_kvcache_blocks == -1:
             cfg.num_kvcache_blocks = self._auto_num_blocks()
+        self.kv = self._make_kv_pool(cfg.num_kvcache_blocks)
+
+    def _make_kv_pool(self, num_blocks: int):
+        cfg, spec = self.config, self.spec
         shape = (
             spec.num_layers,
             spec.num_kv_heads,
-            cfg.num_kvcache_blocks,
+            num_blocks,
             cfg.kvcache_block_size,
-            spec.head_dim,
+            self.kernel_head_dim,
         )
         if self.kv_quantized:
             vspec, sspec = self._kv_pspec()
@@ -328,7 +359,7 @@ class ModelRunner:
 
             sshape = (
                 spec.num_layers,
-                cfg.num_kvcache_blocks,
+                num_blocks,
                 spec.num_kv_heads,
                 cfg.kvcache_block_size,
             )
@@ -339,13 +370,12 @@ class ModelRunner:
                     self._device_zeros(sshape, jnp.float32, ssh),
                 )
 
-            self.kv = (pool(), pool())
-        else:
-            sh = NamedSharding(self.mesh, self._kv_pspec())
-            self.kv = (
-                self._device_zeros(shape, self.kv_dtype, sh),
-                self._device_zeros(shape, self.kv_dtype, sh),
-            )
+            return (pool(), pool())
+        sh = NamedSharding(self.mesh, self._kv_pspec())
+        return (
+            self._device_zeros(shape, self.kv_dtype, sh),
+            self._device_zeros(shape, self.kv_dtype, sh),
+        )
 
     @staticmethod
     def _device_zeros(shape, dtype, sharding):
@@ -389,13 +419,24 @@ class ModelRunner:
 
     @property
     def use_pallas(self) -> bool:
-        # The kernels slice the cache's head_dim as whole 128-lane tiles;
-        # models with head_dim not a multiple of 128 (e.g. 64) fall back to
-        # the jnp reference implementation (correct but unoptimized).
-        supported = self.spec.head_dim % 128 == 0
         if self.config.use_pallas_attention is None:
-            return self.is_tpu and supported
-        return self.config.use_pallas_attention and supported
+            return self.is_tpu
+        return self.config.use_pallas_attention
+
+    @property
+    def kernel_head_dim(self) -> int:
+        """head_dim as seen by the Pallas kernels / paged cache. Mosaic
+        requires the cache's lane (head_dim) dim to be whole 128-lane tiles
+        (a [.., hd=64] HBM memref is lane-padded and page slices break —
+        measured on v5e); smaller/off-size head dims (64, 96: Qwen2-0.5B,
+        Llama-2, Phi) run the SAME kernels with the cache and q/k/v
+        zero-padded to the next 128 multiple. Zero K lanes add 0 to scores
+        and zero V lanes produce discarded output lanes, so numerics are
+        unchanged; cost is proportional KV-memory overhead (2x at hd=64).
+        The jnp oracle path never pads."""
+        if not self.use_pallas:
+            return self.spec.head_dim
+        return -(-self.spec.head_dim // 128) * 128
 
     def _attn_impls(self):
         """(prefill_impl, decode_impl) — Pallas kernels on TPU, jnp oracle
@@ -409,14 +450,34 @@ class ModelRunner:
                 ragged_prefill_attention,
             )
 
-            prefill = lambda q, kn, vn, kc, vc, layer, meta: (
-                ragged_prefill_attention(
+            hd, khd = self.spec.head_dim, self.kernel_head_dim
+
+            def padded(impl):
+                """Zero-pad q/k/v head_dim to the kernel's 128-lane multiple
+                and slice the output back (see kernel_head_dim). Zero K lanes
+                contribute 0 to every score; zero V lanes produce output
+                lanes that are sliced away."""
+                if khd == hd:
+                    return impl
+
+                def pad(x):
+                    return jnp.pad(x, ((0, 0), (0, 0), (0, khd - hd)))
+
+                def wrapped(q, kn, vn, kc, vc, layer, meta):
+                    o, kc, vc = impl(pad(q), pad(kn), pad(vn), kc, vc, layer,
+                                     meta)
+                    return o[:, :, :hd], kc, vc
+
+                return wrapped
+
+            prefill = padded(
+                lambda q, kn, vn, kc, vc, layer, meta: ragged_prefill_attention(
                     q, kn, vn, kc, vc, layer, meta,
                     sm_scale=sm_scale, q_tile=self.q_tile,
                 )
             )
-            decode = lambda q, kn, vn, kc, vc, layer, meta: (
-                paged_decode_attention(
+            decode = padded(
+                lambda q, kn, vn, kc, vc, layer, meta: paged_decode_attention(
                     q, kn, vn, kc, vc, layer, meta, sm_scale=sm_scale
                 )
             )

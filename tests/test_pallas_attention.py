@@ -284,3 +284,92 @@ def test_prefill_int8_kv_matches_oracle():
     np.testing.assert_allclose(
         np.asarray(out)[live], np.asarray(ref)[live], rtol=2e-2, atol=2e-2
     )
+
+
+def _pad_hd(x, khd):
+    return jnp.pad(x, ((0, 0), (0, 0), (0, khd - x.shape[-1])))
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_padded_head_dim_matches_unpadded_oracle(quantized):
+    """Off-size head dims run the kernels with q/k/v and the cache zero-padded
+    to the lane-tile width (model_runner.kernel_head_dim): padded K lanes add
+    0 to scores, padded V lanes are sliced away, and int8-KV per-(token, head)
+    scales see the same amax — outputs must equal the UNPADDED oracle."""
+    KHD = 64  # kernel-visible head dim; logical HD = 32
+    rng = np.random.default_rng(11)
+    kv_lens = [5, 20, 37]
+    tables = [[0, 1, 2], [3, 4, 5], [6, 7, 8]]
+    reqs = [dict(token_ids=[1], start=n - 1, kv_len=n,
+                 block_table=t[: -(-n // BLOCK)], temperature=1.0)
+            for n, t in zip(kv_lens, tables)]
+    inputs, meta = build(reqs, 8, 8, 3)
+    q = jnp.asarray(rng.standard_normal((8, HQ, HD)), jnp.float32)
+    kn, vn = new_kv(rng, 8)
+
+    # Unpadded oracle on an hd=32 cache.
+    kc, vc = make_cache(rng, 16)
+    ref, kr, vr = ragged_paged_attention_ref(
+        q, kn, vn, kc, vc, 0, meta, sm_scale=SM,
+    )
+
+    # Padded kernel on an hd=64 cache holding the same values in lanes 0:32.
+    kc64 = jnp.pad(np.asarray(kc), ((0, 0), (0, 0), (0, 0), (0, 0), (0, KHD - HD)))
+    vc64 = jnp.pad(np.asarray(vc), ((0, 0), (0, 0), (0, 0), (0, 0), (0, KHD - HD)))
+    if quantized:
+        # int8-KV mode: fresh (zeroed) quantized caches for both kernel and
+        # oracle — the padding concern is quantize_kv_rows over zero lanes
+        # (amax unchanged) and the scale folds; decode's block%32 constraint
+        # makes this a prefill-only check at BLOCK=16.
+        zq = lambda: (jnp.zeros((1, HKV, 16, BLOCK, KHD), jnp.int8),
+                      jnp.zeros((1, 16, HKV, BLOCK), jnp.float32))
+        zq32 = lambda: (jnp.zeros((1, HKV, 16, BLOCK, HD), jnp.int8),
+                        jnp.zeros((1, 16, HKV, BLOCK), jnp.float32))
+        preqs = [dict(token_ids=list(range(20)), start=0, kv_len=20,
+                      block_table=[9, 10], temperature=1.0)]
+        pinputs, pmeta = build(preqs, 32, 8, 3, q_tile=8)
+        qp = jnp.asarray(rng.standard_normal((32, HQ, HD)), np.float32)
+        knp, vnp = new_kv(rng, 32)
+        refp, _, _ = ragged_paged_attention_ref(
+            qp, knp, vnp, zq32(), zq32(), 0, pmeta, sm_scale=SM
+        )
+        outp, _, _ = ragged_prefill_attention(
+            _pad_hd(qp, KHD), _pad_hd(knp, KHD), _pad_hd(vnp, KHD),
+            zq(), zq(), 0, pmeta, sm_scale=SM, q_tile=8, interpret=True,
+        )
+        live = np.asarray(pinputs.slot_mapping) >= 0
+        np.testing.assert_allclose(
+            np.asarray(outp)[live, :, :HD], np.asarray(refp, np.float32)[live],
+            rtol=2e-2, atol=2e-2,
+        )
+        return
+
+    out, ko, vo = paged_decode_attention(
+        _pad_hd(q, KHD), _pad_hd(kn, KHD), _pad_hd(vn, KHD),
+        kc64, vc64, 0, meta, sm_scale=SM, interpret=True,
+    )
+    out = out[:, :, :HD]
+    n = len(reqs)
+    np.testing.assert_allclose(
+        np.asarray(out[:n]), np.asarray(ref[:n], np.float32),
+        rtol=1e-5, atol=1e-5,
+    )
+
+    # Prefill path with the same padding.
+    preqs = [dict(token_ids=list(range(20)), start=0, kv_len=20,
+                  block_table=[9, 10], temperature=1.0)]
+    pinputs, pmeta = build(preqs, 32, 8, 3, q_tile=8)
+    qp = jnp.asarray(rng.standard_normal((32, HQ, HD)), np.float32)
+    knp, vnp = new_kv(rng, 32)
+    refp, _, _ = ragged_paged_attention_ref(
+        qp, knp, vnp, kc, vc, 0, pmeta, sm_scale=SM
+    )
+    outp, _, _ = ragged_prefill_attention(
+        _pad_hd(qp, KHD), _pad_hd(knp, KHD), _pad_hd(vnp, KHD),
+        kc64, vc64, 0, pmeta, sm_scale=SM, q_tile=8, interpret=True,
+    )
+    live = np.asarray(pinputs.slot_mapping) >= 0
+    np.testing.assert_allclose(
+        np.asarray(outp)[live, :, :HD], np.asarray(refp, np.float32)[live],
+        rtol=1e-5, atol=1e-5,
+    )
