@@ -20,6 +20,12 @@ import numpy as np
 
 
 def main():
+    if os.environ.get("NANOVLLM_PLATFORM"):
+        # Pin the backend (the tunnel's sitecustomize ignores JAX_PLATFORMS);
+        # "cpu" lets the CI smoke run the full bench flow on tiny shapes.
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["NANOVLLM_PLATFORM"])
     num_seqs = int(os.environ.get("BENCH_NUM_SEQS", 256))
     max_len = int(os.environ.get("BENCH_MAX_LEN", 1024))
     min_len = max(1, max_len // 10)
@@ -37,16 +43,17 @@ def main():
     model_dir = os.environ.get("BENCH_MODEL")
     random_weights = model_dir is None
     if random_weights:
-        from nanovllm_tpu.utils.testing import QWEN3_0_6B, QWEN3_8B, make_qwen3_dir
+        from nanovllm_tpu.utils.testing import (
+            QWEN3_0_6B, QWEN3_8B, QWEN3_TINY, make_qwen3_dir)
 
         arch = os.environ.get("BENCH_ARCH", "0.6b")
-        cfgs = {"0.6b": QWEN3_0_6B, "8b": QWEN3_8B}
+        cfgs = {"0.6b": QWEN3_0_6B, "8b": QWEN3_8B, "tiny": QWEN3_TINY}
         model_dir = make_qwen3_dir(f"/tmp/qwen3-{arch}-bench", cfgs[arch])
 
     llm = LLM(
         model_dir,
         random_weights=random_weights,
-        max_model_len=4096,
+        max_model_len=int(os.environ.get("BENCH_MAX_MODEL_LEN", 4096)),
         max_num_seqs=min(512, max(num_seqs, 8)),
         tensor_parallel_size=tp,
         quantization=quant,

@@ -25,13 +25,14 @@ reqs = [dict(token_ids=[1], start=KVLEN - 1, kv_len=KVLEN,
         for i in range(S)]
 inputs = build_step_inputs(reqs, block_size=BLOCK, num_tokens_bucket=S,
                            num_seqs_bucket=S, max_blocks_per_seq=16,
-                           rng=np.zeros(2, np.uint32))
+                           rng=np.zeros(2, np.uint32), group_pairs=8)
 meta = AttentionMeta(
     positions=inputs.positions, slot_mapping=inputs.slot_mapping,
     seq_ids=inputs.seq_ids, kv_lens=inputs.kv_lens,
     block_tables=inputs.block_tables, cu_q_lens=inputs.cu_q_lens,
     num_seqs=inputs.num_seqs, tile_seq=inputs.tile_seq,
-    tile_pos0=inputs.tile_pos0)
+    tile_pos0=inputs.tile_pos0, pair_tile=inputs.pair_tile,
+    pair_page=inputs.pair_page)
 
 q = jnp.asarray(rng.standard_normal((S, HQ, HD)), jnp.bfloat16)
 kn = jnp.asarray(rng.standard_normal((S, HKV, HD)), jnp.bfloat16)

@@ -15,10 +15,17 @@ import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import argparse
+import os
 
 import numpy as np
 
 import jax
+
+if os.environ.get("NANOVLLM_PLATFORM"):
+    # Pin the backend (the tunnel's sitecustomize ignores JAX_PLATFORMS);
+    # "cpu" runs the sweep off-chip (weight-quant deltas need no TPU).
+    jax.config.update("jax_platforms", os.environ["NANOVLLM_PLATFORM"])
+
 import jax.numpy as jnp
 
 from nanovllm_tpu.config import Config
@@ -113,7 +120,13 @@ def main():
         tokens = np.load(args.tokens).astype(np.int64)
     else:
         tokens = np.random.default_rng(0).integers(2, 400, 1024)  # within any vocab
-        args.random_weights = True
+        # Use checkpoint weights whenever they exist: with random_weights the
+        # per-mode device init draws DIFFERENT weights, making deltas
+        # meaningless (each mode must quantize the same underlying model).
+        import glob as _glob
+
+        if not _glob.glob(os.path.join(args.model, "*.safetensors")):
+            args.random_weights = True
 
     if not args.sweep:
         ppl = run(args.model, tokens, quantization=args.quant,

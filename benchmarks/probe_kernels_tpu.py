@@ -32,7 +32,7 @@ reqs = [dict(token_ids=[1], start=n-1, kv_len=n,
         for n, t in zip(kv_lens, tables)]
 inputs = build_step_inputs(reqs, block_size=BLOCK, num_tokens_bucket=8,
                            num_seqs_bucket=8, max_blocks_per_seq=4,
-                           rng=np.zeros(2, np.uint32))
+                           rng=np.zeros(2, np.uint32), group_pairs=8)
 meta = meta_of(inputs)
 q = jnp.asarray(rng.standard_normal((8, HQ, HD)), jnp.bfloat16)
 kn = jnp.asarray(rng.standard_normal((8, HKV, HD)), jnp.bfloat16)
@@ -112,7 +112,7 @@ reqs = [dict(token_ids=[1], start=n-1, kv_len=n, block_table=t,
              temperature=1.0) for n, t in zip(kv_lens2, tables2)]
 inputs = build_step_inputs(reqs, block_size=BLOCK, num_tokens_bucket=8,
                            num_seqs_bucket=8, max_blocks_per_seq=4,
-                           rng=np.zeros(2, np.uint32))
+                           rng=np.zeros(2, np.uint32), group_pairs=8)
 meta = meta_of(inputs)
 qd = jnp.asarray(rng.standard_normal((8, HQ, HD)), jnp.bfloat16)
 knd = jnp.asarray(rng.standard_normal((8, HKV, HD)), jnp.bfloat16)

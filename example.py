@@ -5,7 +5,15 @@ Without arguments it synthesizes a tiny random model so the flow runs
 anywhere (output text is gibberish but demonstrates the API).
 """
 
+import os
 import sys
+
+if os.environ.get("NANOVLLM_PLATFORM"):
+    # The tunnel's sitecustomize overrides JAX_PLATFORMS at startup; this
+    # knob pins the backend (e.g. "cpu" for CI smokes) via jax.config.
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["NANOVLLM_PLATFORM"])
 
 from nanovllm_tpu import LLM, SamplingParams
 

@@ -59,6 +59,7 @@ def build_step_inputs(
     num_slots: int = 1,
     ring_pos: int = 0,
     num_pairs_bucket: int | None = None,
+    group_pairs: int | None = None,
 ) -> StepInputs:
     """Build a padded StepInputs batch on host.
 
@@ -70,6 +71,12 @@ def build_step_inputs(
     ``q_tile``: when set (prefill via the Pallas kernel), each sequence's
     chunk is placed at a q_tile-aligned packed offset so every q-tile belongs
     to one sequence; tile_seq/tile_pos0 describe the tiling.
+
+    ``group_pairs``: when set (decode via the Pallas kernel, value = the
+    kernel's GRP), pair_tile/pair_page carry the decode worklist instead:
+    (group, page) for every page depth a group of ``group_pairs`` sequences
+    is live at (a dense groups x max_pages grid is mostly skipped steps whose
+    per-step overhead still costs real time). Sentinel group = S/GRP.
     """
     t_pad, s_pad = num_tokens_bucket, num_seqs_bucket
     w = max_blocks_per_seq
@@ -120,6 +127,13 @@ def build_step_inputs(
         temperatures[i] = r["temperature"]
         slot_ids[i] = r.get("slot", num_slots - 1)
     assert offset <= t_pad, f"batch of {offset} tokens exceeds bucket {t_pad}"
+    if group_pairs:
+        assert q_tile is None, "group_pairs is the decode worklist mode"
+        nt = s_pad // group_pairs  # sentinel = total group count
+        for g in range(-(-len(reqs) // group_pairs)):
+            members = reqs[g * group_pairs: (g + 1) * group_pairs]
+            gmax = max(-(-r["kv_len"] // block_size) for r in members)
+            pairs += [(g, j) for j in range(gmax)]
     if num_pairs_bucket is None:
         num_pairs_bucket = len(pairs)  # unpadded (tests / ad-hoc callers)
     assert len(pairs) <= num_pairs_bucket, (

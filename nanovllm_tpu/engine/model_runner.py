@@ -132,6 +132,18 @@ class ModelRunner:
             self.prefill_pair_buckets[tb] = tuple(
                 sorted({min(4 * nt, full), full})
             )
+        # Decode (group, page) pair buckets per decode batch bucket: the
+        # decode kernel grid is a flat worklist too (r2 — the dense
+        # groups x max_pages grid spent ~2/3 of its steps skipped at bench
+        # shapes). Two rungs: 6 pages/group covers typical mixes; the dense
+        # rung is the worst case.
+        self.decode_pair_buckets = {}
+        for sb in config.decode_buckets:
+            ng = sb // 8
+            full = ng * config.max_blocks_per_seq
+            self.decode_pair_buckets[sb] = tuple(
+                sorted({min(6 * ng, full), full})
+            )
 
         self._allocate_kv_cache()
 
@@ -576,6 +588,7 @@ class ModelRunner:
                      temperature=1.0)
             )
         q_tile = self.q_tile if (is_prefill and self.use_pallas) else None
+        group_pairs = 8 if (not is_prefill and self.use_pallas) else None
         return build_step_inputs(
             reqs,
             block_size=self.config.kvcache_block_size,
@@ -586,6 +599,7 @@ class ModelRunner:
             q_tile=q_tile,
             num_slots=self.num_slots,
             num_pairs_bucket=p_bucket,
+            group_pairs=group_pairs,
         )
 
     def warmup(self):
@@ -595,7 +609,10 @@ class ModelRunner:
         persistent compilation cache this is fast on every run but the
         first."""
         cfg = self.config
-        shapes = [(b, b, 1, False) for b in cfg.decode_buckets]
+        shapes = []
+        for b in cfg.decode_buckets:
+            for pb in (self.decode_pair_buckets[b] if self.use_pallas else (1,)):
+                shapes.append((b, b, pb, False))
         for t in self.prefill_token_buckets:
             for pb in (self.prefill_pair_buckets[t] if self.use_pallas else (1,)):
                 shapes.append((t, cfg.max_num_seqs, pb, True))
@@ -668,6 +685,19 @@ class ModelRunner:
         else:
             s_bucket = _pick_bucket(cfg.decode_buckets, len(seqs))
             t_bucket = s_bucket
+            if self.use_pallas:
+                # Decode worklist length: one pair per (group of 8, live page
+                # depth). The engine sorts decode batches by kv length, so
+                # groups have near-uniform depth.
+                bsz = cfg.kvcache_block_size
+                npairs = sum(
+                    max(-(-r["kv_len"] // bsz) for r in reqs[g0: g0 + 8])
+                    for g0 in range(0, len(reqs), 8)
+                )
+                p_bucket = _pick_bucket(
+                    self.decode_pair_buckets[s_bucket], npairs
+                )
+        group_pairs = 8 if (not is_prefill and self.use_pallas) else None
         rng = self._host_rng.integers(0, 2**32, size=2, dtype=np.uint32)
         inputs = build_step_inputs(
             reqs,
@@ -679,7 +709,8 @@ class ModelRunner:
             q_tile=q_tile,
             num_slots=self.num_slots,
             ring_pos=ring_pos,
-            num_pairs_bucket=p_bucket if q_tile else None,
+            num_pairs_bucket=p_bucket if (q_tile or group_pairs) else None,
+            group_pairs=group_pairs,
         )
         if self.n_proc > 1:
             # Multi-host: every host builds identical StepInputs (deterministic

@@ -82,6 +82,12 @@ def quantize_kv_rows(x: jax.Array):
 # one-sequence-per-step grid spends most of a decode step on per-grid-step
 # overhead and sub-MXU matmuls ([G, hd] x [hd, block]); grouping multiplies
 # the dot's N dim by GRP and divides grid steps by GRP.
+#
+# The grid is a FLAT WORKLIST of live (group, page) pairs (like the prefill
+# kernel): a dense (groups x max_pages) grid left ~2/3 of its iterations
+# skipped at bench shapes, and skipped steps still pay per-step scalar
+# overhead. The engine sorts decode batches by kv length so each group has
+# near-uniform page depth (a group's DMA reads run to its max member).
 
 GRP = 8  # sequences per decode grid step (buckets must be multiples)
 
@@ -92,6 +98,8 @@ def _decode_kernel(
     kv_lens_ref,       # i32[S]
     tables_ref,        # i32[S, W]
     num_seqs_ref,      # i32[1]
+    pair_grp_ref,      # i32[NP] flat worklist of live (group, page) pairs,
+    pair_page_ref,     # i32[NP] group-major; padding pairs carry group S/GRP
     # inputs (per-group blocks)
     q_ref,             # [Hkv, GRP, G, hd] VMEM (group g)
     k_new_ref,         # [Hkv, GRP, 1, hd] VMEM model-dtype new rows (compute)
@@ -133,19 +141,21 @@ def _decode_kernel(
     wb_tile: int,
     interpret: bool,
 ):
-    g, j = pl.program_id(0), pl.program_id(1)
+    # The grid is a flat worklist of live (group, page) pairs (group-major,
+    # pages ascending): a dense (groups x max_pages) grid spends most steps
+    # skipped — at bench shapes ~2/3 of grid iterations — and their per-step
+    # scalar work still costs real time (measured ~25% of the kernel).
+    i = pl.program_id(0)
+    np_ = pl.num_programs(0)
+    nG = kv_lens_ref.shape[0] // GRP
+    g_raw = pair_grp_ref[i]
+    live = g_raw < nG
+    g = jnp.minimum(g_raw, nG - 1)
+    j = pair_page_ref[i]
     layer = layer_ref[0]
 
     def nb_of(seq):
         return _cdiv(kv_lens_ref[seq], block_size)
-
-    def group_max_nb(grp):
-        m = nb_of(grp * GRP)
-        for i in range(1, GRP):
-            m = jnp.maximum(m, nb_of(grp * GRP + i))
-        return m
-
-    gmax = group_max_nb(g)
 
     def read_group_page(grp, page, slot):
         # One page per live-at-this-depth sequence of the group, landing in
@@ -224,25 +234,29 @@ def _decode_kernel(
                 wvs_buf.at[i], vs_out_hbm.at[0, 0], w_sems.at[3, i]
             ).wait()
 
-    @pl.when((g == 0) & (j == 0))
+    @pl.when(i == 0)
     def _init_first():
         buf_idx_ref[0] = 0
-        for i in range(GRP):
-            wb_flags[i] = 0
-        read_group_page(0, 0, 0)
+        for lane in range(GRP):
+            wb_flags[lane] = 0
 
-    @pl.when(j < gmax)
+        @pl.when(live)
+        def _read_first():
+            read_group_page(g, j, 0)
+
+    @pl.when(live)
     def _work():
         slot = buf_idx_ref[0]
 
-        # Prefetch: rest of this group, else the next group's page 0.
-        in_group = j + 1 < gmax
-        ngrp = jnp.where(in_group, g, g + 1)
-        npage = jnp.where(in_group, j + 1, 0)
+        # Prefetch the next pair (live pairs are contiguous at the front).
+        nxt = jnp.minimum(i + 1, np_ - 1)
+        ngrp_raw = pair_grp_ref[nxt]
 
-        @pl.when(ngrp < pl.num_programs(0))
+        @pl.when((i + 1 < np_) & (ngrp_raw < nG))
         def _prefetch():
-            read_group_page(ngrp, npage, 1 - slot)
+            read_group_page(
+                jnp.minimum(ngrp_raw, nG - 1), pair_page_ref[nxt], 1 - slot
+            )
 
         wait_group_page(g, j, slot)
         buf_idx_ref[0] = 1 - slot
@@ -313,38 +327,38 @@ def _decode_kernel(
         # per layer per step on DMA latency. Each lane has its own staging
         # buffers; a lane's previous write is waited only when the lane
         # writes again (>= one full group later) or at the last grid step.
-        for i in range(GRP):
-            off = kv_lens_ref[g * GRP + i] - 1 - j * block_size
+        for wl in range(GRP):
+            off = kv_lens_ref[g * GRP + wl] - 1 - j * block_size
 
             @pl.when((off >= 0) & (off < block_size))
-            def _write_back(i=i, off=off):
-                @pl.when(wb_flags[i] == 1)
-                def _drain_prev(i=i):
-                    _wait_lane_writes(i)
+            def _write_back(wl=wl, off=off):
+                @pl.when(wb_flags[wl] == 1)
+                def _drain_prev(wl=wl):
+                    _wait_lane_writes(wl)
 
-                wb_flags[i] = 1
+                wb_flags[wl] = 1
                 offt = pl.multiple_of((off // wb_tile) * wb_tile, wb_tile)
                 r = off - offt
-                base = i * block_size
+                base = wl * block_size
                 rows_k = k_buf[slot, :, pl.ds(base + offt, wb_tile), :]
                 rows_v = v_buf[slot, :, pl.ds(base + offt, wb_tile), :]
                 sel = jax.lax.broadcasted_iota(jnp.int32, rows_k.shape, 1) == r
-                wk_buf[i] = jnp.where(
-                    sel, k_store_ref[:, i].astype(rows_k.dtype), rows_k
+                wk_buf[wl] = jnp.where(
+                    sel, k_store_ref[:, wl].astype(rows_k.dtype), rows_k
                 )
-                wv_buf[i] = jnp.where(
-                    sel, v_store_ref[:, i].astype(rows_v.dtype), rows_v
+                wv_buf[wl] = jnp.where(
+                    sel, v_store_ref[:, wl].astype(rows_v.dtype), rows_v
                 )
-                page_id = tables_ref[g * GRP + i, j]
+                page_id = tables_ref[g * GRP + wl, j]
                 pltpu.make_async_copy(
-                    wk_buf.at[i],
+                    wk_buf.at[wl],
                     k_out_hbm.at[layer, :, page_id, pl.ds(offt, wb_tile)],
-                    w_sems.at[0, i],
+                    w_sems.at[0, wl],
                 ).start()
                 pltpu.make_async_copy(
-                    wv_buf.at[i],
+                    wv_buf.at[wl],
                     v_out_hbm.at[layer, :, page_id, pl.ds(offt, wb_tile)],
-                    w_sems.at[1, i],
+                    w_sems.at[1, wl],
                 ).start()
                 if quantized:
                     # Scale slabs are [Hkv, block] with block on the lane dim:
@@ -353,19 +367,19 @@ def _decode_kernel(
                         jnp.int32, (hkv, block_size), 1
                     )
                     strip = pl.ds(base, block_size)
-                    wks_buf[i] = jnp.where(
-                        lane == off, ks_new_ref[:, i], ks_buf[slot, :, strip]
+                    wks_buf[wl] = jnp.where(
+                        lane == off, ks_new_ref[:, wl], ks_buf[slot, :, strip]
                     )
-                    wvs_buf[i] = jnp.where(
-                        lane == off, vs_new_ref[:, i], vs_buf[slot, :, strip]
+                    wvs_buf[wl] = jnp.where(
+                        lane == off, vs_new_ref[:, wl], vs_buf[slot, :, strip]
                     )
                     pltpu.make_async_copy(
-                        wks_buf.at[i], ks_out_hbm.at[layer, page_id],
-                        w_sems.at[2, i],
+                        wks_buf.at[wl], ks_out_hbm.at[layer, page_id],
+                        w_sems.at[2, wl],
                     ).start()
                     pltpu.make_async_copy(
-                        wvs_buf.at[i], vs_out_hbm.at[layer, page_id],
-                        w_sems.at[3, i],
+                        wvs_buf.at[wl], vs_out_hbm.at[layer, page_id],
+                        w_sems.at[3, wl],
                     ).start()
 
         q = q_ref[...].astype(jnp.float32).reshape(hkv, GRP * groups, hd)
@@ -425,22 +439,22 @@ def _decode_kernel(
         )
         acc_scr[...] = acc_scr[...] * alpha[:, :, None] + o_curr
 
-        @pl.when(j == gmax - 1)
+        # Group end: the next pair belongs to a different group (or this is
+        # the last pair).
+        @pl.when((i == np_ - 1) | (pair_grp_ref[nxt] != g_raw))
         def _store():
             l = l_scr[:, :, 0]
             l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
             out = acc_scr[...] * l_inv[:, :, None]    # [Hkv, GRP*G, hd]
             o_ref[...] = out.reshape(hkv, GRP, groups, hd).astype(o_ref.dtype)
 
-    @pl.when(
-        (g == pl.num_programs(0) - 1) & (j == pl.num_programs(1) - 1)
-    )
+    @pl.when(i == np_ - 1)
     def _drain_all_writes():
-        for i in range(GRP):
-            @pl.when(wb_flags[i] == 1)
-            def _drain(i=i):
-                _wait_lane_writes(i)
-                wb_flags[i] = 0
+        for lane in range(GRP):
+            @pl.when(wb_flags[lane] == 1)
+            def _drain(lane=lane):
+                _wait_lane_writes(lane)
+                wb_flags[lane] = 0
 
 
 def paged_decode_attention(
@@ -467,7 +481,6 @@ def paged_decode_attention(
     S, Hq, hd = q.shape
     _, Hkv, _, block_size, _ = kc.shape
     groups = Hq // Hkv
-    W = meta.block_tables.shape[1]
     assert S % GRP == 0, f"decode bucket {S} not a multiple of group {GRP}"
     wb_tile = 32 if quantized else 8
     assert block_size % wb_tile == 0
@@ -492,13 +505,21 @@ def paged_decode_attention(
         k_new_hm = k_store
         v_new_hm = v_store
 
+    NP = meta.pair_tile.shape[0]
+    nG = S // GRP
+
+    def grp_index(i, layer_r, kv_lens_r, tables_r, num_seqs_r, pair_grp_r,
+                  pair_page_r):
+        return jnp.minimum(pair_grp_r[i], nG - 1)
+
     grp_block = lambda shape: pl.BlockSpec(
-        shape, lambda g, j, *_: (0, g) + (0,) * (len(shape) - 2),
+        shape,
+        lambda i, *refs: (0, grp_index(i, *refs)) + (0,) * (len(shape) - 2),
         memory_space=pltpu.VMEM,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(S // GRP, W),
+        num_scalar_prefetch=6,
+        grid=(NP,),
         in_specs=[
             grp_block((Hkv, GRP, groups, hd)),   # q
             grp_block((Hkv, GRP, 1, hd)),        # k_new (compute dtype)
@@ -551,12 +572,12 @@ def paged_decode_attention(
         _decode_kernel, block_size=block_size, sm_scale=sm_scale,
         quantized=quantized, wb_tile=wb_tile, interpret=interpret,
     )
-    # Inputs count from the start of the scalar-prefetch operands: 4 scalars,
-    # then q(4) k_new(5) v_new(6) k_store(7) v_store(8) ks_new(9) vs_new(10)
-    # k_hbm(11) v_hbm(12) ks_hbm(13) vs_hbm(14).
-    aliases = {11: 1, 12: 2}
+    # Inputs count from the start of the scalar-prefetch operands: 6 scalars,
+    # then q(6) k_new(7) v_new(8) k_store(9) v_store(10) ks_new(11)
+    # vs_new(12) k_hbm(13) v_hbm(14) ks_hbm(15) vs_hbm(16).
+    aliases = {13: 1, 14: 2}
     if quantized:
-        aliases.update({13: 3, 14: 4})
+        aliases.update({15: 3, 16: 4})
     out, kc, vc, ks, vs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -569,13 +590,14 @@ def paged_decode_attention(
         ],
         input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(
         jnp.reshape(jnp.asarray(layer, jnp.int32), (1,)),
         meta.kv_lens, meta.block_tables, meta.num_seqs,
+        meta.pair_tile, meta.pair_page,
         q_hm, k_new_hm, v_new_hm, k_store, v_store, ks_new, vs_new,
         kc, vc, ks, vs,
     )

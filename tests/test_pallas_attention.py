@@ -59,6 +59,9 @@ def build(reqs, t_bucket, s_bucket, w, q_tile=None):
         max_blocks_per_seq=w,
         rng=np.zeros(2, np.uint32),
         q_tile=q_tile,
+        # In this file batches without a q_tile are decode batches: build the
+        # decode kernel's (group, page) worklist.
+        group_pairs=None if q_tile else 8,
     )
     return inputs, meta_from_inputs(inputs)
 
@@ -236,7 +239,7 @@ def test_decode_int8_kv_matches_oracle():
     ]
     inputs = build_step_inputs(
         reqs, block_size=block, num_tokens_bucket=8, num_seqs_bucket=8,
-        max_blocks_per_seq=3, rng=np.zeros(2, np.uint32))
+        max_blocks_per_seq=3, rng=np.zeros(2, np.uint32), group_pairs=8)
     meta = meta_from_inputs(inputs)
     q = jnp.asarray(rng.standard_normal((8, HQ, HD)), jnp.float32)
     kn, vn = new_kv(rng, 8)
