@@ -503,7 +503,10 @@ class ModelRunner:
 
     def _build_step_fns(self):
         spec, cfg = self.spec, self.config
-        self.q_tile = 128  # prefill kernel q-tile (per-seq packed alignment)
+        # Prefill kernel q-tile (per-seq packed alignment). Bigger tiles mean
+        # fewer (tile, page) pairs with larger dots per pair at the cost of
+        # more padding for short chunks (env knob for perf experiments).
+        self.q_tile = int(os.environ.get("NANOVLLM_Q_TILE", 128))
         prefill_impl, decode_impl = self._attn_impls()
         family = self.family
         tp = self.tp

@@ -801,50 +801,61 @@ def _prefill_kernel(
                 wait_page(slot)
 
         hkv, bq, groups, hd = q_ref.shape
-        q = q_ref[...].astype(jnp.float32)             # [Hkv, BQ, G, hd]
+        m = bq * groups
+        # Flatten [BQ, G] into one M dim for the dots (like the decode
+        # kernel): a 4D dot with lhs non-contracting (BQ, G) lowers with
+        # M = G rows per MXU pass looping over BQ — measured 20 us/pair vs
+        # ~2 us with M = BQ*G (G is 2-4 on these models).
+        q = q_ref[...].astype(jnp.float32).reshape(hkv, m, hd)
         k = k_buf[slot].astype(jnp.float32)            # [Hkv, block, hd]
         v = v_buf[slot].astype(jnp.float32)
-        # scores[h, bq, g, tok] — batched over kv heads. In int8 mode the
-        # per-token scales fold into the scores / probabilities (token dim on
-        # lanes there; it cannot relayout onto k/v's sublane dim).
+        # scores[h, r, tok] (row r = query bq r//G) — batched over kv heads.
+        # In int8 mode the per-token scales fold into the scores /
+        # probabilities (token dim on lanes there; it cannot relayout onto
+        # k/v's sublane dim).
         scores = jax.lax.dot_general(
             q, k,
-            dimension_numbers=(((3,), (2,)), ((0,), (0,))),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ) * sm_scale  # [Hkv, BQ, G, block]
+        ) * sm_scale  # [Hkv, BQ*G, block]
         if quantized:
-            scores = scores * ks_buf[slot][:, None, None, :]
+            scores = scores * ks_buf[slot][:, None, :]
 
         kv_pos = j * block_size + jax.lax.broadcasted_iota(
-            jnp.int32, scores.shape, 3
+            jnp.int32, scores.shape, 2
         )
-        q_pos = pos0 + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        q_pos = pos0 + jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, 1
+        ) // groups
         mask = (kv_pos <= q_pos) & (kv_pos < kv_len)
         scores = jnp.where(mask, scores, MASK_VALUE)
 
-        m_prev, l_prev = m_scr[...], l_scr[...]          # [Hkv, BQ, G]
+        m_prev = m_scr[:, :, 0]                          # [Hkv, BQ*G]
+        l_prev = l_scr[:, :, 0]
         m_curr = jnp.max(scores, axis=-1)
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(scores - m_next[..., None])
-        l_scr[...] = alpha * l_prev + jnp.sum(p, axis=-1)
-        m_scr[...] = m_next
+        p = jnp.exp(scores - m_next[:, :, None])
+        l_next = alpha * l_prev + jnp.sum(p, axis=-1)
+        m_scr[...] = jnp.broadcast_to(m_next[:, :, None], m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_next[:, :, None], l_scr.shape)
 
-        # o[h, bq, g, d] = sum_tok p[h,bq,g,tok] * v[h,tok,d]
+        # o[h, r, d] = sum_tok p[h,r,tok] * v[h,tok,d]
         if quantized:
-            p = p * vs_buf[slot][:, None, None, :]
+            p = p * vs_buf[slot][:, None, :]
         o_curr = jax.lax.dot_general(
             p, v,
-            dimension_numbers=(((3,), (1,)), ((0,), (0,))),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        acc_scr[...] = acc_scr[...] * alpha[..., None] + o_curr
+        acc_scr[...] = acc_scr[...] * alpha[:, :, None] + o_curr
 
         @pl.when(j == num_blocks - 1)
         def _store():
-            l = l_scr[...]
+            l = l_scr[:, :, 0]
             l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-            o_ref[...] = (acc_scr[...] * l_inv[..., None]).astype(o_ref.dtype)
+            out = acc_scr[...] * l_inv[:, :, None]       # [Hkv, BQ*G, hd]
+            o_ref[...] = out.reshape(hkv, bq, groups, hd).astype(o_ref.dtype)
 
 
 def ragged_prefill_attention(
@@ -935,9 +946,12 @@ def ragged_prefill_attention(
             pltpu.SemaphoreType.DMA((4, 2)),
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SMEM((1,), jnp.int32),
-            pltpu.VMEM((Hkv, q_tile, groups), jnp.float32),
-            pltpu.VMEM((Hkv, q_tile, groups), jnp.float32),
-            pltpu.VMEM((Hkv, q_tile, groups, hd), jnp.float32),
+            # m/l ride a 128-lane broadcast: their values have the BQ*G dim
+            # on sublanes (born of a lane reduction); a [Hkv, BQ*G] layout
+            # would put it on lanes, forcing relayouts.
+            pltpu.VMEM((Hkv, q_tile * groups, 128), jnp.float32),
+            pltpu.VMEM((Hkv, q_tile * groups, 128), jnp.float32),
+            pltpu.VMEM((Hkv, q_tile * groups, hd), jnp.float32),
         ],
     )
     kernel = functools.partial(
