@@ -388,10 +388,10 @@ def _device_quant_leaf(shape: tuple, mode: str, key, *, kind: str, tp: int,
         g = quant.INT4_GROUP
         while in_dim % g or (kind == "row" and (in_dim // g) % tp):
             g //= 2
-        gen = lambda: jax.random.randint(key, shape, -8, 8, jnp.int8).astype(
-            jnp.int4
-        )
-        qsh = quant.packed_int4_format(shape, qsh)
+        # Generate int8 bytes, then convert to packed int4 via the AOT
+        # identity (see quant.to_packed_int4 for why a Format out_shardings
+        # is not reliable here).
+        gen = lambda: jax.random.randint(key, shape, -8, 8, jnp.int8)
         sshape = shape[:1] + (in_dim // g,) + shape[2:]
         qmax = 7.0
     else:
@@ -404,6 +404,8 @@ def _device_quant_leaf(shape: tuple, mode: str, key, *, kind: str, tp: int,
         sshape = shape[:1] + shape[2:]
         qmax = 127.0 if mode == "int8" else 8.0
     q = jax.jit(gen, **({"out_shardings": qsh} if qsh is not None else {}))()
+    if mode == "int4":
+        q = quant.to_packed_int4(q)
     sfn = lambda: jnp.full(sshape, in_dim ** -0.5 / qmax, jnp.float32)
     scale = jax.jit(sfn, **({"out_shardings": ssh} if ssh is not None else {}))()
     return quant.QuantWeight(q=q, scale=scale, mode=mode)

@@ -234,32 +234,44 @@ def _decode_kernel(
                 wvs_buf.at[i], vs_out_hbm.at[0, 0], w_sems.at[3, i]
             ).wait()
 
+    def read_pair_into(pair, slot):
+        read_group_page(
+            jnp.minimum(pair_grp_ref[pair], nG - 1), pair_page_ref[pair], slot
+        )
+
     @pl.when(i == 0)
     def _init_first():
         buf_idx_ref[0] = 0
         for lane in range(GRP):
             wb_flags[lane] = 0
 
+        # Triple-buffered: fill two slots up front so every step's wait sees
+        # a read issued two steps earlier (a one-deep pipeline left ~1.5 us
+        # of un-hidden DMA latency per step — reads aren't hazarded: this
+        # step's new rows are patched in registers, and write-backs target
+        # pages no pair of this invocation reads again).
         @pl.when(live)
         def _read_first():
-            read_group_page(g, j, 0)
+            read_pair_into(0, 0)
+
+        @pl.when((1 < np_) & (pair_grp_ref[jnp.minimum(1, np_ - 1)] < nG))
+        def _read_second():
+            read_pair_into(jnp.minimum(1, np_ - 1), 1)
 
     @pl.when(live)
     def _work():
         slot = buf_idx_ref[0]
 
-        # Prefetch the next pair (live pairs are contiguous at the front).
+        # Prefetch two pairs ahead (live pairs are contiguous at the front).
         nxt = jnp.minimum(i + 1, np_ - 1)
-        ngrp_raw = pair_grp_ref[nxt]
+        pre = jnp.minimum(i + 2, np_ - 1)
 
-        @pl.when((i + 1 < np_) & (ngrp_raw < nG))
+        @pl.when((i + 2 < np_) & (pair_grp_ref[pre] < nG))
         def _prefetch():
-            read_group_page(
-                jnp.minimum(ngrp_raw, nG - 1), pair_page_ref[nxt], 1 - slot
-            )
+            read_pair_into(pre, jnp.where(slot == 0, 2, slot - 1))
 
         wait_group_page(g, j, slot)
-        buf_idx_ref[0] = 1 - slot
+        buf_idx_ref[0] = jnp.where(slot == 2, 0, slot + 1)
 
         @pl.when(j == 0)
         def _init_group():
@@ -541,17 +553,17 @@ def paged_decode_attention(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, Hkv, GRP * block_size, hd), kc.dtype),
-            pltpu.VMEM((2, Hkv, GRP * block_size, hd), vc.dtype),
+            pltpu.VMEM((3, Hkv, GRP * block_size, hd), kc.dtype),
+            pltpu.VMEM((3, Hkv, GRP * block_size, hd), vc.dtype),
             pltpu.VMEM(
-                (2, Hkv, GRP * block_size) if quantized else (1, 1, 1),
+                (3, Hkv, GRP * block_size) if quantized else (1, 1, 1),
                 jnp.float32,
             ),
             pltpu.VMEM(
-                (2, Hkv, GRP * block_size) if quantized else (1, 1, 1),
+                (3, Hkv, GRP * block_size) if quantized else (1, 1, 1),
                 jnp.float32,
             ),
-            pltpu.SemaphoreType.DMA((4, 2, GRP)),
+            pltpu.SemaphoreType.DMA((4, 3, GRP)),
             pltpu.SemaphoreType.DMA((4, GRP)),
             pltpu.VMEM((GRP, Hkv, wb_tile, hd), kc.dtype),
             pltpu.VMEM((GRP, Hkv, wb_tile, hd), vc.dtype),
@@ -712,7 +724,17 @@ def _prefill_kernel(
     @pl.when(i == 0)
     def _init_first():
         buf_idx_ref[0] = 0
+        # Triple-buffered: fill two slots so each step's wait sees a read
+        # issued two steps earlier. Pairs j < 2 of a tile may be prefetched
+        # before the tile's own KV appends — the generalized refetch below
+        # re-reads exactly those pages.
         read_pair(0, 0)
+
+        @pl.when((1 < pl.num_programs(0)) & (
+            pair_tile_ref[jnp.minimum(1, pl.num_programs(0) - 1)] < nt
+        ))
+        def _read_second():
+            read_pair(jnp.minimum(1, pl.num_programs(0) - 1), 1)
 
     @pl.when(live & (j < num_blocks))
     def _work():
@@ -773,18 +795,17 @@ def _prefill_kernel(
                     wk.wait()
                     wv.wait()
 
-        # Prefetch the next pair (live pairs are contiguous at the front of
-        # the worklist). Issued after the j==0 writes above, so it observes
-        # them.
-        nxt = jnp.minimum(i + 1, pl.num_programs(0) - 1)
-        has_next = (i + 1 < pl.num_programs(0)) & (pair_tile_ref[nxt] < nt)
+        # Prefetch two pairs ahead (live pairs are contiguous at the front of
+        # the worklist). Issued after the j==0 writes above, so same-tile
+        # pages at j >= 2 observe the appends.
+        pre = jnp.minimum(i + 2, pl.num_programs(0) - 1)
 
-        @pl.when(has_next)
+        @pl.when((i + 2 < pl.num_programs(0)) & (pair_tile_ref[pre] < nt))
         def _prefetch():
-            read_pair(nxt, 1 - slot)
+            read_pair(pre, jnp.where(slot == 0, 2, slot - 1))
 
         wait_page(slot)
-        buf_idx_ref[0] = 1 - slot
+        buf_idx_ref[0] = jnp.where(slot == 2, 0, slot + 1)
 
         @pl.when(j == 0)
         def _init_tile():
@@ -792,13 +813,34 @@ def _prefill_kernel(
             l_scr[...] = jnp.zeros_like(l_scr)
             acc_scr[...] = jnp.zeros_like(acc_scr)
 
-            # Page 0's prefetch predates this tile's writes; re-fetch it when
-            # the tile wrote into page 0 (pos0 inside the first page — for
-            # q_tile <= block this is exactly the single-page-tile case).
-            @pl.when(live & (pos0 < block_size))
-            def _refetch():
-                read_pair(i, slot)
-                wait_page(slot)
+        # Refetch pages whose prefetch (issued two pairs earlier) predates
+        # appends that land in them. Two hazards:
+        # (a) same tile: pairs j < 2 were prefetched before this tile's own
+        #     j==0 appends — stale if the page is one this tile writes
+        #     (pages [pos0/block, pos0/block + n_writes));
+        # (b) previous tile: a read issued at pair i-2 misses appends from a
+        #     single-pair tile whose only pair is i-1 — stale if that tile is
+        #     a different tile of the SAME sequence writing the page we read.
+        w0 = pos0 // block_size
+        n_wr = max(1, q_tile // block_size)
+        same_tile = (j < 2) & (j >= w0) & (j < w0 + n_wr)
+        prev = jnp.maximum(i - 1, 0)
+        pt_raw = pair_tile_ref[prev]
+        pt = jnp.minimum(pt_raw, nt - 1)
+        prev_w0 = tile_pos0_ref[pt] // block_size
+        prev_tile = (
+            (i > 0)
+            & (pt_raw != pair_tile_ref[i])
+            & (pair_page_ref[prev] == 0)
+            & (tile_seq_ref[pt] == seq)
+            & (j >= prev_w0)
+            & (j < prev_w0 + n_wr)
+        )
+
+        @pl.when(same_tile | prev_tile)
+        def _refetch():
+            read_pair(i, slot)
+            wait_page(slot)
 
         hkv, bq, groups, hd = q_ref.shape
         m = bq * groups
@@ -935,15 +977,15 @@ def ragged_prefill_attention(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, Hkv, block_size, hd), kc.dtype),
-            pltpu.VMEM((2, Hkv, block_size, hd), vc.dtype),
+            pltpu.VMEM((3, Hkv, block_size, hd), kc.dtype),
+            pltpu.VMEM((3, Hkv, block_size, hd), vc.dtype),
             pltpu.VMEM(
-                (2, Hkv, block_size) if quantized else (1, 1, 1), jnp.float32
+                (3, Hkv, block_size) if quantized else (1, 1, 1), jnp.float32
             ),
             pltpu.VMEM(
-                (2, Hkv, block_size) if quantized else (1, 1, 1), jnp.float32
+                (3, Hkv, block_size) if quantized else (1, 1, 1), jnp.float32
             ),
-            pltpu.SemaphoreType.DMA((4, 2)),
+            pltpu.SemaphoreType.DMA((4, 3)),
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SMEM((1,), jnp.int32),
             # m/l ride a 128-lane broadcast: their values have the BQ*G dim

@@ -135,6 +135,37 @@ def _quantize_jit(mode: str, axis: int, group: int | None):
     return jax.jit(fn)
 
 
+def to_packed_int4(x8: jax.Array) -> jax.Array:
+    """Convert int8 bytes (values in [-8, 7]) to int4 in the PACKED device
+    layout (two values per byte) that AOT-lowered step executables require
+    for their int4 parameters.
+
+    The layout is requested via a Format out_shardings, but the persistent
+    compilation cache's key does NOT include output-layout requests: a cached
+    unpacked-output variant of an identical-looking program silently shadows
+    the request (measured: the same jit returns
+    sub_byte_element_size_in_bits=0 with a warm cache and =4 against a fresh
+    cache dir). The optimization_barrier over a distinctive constant makes
+    this program's HLO unique so its cache entry can never collide with an
+    unformatted variant, and the assert turns any future regression into a
+    loud init-time failure instead of an AOT dispatch error."""
+    fmt = packed_int4_format(x8.shape, x8.sharding)
+
+    def conv(x):
+        q = jnp.clip(x, -8, 7).astype(jnp.int4)
+        q, _ = jax.lax.optimization_barrier((q, jnp.int32(0x9ACD)))
+        return q
+
+    kwargs = {"out_shardings": fmt} if fmt is not None else {}
+    out = jax.jit(conv, **kwargs)(x8)
+    if jax.devices()[0].platform in ("tpu", "axon"):
+        layout = str(getattr(out, "format", ""))
+        assert "sub_byte_element_size_in_bits=4" in layout, (
+            f"int4 conversion produced a non-packed layout: {layout}"
+        )
+    return out
+
+
 def packed_int4_format(shape: tuple, sharding):
     """Ask for the *packed* int4 device layout explicitly (two values per
     byte, TPU tiling ((64,128),(8,1)) — the (8k,128)/(k,1) narrow-dtype
@@ -167,32 +198,20 @@ def matmul(x: jax.Array, w) -> jax.Array:
     if not isinstance(w, QuantWeight):
         return x @ w
     if w.mode == "int4":
+        # Dequantize the weight to one [in, out] compute-dtype tensor, then a
+        # single full dot. The transient costs ~2x the int4 bytes of extra
+        # HBM traffic per use; the r1 group-accumulation loop instead
+        # streamed the [T, out] f32 accumulator once per group — ~25 GB per
+        # 8B gate_up at the 16k-token prefill bucket, 60x the weight bytes.
+        # (Group scales vary along the contraction dim, so they cannot fold
+        # after the dot like the int8/fp8 per-out-channel scales.)
+        assert w.q.ndim == 2, "int4 matmul operates on per-layer [in, out] slices"
         gi = w.scale.shape[-2]
-        g = w.q.shape[-2] // gi
-        n_out = w.q.shape[-1]
-        t = x.shape[:-1]
-        # Accumulate over groups in a loop: the live state is one [T, out]
-        # f32 accumulator. (A single batched-over-groups dot_general computes
-        # the same thing but materializes partial[G, T, out] — 26 GB for an
-        # 8B gate_up at the 8192-token prefill bucket.)
-        scale = w.scale.astype(jnp.float32)
-
-        def body(i, acc):
-            xg = jax.lax.dynamic_slice_in_dim(x, i * g, g, axis=x.ndim - 1)
-            qg = jax.lax.dynamic_slice_in_dim(
-                w.q, i * g, g, axis=w.q.ndim - 2
-            ).astype(x.dtype)
-            si = jax.lax.dynamic_slice_in_dim(scale, i, 1, axis=scale.ndim - 2)
-            part = jax.lax.dot_general(
-                xg, qg,
-                dimension_numbers=(((xg.ndim - 1,), (qg.ndim - 2,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            return acc + part * si.reshape(*([1] * len(t)), n_out)
-
-        acc = jnp.zeros((*t, n_out), jnp.float32)
-        out = jax.lax.fori_loop(0, gi, body, acc)
-        return out.astype(x.dtype)
+        in_dim, n_out = w.q.shape
+        g = in_dim // gi
+        wq = w.q.astype(x.dtype).reshape(gi, g, n_out)
+        wq = (wq * w.scale.astype(x.dtype)[:, None, :]).reshape(in_dim, n_out)
+        return x @ wq
     out = x @ w.q.astype(x.dtype)
     return out * w.scale.astype(x.dtype)
 
@@ -230,24 +249,30 @@ def head_matmul(h: jax.Array, w) -> jax.Array:
         gi = w.scale.shape[-1]
         g = d // gi
         hb = h.astype(jnp.bfloat16)
-        # Group-loop accumulation (see matmul): live state is one [S, V] f32
-        # accumulator instead of partial[G, S, V] (5 GB at S=256, V=152k).
-        scale = w.scale.astype(jnp.float32)  # [V, d/g]
+        # Dequantize vocab CHUNKS to bf16 and dot each (a whole-[V, D]
+        # dequant would transiently cost 1.2 GB for an 8B head; the r1
+        # group-loop instead streamed the [S, V] f32 logits once per group —
+        # ~10 GB per step at S=256). The last chunk's start clamps, so its
+        # rows recompute identical values over the overlap.
+        chunk = min(v, 8192)
+        n_chunks = -(-v // chunk)
 
-        def body(i, acc):
-            hg = jax.lax.dynamic_slice_in_dim(hb, i * g, g, axis=1)
-            qg = jax.lax.dynamic_slice_in_dim(w.q, i * g, g, axis=1).astype(
-                jnp.bfloat16
-            )
-            si = jax.lax.dynamic_slice_in_dim(scale, i, 1, axis=1)  # [V, 1]
+        def body(i, logits):
+            start = jnp.minimum(i * chunk, v - chunk)
+            qv = jax.lax.dynamic_slice_in_dim(w.q, start, chunk, 0)
+            sv = jax.lax.dynamic_slice_in_dim(w.scale, start, chunk, 0)
+            wv = (
+                qv.astype(jnp.bfloat16).reshape(chunk, gi, g)
+                * sv.astype(jnp.bfloat16)[:, :, None]
+            ).reshape(chunk, d)
             part = jax.lax.dot_general(
-                hg, qg, dimension_numbers=(((1,), (1,)), ((), ())),
+                hb, wv, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            return acc + part * si.T
+            return jax.lax.dynamic_update_slice(logits, part, (0, start))
 
         return jax.lax.fori_loop(
-            0, gi, body, jnp.zeros((h.shape[0], v), jnp.float32)
+            0, n_chunks, body, jnp.zeros((h.shape[0], v), jnp.float32)
         )
     logits = _dot_f32(h, w.q)
     return logits * w.scale.astype(jnp.float32)[None, :]

@@ -252,10 +252,8 @@ def stream_params_to_device(
         return q, scale
 
     def pack_int4(q8, q_sharding):
-        fmt = quant_ops.packed_int4_format(q8.shape, q_sharding)
-        return jax.jit(
-            lambda x: jnp.clip(x, -8, 7).astype(jnp.int4), out_shardings=fmt
-        )(q8)
+        del q_sharding  # the int8 bytes already carry the target sharding
+        return quant_ops.to_packed_int4(q8)
 
     def stream_stacked(path, rule, kind_tp):
         """Per-layer streamed assembly of a stacked [L, ...] leaf.
