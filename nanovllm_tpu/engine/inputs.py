@@ -45,6 +45,9 @@ class StepInputs(NamedTuple):
     # and the ring row this step's samples scatter into.
     slot_ids: jax.Array       # i32[S] (dead slot for padding rows)
     ring_pos: jax.Array       # i32[1]
+    # Per-seq sampling filters (used only by the "filtered" step variant).
+    top_ks: jax.Array         # i32[S] (0 = no k limit)
+    top_ps: jax.Array         # f32[S] (1.0 = no nucleus limit)
 
 
 def build_step_inputs(
@@ -95,6 +98,8 @@ def build_step_inputs(
     tile_pos0 = np.zeros(nt, np.int32)
     pairs: list[tuple[int, int]] = []
     slot_ids = np.full(s_pad, num_slots - 1, np.int32)  # dead slot for padding
+    top_ks = np.zeros(s_pad, np.int32)
+    top_ps = np.ones(s_pad, np.float32)
 
     offset = 0
     for i, r in enumerate(reqs):
@@ -126,6 +131,8 @@ def build_step_inputs(
         last_token_idx[i] = offset - 1
         temperatures[i] = r["temperature"]
         slot_ids[i] = r.get("slot", num_slots - 1)
+        top_ks[i] = r.get("top_k", 0)
+        top_ps[i] = r.get("top_p", 1.0)
     assert offset <= t_pad, f"batch of {offset} tokens exceeds bucket {t_pad}"
     if group_pairs:
         assert q_tile is None, "group_pairs is the decode worklist mode"
@@ -165,4 +172,6 @@ def build_step_inputs(
         pair_page=pair_page,
         slot_ids=slot_ids,
         ring_pos=np.asarray([ring_pos], np.int32),
+        top_ks=top_ks,
+        top_ps=top_ps,
     )

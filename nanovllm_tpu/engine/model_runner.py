@@ -35,7 +35,7 @@ from nanovllm_tpu.models import get_model_family
 from nanovllm_tpu.ops import attention as attn_ops
 from nanovllm_tpu.ops import quant
 from nanovllm_tpu.ops.quant import QuantWeight
-from nanovllm_tpu.ops.sampling import sample
+from nanovllm_tpu.ops.sampling import sample, sample_topk_topp
 from nanovllm_tpu.utils.loader import stream_params_to_device
 
 _DTYPES = {
@@ -513,7 +513,7 @@ class ModelRunner:
         axis = "tp" if tp > 1 else None
 
         def local_step(params, kv, tstate, rope, inputs: StepInputs,
-                       is_prefill: bool):
+                       is_prefill: bool, filtered: bool):
             """Per-device program (the whole program when tp == 1)."""
             last_buf, ring = tstate
             if not is_prefill:
@@ -542,7 +542,15 @@ class ModelRunner:
                 # gather-to-rank-0, embed_head.py:62-66).
                 logits = jax.lax.all_gather(logits, axis, axis=1, tiled=True)
             key = jax.random.wrap_key_data(inputs.rng)
-            tokens = sample(logits, inputs.temperatures, key)
+            if filtered:
+                # Separate compiled variant: requests without top-k/top-p
+                # never pay for the lax.top_k window.
+                tokens = sample_topk_topp(
+                    logits, inputs.temperatures, key, inputs.top_ks,
+                    inputs.top_ps,
+                )
+            else:
+                tokens = sample(logits, inputs.temperatures, key)
             last_buf = last_buf.at[inputs.slot_ids].set(tokens)
             ring = jax.lax.dynamic_update_slice(
                 ring, tokens[None], (inputs.ring_pos[0], jnp.int32(0))
@@ -556,9 +564,10 @@ class ModelRunner:
             tstate_spec = (P(), P())
             inputs_spec = StepInputs(*([P()] * len(StepInputs._fields)))
 
-            def step(params, kv, tstate, rope, inputs, is_prefill):
+            def step(params, kv, tstate, rope, inputs, is_prefill, filtered):
                 return _shard_map(
-                    lambda p, k, t, r, i: local_step(p, k, t, r, i, is_prefill),
+                    lambda p, k, t, r, i: local_step(p, k, t, r, i, is_prefill,
+                                                     filtered),
                     mesh=self.mesh,
                     in_specs=(self._param_pspecs(), kv_spec, tstate_spec,
                               (P(), P()), inputs_spec),
@@ -569,7 +578,7 @@ class ModelRunner:
         # in place; one compiled program per (shape bucket, mode) — the TPU
         # analogue of the reference's CUDA-graph set (model_runner.py:222-257).
         self._step_fn = step  # raw (un-jitted) for AOT/lowering consumers
-        self._step = jax.jit(step, donate_argnums=(1, 2), static_argnums=(5,))
+        self._step = jax.jit(step, donate_argnums=(1, 2), static_argnums=(5, 6))
         # AOT executables per (t_bucket, s_bucket, is_prefill); filled by
         # warmup(). Misses fall back to the jit path (compile on first hit).
         self._compiled = {}
@@ -622,10 +631,10 @@ class ModelRunner:
         for t_bucket, s_bucket, p_bucket, is_prefill in shapes:
             t0 = perf_counter()
             inputs = self._dummy_inputs(t_bucket, s_bucket, is_prefill, p_bucket)
-            key = (t_bucket, s_bucket, p_bucket, is_prefill)
+            key = (t_bucket, s_bucket, p_bucket, is_prefill, False)
             self._compiled[key] = self._step.lower(
                 self.params, self.kv, self.token_state, self.rope, inputs,
-                is_prefill,
+                is_prefill, False,
             ).compile()
             mode = "prefill" if is_prefill else "decode"
             if jax.process_index() == 0:
@@ -642,6 +651,9 @@ class ModelRunner:
         buffer; this step's samples land in ring row ``ring_pos`` and in each
         sequence's slot. Fetch values later via ``fetch_ring``."""
         cfg = self.config
+        # Any top-k/top-p request selects the "filtered" sampling variant of
+        # the step program (compiled lazily; plain requests never pay for it).
+        filtered = any(seq.uses_filtering for seq in seqs)
         reqs = []
         for seq in seqs:
             if is_prefill:
@@ -660,6 +672,8 @@ class ModelRunner:
                     block_table=seq.block_table,
                     temperature=seq.temperature,
                     slot=seq.device_slot,
+                    top_k=seq.top_k,
+                    top_p=seq.top_p,
                 )
             )
         q_tile = self.q_tile if (is_prefill and self.use_pallas) else None
@@ -726,7 +740,8 @@ class ModelRunner:
                 ),
                 inputs,
             )
-        compiled = self._compiled.get((t_bucket, s_bucket, p_bucket, is_prefill))
+        key = (t_bucket, s_bucket, p_bucket, is_prefill, filtered)
+        compiled = self._compiled.get(key)
         if compiled is not None:
             self.kv, self.token_state = compiled(
                 self.params, self.kv, self.token_state, self.rope, inputs
@@ -734,7 +749,7 @@ class ModelRunner:
         else:
             self.kv, self.token_state = self._step(
                 self.params, self.kv, self.token_state, self.rope, inputs,
-                is_prefill,
+                is_prefill, filtered,
             )
 
     def fetch_ring(self) -> np.ndarray:

@@ -50,6 +50,9 @@ class Sequence:
         self.temperature = sampling_params.temperature
         self.max_tokens = sampling_params.max_tokens
         self.ignore_eos = sampling_params.ignore_eos
+        self.top_k = sampling_params.top_k
+        self.top_p = sampling_params.top_p
+        self.uses_filtering = sampling_params.uses_filtering
 
     def __len__(self):
         return self.num_tokens

@@ -3,12 +3,20 @@
 Parity: reference ``nanovllm/layers/sampler.py:8-12`` — temperature-scaled
 Gumbel-trick sampling (argmax of ``logits/T + Gumbel`` draws exactly from
 ``softmax(logits/T)``, equivalent to the reference's Exponential-division
-trick). Extension: ``temperature == 0`` rows decode greedily (the reference
-forbids greedy; we support it in the same fused computation).
+trick). Extensions beyond the reference:
+- ``temperature == 0`` rows decode greedily (the reference forbids greedy);
+- per-sequence top-k / top-p (nucleus) filtering (``sample_topk_topp``) —
+  the engine compiles it as a separate step variant so requests that don't
+  use it pay nothing.
 """
 
 import jax
 import jax.numpy as jnp
+
+# Static candidate-window width for top-k/top-p: lax.top_k needs a static k,
+# so requested top_k values clamp to this, and top_p nucleus mass is computed
+# within the window (covers p up to ~0.99 for typical peaked distributions).
+TOPK_WINDOW = 64
 
 
 def sample(logits: jax.Array, temperatures: jax.Array, key: jax.Array) -> jax.Array:
@@ -19,3 +27,41 @@ def sample(logits: jax.Array, temperatures: jax.Array, key: jax.Array) -> jax.Ar
     gumbel = jax.random.gumbel(key, logits.shape, dtype=jnp.float32)
     noisy = scaled + jnp.where(temps > 0.0, gumbel, 0.0)
     return jnp.argmax(noisy, axis=-1).astype(jnp.int32)
+
+
+def sample_topk_topp(
+    logits: jax.Array,        # f[S, V]
+    temperatures: jax.Array,  # f32[S]
+    key: jax.Array,
+    top_ks: jax.Array,        # i32[S]; <= 0 means "no k limit"
+    top_ps: jax.Array,        # f32[S]; 1.0 means "no nucleus limit"
+) -> jax.Array:
+    """Gumbel sampling restricted to each row's top-k / top-p candidate set.
+
+    Candidates come from the row's TOPK_WINDOW highest logits; rank masks
+    implement top-k (rank < k) and top-p (tokens whose *preceding* cumulative
+    probability, after temperature, is below p — the first token always
+    survives). Greedy rows (T == 0) return the argmax.
+    """
+    S, V = logits.shape
+    k_win = min(TOPK_WINDOW, V)
+    logits = logits.astype(jnp.float32)
+    vals, idx = jax.lax.top_k(logits, k_win)          # [S, K] desc
+    temps = temperatures[:, None]
+    scaled = vals / jnp.maximum(temps, 1e-6)
+
+    rank = jax.lax.broadcasted_iota(jnp.int32, (S, k_win), 1)
+    ks = jnp.where(top_ks <= 0, k_win, jnp.minimum(top_ks, k_win))[:, None]
+    keep = rank < ks
+
+    probs = jax.nn.softmax(scaled, axis=-1)
+    cum_before = jnp.cumsum(probs, axis=-1) - probs   # exclusive prefix sum
+    keep &= cum_before < top_ps[:, None]
+
+    masked = jnp.where(keep, scaled, -jnp.inf)
+    gumbel = jax.random.gumbel(key, masked.shape, dtype=jnp.float32)
+    noisy = jnp.where(temps > 0.0, masked + gumbel, vals)
+    choice = jnp.argmax(noisy, axis=-1)               # window-local
+    return jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0].astype(
+        jnp.int32
+    )

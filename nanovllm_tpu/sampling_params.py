@@ -1,13 +1,15 @@
 """Per-request sampling parameters.
 
 Parity: reference ``nanovllm/sampling_params.py`` (fields temperature,
-max_tokens, ignore_eos). Difference: the reference *forbids* greedy decoding
+max_tokens, ignore_eos). Differences: the reference *forbids* greedy decoding
 (asserts temperature > 1e-10, sampling_params.py:11); we explicitly support
-``temperature == 0.0`` as greedy argmax, which the TPU sampler handles in the
-same fused device computation.
+``temperature == 0.0`` as greedy argmax, plus per-request top-k / top-p
+(nucleus) filtering, all fused in the on-device sampler. Requests that leave
+top_k/top_p at their defaults run the plain (cheaper) sampling program.
 """
 
 from dataclasses import dataclass
+
 
 
 @dataclass(slots=True)
@@ -15,7 +17,20 @@ class SamplingParams:
     temperature: float = 1.0
     max_tokens: int = 64
     ignore_eos: bool = False
+    # 0 disables top-k; values above ops.sampling.TOPK_WINDOW (64) clamp to
+    # it (lax.top_k needs a static window).
+    top_k: int = 0
+    # 1.0 disables nucleus filtering; smaller values keep the smallest prefix
+    # of the (temperature-scaled) distribution with cumulative mass >= top_p,
+    # evaluated within the top-TOPK_WINDOW candidate window.
+    top_p: float = 1.0
 
     def __post_init__(self):
         assert self.temperature >= 0.0, "temperature must be non-negative"
         assert self.max_tokens >= 1, "max_tokens must be at least 1"
+        assert self.top_k >= 0, "top_k must be non-negative (0 disables)"
+        assert 0.0 < self.top_p <= 1.0, "top_p must be in (0, 1]"
+
+    @property
+    def uses_filtering(self) -> bool:
+        return self.top_k > 0 or self.top_p < 1.0

@@ -131,6 +131,29 @@ def test_sampling_temperature_smoke(llm):
         assert all(0 <= t < 512 for t in out["token_ids"])
 
 
+def test_topk_topp_e2e(llm):
+    """A batch mixing filtered and unfiltered requests runs the filtered step
+    variant; top_k=1 rows must decode exactly like greedy."""
+    rng = np.random.default_rng(6)
+    prompts = [rng.integers(2, 500, size=10).tolist() for _ in range(3)]
+    sps = [
+        SamplingParams(temperature=1.0, max_tokens=6, ignore_eos=True, top_k=1),
+        SamplingParams(temperature=1.0, max_tokens=6, ignore_eos=True,
+                       top_p=0.8),
+        SamplingParams(temperature=1.0, max_tokens=6, ignore_eos=True),
+    ]
+    outs = llm.generate(prompts, sps, use_tqdm=False)
+    greedy = llm.generate(
+        [prompts[0]],
+        SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True),
+        use_tqdm=False,
+    )
+    assert outs[0]["token_ids"] == greedy[0]["token_ids"]
+    for out in outs:
+        assert len(out["token_ids"]) == 6
+        assert all(0 <= t < 512 for t in out["token_ids"])
+
+
 def test_async_pipeline_matches_sync(tiny_qwen3_dir):
     """fetch_interval=8 (device token feedback, lagged EOS) must produce the
     same outputs as fetch_interval=1, including EOS-truncated sequences."""
