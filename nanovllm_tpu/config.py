@@ -102,11 +102,13 @@ class Config:
             self.decode_buckets = tuple(b for b in ladder if b < self.max_num_seqs) + (
                 self.max_num_seqs,
             )
-        # The Pallas decode kernel processes sequences in groups of 8 (GRP in
-        # ops/pallas/ragged_attention.py); round every rung up so any
+        # The Pallas decode kernel processes sequences in groups of GRP
+        # (ops/pallas/ragged_attention.py); round every rung up so any
         # user-supplied ladder (or an off-size max_num_seqs) compiles.
+        from nanovllm_tpu.ops.pallas.ragged_attention import GRP as _grp
+
         self.decode_buckets = tuple(
-            sorted({-(-b // 8) * 8 for b in self.decode_buckets})
+            sorted({-(-b // _grp) * _grp for b in self.decode_buckets})
         )
         if not self.prefill_buckets:
             ladder = [2048, 8192]

@@ -191,6 +191,21 @@ def _decode_kernel(
                         sems.at[3, slot, i],
                     ).start()
 
+            if not quantized:
+                # A lane with no page at this depth leaves its V strip
+                # un-DMA'd: bf16 scratch garbage can be NaN (on hardware and
+                # in interpret mode), and the p @ V dot then sums 0 * NaN.
+                # Zero the strip (K needs nothing: NaN scores die in the
+                # mask *select*; int8 garbage is always finite and the
+                # scale folds contribute exact zeros).
+                @pl.when(page >= nb_of(seq))
+                def _zero(i=i, seq=seq):
+                    strip = pl.ds(i * block_size, block_size)
+                    v_buf[slot, :, strip, :] = jnp.zeros(
+                        (v_buf.shape[1], block_size, v_buf.shape[3]),
+                        v_buf.dtype,
+                    )
+
     def wait_group_page(grp, page, slot):
         for i in range(GRP):
             seq = grp * GRP + i
@@ -273,13 +288,30 @@ def _decode_kernel(
         wait_group_page(g, j, slot)
         buf_idx_ref[0] = jnp.where(slot == 2, 0, slot + 1)
 
+        hkv, grp, groups, hd = q_ref.shape
+
         @pl.when(j == 0)
         def _init_group():
-            m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
-            l_scr[...] = jnp.zeros_like(l_scr)
-            acc_scr[...] = jnp.zeros_like(acc_scr)
-
-        hkv, grp, groups, hd = q_ref.shape
+            # Fold the new token's self-attention into the accumulator init:
+            # each row's running max starts at its own (scaled) self-score,
+            # l at exp(0) = 1 and acc at 1 * v_new. This removes the per-pair
+            # register patch of the stale kv_len-1 row (two full-page selects
+            # per pair); history columns mask at kv_len-1 instead, and all
+            # the work here is on tiny [Hkv, GRP, G|hd] tensors once per group.
+            qg = q_ref[...].astype(jnp.float32) * sm_scale
+            kn = k_new_ref[...].astype(jnp.float32)   # [Hkv, GRP, 1, hd]
+            vn = v_new_ref[...].astype(jnp.float32)
+            if groups > 1:
+                # Mosaic cannot broadcast a size-1 *middle* dim; replicate
+                # by concatenation (static, tiny tensors).
+                kn = jnp.concatenate([kn] * groups, axis=2)
+                vn = jnp.concatenate([vn] * groups, axis=2)
+            qg2 = qg.reshape(hkv, grp * groups, hd)
+            kn2 = kn.reshape(hkv, grp * groups, hd)
+            s_new = jnp.sum(qg2 * kn2, axis=-1)       # [Hkv, GRP*G]
+            m_scr[...] = jnp.broadcast_to(s_new[:, :, None], m_scr.shape)
+            l_scr[...] = jnp.ones_like(l_scr)
+            acc_scr[...] = vn.reshape(hkv, grp * groups, hd)
 
         def per_seq_scalar(shape, dim, div, fn):
             """Materialize fn(seq) across ``dim`` (where index // div is the
@@ -292,44 +324,34 @@ def _decode_kernel(
                 out = jnp.where(idx == i, fn(g * GRP + i), out)
             return out
 
-        # Convert pages to bf16 BEFORE any select (narrow-dtype selects force
-        # relayouts; bf16 operands keep the dots at full MXU rate — f32 dots
-        # run at a fraction of it). In int8 mode the per-token scales are NOT
-        # applied here: a [H, N] lane vector cannot relayout onto k's sublane
-        # dim, so the scales fold into the scores (k) and probabilities (v)
-        # instead, where the token dim is already on lanes.
+        # Convert pages to f32 BEFORE any select (narrow-dtype selects force
+        # relayouts; wide operands keep the dots at full MXU rate). In int8
+        # mode the per-token scales are NOT applied here: a [H, N] lane
+        # vector cannot relayout onto k's sublane dim, so the scales fold
+        # into the scores (k) and probabilities (v) instead, where the token
+        # dim is already on lanes.
         k = k_buf[slot].reshape(hkv, GRP, block_size, hd).astype(jnp.float32)
         v = v_buf[slot].reshape(hkv, GRP, block_size, hd).astype(jnp.float32)
 
-        # This step's new K/V row lands at global position kv_len-1, i.e. in
-        # page j exactly when j is the sequence's last page; substitute it in
-        # registers (the page was read stale; the new row is full-precision,
-        # so its folded scale is patched to 1 below). The mask is built at
-        # [.., block, 1] and lane-broadcast: materializing per-seq scalars
-        # over the full [.., block, hd] tensor costs 8 selects x 2M elements.
-        mshape = (hkv, GRP, block_size, 1)
-        kv4 = per_seq_scalar(mshape, 1, 1, lambda s_: kv_lens_ref[s_])
-        pos4 = j * block_size + jax.lax.broadcasted_iota(jnp.int32, mshape, 2)
-        patch = pos4 == kv4 - 1
-        k = jnp.where(patch, k_new_ref[...].astype(jnp.float32), k)
-        v = jnp.where(patch, v_new_ref[...].astype(jnp.float32), v)
-
+        # History-column validity, 2D [Hkv, GRP*block] (token dim on lanes —
+        # cheap; anything materialized at the full [.., GRP*G, GRP*block]
+        # scores shape costs GRPx the VPU work). Position kv_len-1 is this
+        # step's own token — stale in the DMA'd page, covered by the
+        # self-term in _init_group — so history masks at kv_len-1.
+        n_cols = GRP * block_size
+        col2 = jax.lax.broadcasted_iota(jnp.int32, (hkv, n_cols), 1)
+        kvc2 = per_seq_scalar(
+            (hkv, n_cols), 1, block_size, lambda s_: kv_lens_ref[s_]
+        )
+        pos2 = j * block_size + col2 % block_size
+        hist = pos2 < kvc2 - 1
+        col_bias = jnp.where(hist, 0.0, MASK_VALUE)   # [Hkv, n_cols]
         if quantized:
-            # Column scale vectors [Hkv, GRP*block] (token dim on lanes):
-            # freshly patched full-precision columns get scale 1, and columns
-            # past a sequence's kv length get 0 — their buffer strips may
-            # never have been DMA'd (NaN in interpret mode) and 0 * NaN would
-            # poison the folds despite the score mask.
-            n_cols = GRP * block_size
-            col2 = jax.lax.broadcasted_iota(jnp.int32, (hkv, n_cols), 1)
-            kvc2 = per_seq_scalar(
-                (hkv, n_cols), 1, block_size, lambda s_: kv_lens_ref[s_]
-            )
-            pos2 = j * block_size + col2 % block_size
-            ks_vec = jnp.where(pos2 < kvc2, ks_buf[slot], 0.0)
-            vs_vec = jnp.where(pos2 < kvc2, vs_buf[slot], 0.0)
-            ks_vec = jnp.where(pos2 == kvc2 - 1, 1.0, ks_vec)
-            vs_vec = jnp.where(pos2 == kvc2 - 1, 1.0, vs_vec)
+            # Scale vectors zero outside history: those buffer strips may
+            # never have been DMA'd (NaN in interpret mode) and 0 * NaN
+            # would poison the folds despite the score mask.
+            ks_vec = jnp.where(hist, ks_buf[slot], 0.0)
+            vs_vec = jnp.where(hist, vs_buf[slot], 0.0)
 
         # Persist an aligned tile holding the new (cache-dtype) row back to
         # the cache for future steps (a 1-row DMA at an arbitrary sublane
@@ -394,43 +416,38 @@ def _decode_kernel(
                         w_sems.at[3, wl],
                     ).start()
 
-        q = q_ref[...].astype(jnp.float32).reshape(hkv, GRP * groups, hd)
+        # sm_scale folds into q (tiny tensor) instead of a pass over scores.
+        q = q_ref[...].astype(jnp.float32).reshape(
+            hkv, GRP * groups, hd
+        ) * sm_scale
         kf = k.reshape(hkv, GRP * block_size, hd)
         vf = v.reshape(hkv, GRP * block_size, hd)
+
+        # NaN hygiene (hardware AND interpret): K garbage in never-DMA'd
+        # strips dies in the mask *selects* below (their columns are always
+        # masked); V garbage strips are zeroed at DMA-issue time in
+        # read_group_page, so the p @ V dot never sees 0 * NaN.
 
         # scores[h, r, c]: one batched dot per head over the whole group.
         scores = jax.lax.dot_general(
             q, kf,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ) * sm_scale                        # [Hkv, GRP*G, GRP*block]
+        )                                   # [Hkv, GRP*G, GRP*block]
         if quantized:
             scores = scores * ks_vec[:, None, :]  # fold K dequant scales
 
-        # Block-diagonal (row's sequence == column's sequence) + kv length.
-        row_seq = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) // groups
-        col_idx = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
-        col_seq = col_idx // block_size
-        kv_pos = j * block_size + col_idx % block_size
-        kv_len_col = per_seq_scalar(
-            scores.shape, 2, block_size, lambda s_: kv_lens_ref[s_]
-        )  # column c belongs to group-local sequence c // block_size
-        mask = (row_seq == col_seq) & (kv_pos < kv_len_col)
-        scores = jnp.where(mask, scores, MASK_VALUE)
-
-        if interpret:
-            # Zero V's invalid columns: buffer strips of sequences with no
-            # page at this depth were never DMA'd — NaN in interpret mode,
-            # and 0 * NaN would poison the p @ V dot even under zero weights.
-            # On hardware the strips are stale-but-finite and p's zeros (and
-            # the vs_vec zeros in int8 mode) already cancel them.
-            v_shape = (hkv, GRP * block_size, hd)
-            col_v = jax.lax.broadcasted_iota(jnp.int32, v_shape, 1)
-            v_pos = j * block_size + col_v % block_size
-            v_len = per_seq_scalar(
-                v_shape, 1, block_size, lambda s_: kv_lens_ref[s_]
-            )
-            vf = jnp.where(v_pos < v_len, vf, 0.0)
+        # Masking by two broadcast SELECTS over the big scores shape
+        # instead of materializing row/col/len index tensors there (~10
+        # passes): history validity comes from the 2D [Hkv, GRP*block]
+        # ``hist``, the block-diagonal from a 2D [GRP*G, GRP*block] pattern.
+        # (Broadcast ADDS of a size-1 middle dim crash Mosaic — selects with
+        # the same broadcast lower fine, like the quantized scale folds.)
+        r2 = jax.lax.broadcasted_iota(jnp.int32, (GRP * groups, n_cols), 0)
+        c2 = jax.lax.broadcasted_iota(jnp.int32, (GRP * groups, n_cols), 1)
+        diag2 = r2 // groups == c2 // block_size
+        scores = jnp.where(hist[:, None, :], scores, MASK_VALUE)
+        scores = jnp.where(diag2[None, :, :], scores, MASK_VALUE)
 
         m_prev = m_scr[:, :, 0]                       # [Hkv, GRP*G]
         l_prev = l_scr[:, :, 0]
