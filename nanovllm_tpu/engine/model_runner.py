@@ -35,8 +35,10 @@ from nanovllm_tpu.models import get_model_family
 from nanovllm_tpu.ops import attention as attn_ops
 from nanovllm_tpu.ops import quant
 from nanovllm_tpu.ops.quant import QuantWeight
+from nanovllm_tpu.ops.pallas.ragged_attention import GRP
 from nanovllm_tpu.ops.sampling import sample, sample_topk_topp
 from nanovllm_tpu.utils.loader import stream_params_to_device
+from nanovllm_tpu.utils.quant_ckpt import read_quant_meta
 
 _DTYPES = {
     "bfloat16": jnp.bfloat16,
@@ -76,6 +78,12 @@ class ModelRunner:
         self.config = config
         self.spec = get_model_family(config.hf_config).spec_from_hf(config.hf_config)
         self.family = get_model_family(config.hf_config)
+        # Offline-quantized checkpoint (tools/quantize_checkpoint.py): adopt
+        # its mode before anything reads config.quantization (shardings, KV
+        # sizing); a conflicting explicit mode fails in the loader.
+        self._prequant = None if random_weights else read_quant_meta(config.model)
+        if self._prequant is not None and config.quantization is None:
+            config.quantization = self._prequant["mode"]
         self.dtype = _DTYPES[config.dtype]
         self.kv_dtype = _DTYPES[config.kv_cache_dtype]
         self.tp = config.tensor_parallel_size
@@ -139,7 +147,7 @@ class ModelRunner:
         # rung is the worst case.
         self.decode_pair_buckets = {}
         for sb in config.decode_buckets:
-            ng = sb // 8
+            ng = sb // GRP
             full = ng * config.max_blocks_per_seq
             self.decode_pair_buckets[sb] = tuple(
                 sorted({min(6 * ng, full), full})
@@ -188,6 +196,7 @@ class ModelRunner:
             quant_mode=cfg.quantization,
             shardings=self._param_shardings(),
             put=self._global_put,
+            prequant=self._prequant,
         )
 
     def _global_put(self, arr, sharding):
@@ -293,7 +302,7 @@ class ModelRunner:
         finally:
             cfg.num_kvcache_blocks = saved
         compiled = self._step.lower(
-            self.params, kv, self.token_state, self.rope, inputs, True
+            self.params, kv, self.token_state, self.rope, inputs, True, False
         ).compile()
         ma = compiled.memory_analysis()
         summed = (
@@ -600,7 +609,7 @@ class ModelRunner:
                      temperature=1.0)
             )
         q_tile = self.q_tile if (is_prefill and self.use_pallas) else None
-        group_pairs = 8 if (not is_prefill and self.use_pallas) else None
+        group_pairs = GRP if (not is_prefill and self.use_pallas) else None
         return build_step_inputs(
             reqs,
             block_size=self.config.kvcache_block_size,
@@ -708,13 +717,13 @@ class ModelRunner:
                 # groups have near-uniform depth.
                 bsz = cfg.kvcache_block_size
                 npairs = sum(
-                    max(-(-r["kv_len"] // bsz) for r in reqs[g0: g0 + 8])
-                    for g0 in range(0, len(reqs), 8)
+                    max(-(-r["kv_len"] // bsz) for r in reqs[g0: g0 + GRP])
+                    for g0 in range(0, len(reqs), GRP)
                 )
                 p_bucket = _pick_bucket(
                     self.decode_pair_buckets[s_bucket], npairs
                 )
-        group_pairs = 8 if (not is_prefill and self.use_pallas) else None
+        group_pairs = GRP if (not is_prefill and self.use_pallas) else None
         rng = self._host_rng.integers(0, 2**32, size=2, dtype=np.uint32)
         inputs = build_step_inputs(
             reqs,

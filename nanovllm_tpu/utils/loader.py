@@ -172,6 +172,7 @@ def stream_params_to_device(
     quant_mode: str | None,
     shardings,
     put,
+    prequant: dict | None = None,
 ) -> dict:
     """Stream a checkpoint leaf-by-leaf onto the device(s).
 
@@ -198,9 +199,29 @@ def stream_params_to_device(
     from nanovllm_tpu.ops import quant as quant_ops
     from nanovllm_tpu.ops.quant import QuantWeight
 
+    from nanovllm_tpu.utils.quant_ckpt import unpack_int4_jnp
+
     reader = CheckpointReader(model_dir)
     L = spec.num_layers
     params: dict = {}
+
+    # Offline-quantized checkpoint (tools/quantize_checkpoint.py): tensors in
+    # quant_plan are already (q, scale) pairs in HF orientation; stream them
+    # through the same fuse/transpose transforms with no on-device
+    # quantization. Per-out-channel quantization commutes with out-dim fusion
+    # and transposition, so the device weights are bit-identical to the
+    # load-time-quantized path.
+    pq_tensors = (prequant or {}).get("tensors", {})
+    if prequant is not None:
+        assert quant_mode == prequant["mode"], (
+            f"config quantization={quant_mode!r} but checkpoint is "
+            f"{prequant['mode']!r} (set quantization=None to adopt it)"
+        )
+
+    def pq_meta(srcs: list[str]) -> dict:
+        metas = [pq_tensors[n] for n in srcs]
+        assert all(m == metas[0] for m in metas), (srcs, metas)
+        return metas[0]
 
     def assign(path, value):
         node = params
@@ -280,13 +301,21 @@ def stream_params_to_device(
             return mats[0]
 
         # Slice shape from layer-0 metadata (no tensor bytes read).
-        shapes0 = [reader.tensor(n).shape for n in _plan_layer_sources(rule, 0)]
+        srcs0 = _plan_layer_sources(rule, 0)
+        shapes0 = [reader.tensor(n).shape for n in srcs0]
+        pq = qmode is not None and prequant is not None
+        pq_m = pq_meta(srcs0) if pq else {}
+        # int4 checkpoints store nibble-packed values [out, in/2].
+        in0 = (
+            shapes0[0][1] * (2 if pq_m.get("packed") else 1)
+            if len(shapes0[0]) == 2 else None
+        )
         if kind_tp == "col":
-            slice_shape = (shapes0[0][1], sum(s[0] for s in shapes0))
+            slice_shape = (in0, sum(s[0] for s in shapes0))
         elif kind_tp == "bias":
             slice_shape = (sum(s[0] for s in shapes0),)
         elif kind_tp == "row":
-            slice_shape = (shapes0[0][1], shapes0[0][0])
+            slice_shape = (in0, shapes0[0][0])
         else:
             slice_shape = shapes0[0]
 
@@ -308,9 +337,19 @@ def stream_params_to_device(
             return
 
         # Quantized leaf: accumulate q (int8 bytes for int4) + scales.
-        group = (
-            int4_group(slice_shape[0], quant_plan[path]) if qmode == "int4" else None
-        )
+        if pq and qmode == "int4":
+            group = pq_m["group"]
+            assert slice_shape[0] % group == 0
+            if quant_plan[path] == "row":
+                assert (slice_shape[0] // group) % tp == 0, (
+                    f"checkpoint int4 group {group} cannot shard over tp={tp} "
+                    f"(in={slice_shape[0]}); requantize with --tp-compat {tp}"
+                )
+        else:
+            group = (
+                int4_group(slice_shape[0], quant_plan[path])
+                if qmode == "int4" else None
+            )
         if qmode == "int4":
             sshape = (L, slice_shape[0] // group, slice_shape[1])
             q_store = jnp.int8
@@ -327,19 +366,38 @@ def stream_params_to_device(
         acc_s = jax.jit(lambda: jnp.zeros(sshape, jnp.float32),
                         out_shardings=s_sh)()
 
-        def update_q(acc_q, acc_s, i, *mats):
-            q, s = quantize_slice(layer_transform(list(mats)), 0, qmode, group)
-            return (
-                jax.lax.dynamic_update_slice_in_dim(acc_q, q[None], i, 0),
-                jax.lax.dynamic_update_slice_in_dim(acc_s, s[None], i, 0),
-            )
+        if pq:
+            # Pre-quantized sources: interleaved (q, scale) per source; the
+            # same fuse/transpose transforms apply to both fields.
+            def update_q(acc_q, acc_s, i, *mats):
+                qs, ss = list(mats[0::2]), list(mats[1::2])
+                if qmode == "int4" and pq_m["packed"]:
+                    qs = [unpack_int4_jnp(m, in0) for m in qs]
+                q = layer_transform(qs).astype(acc_q.dtype)
+                s = layer_transform(ss).astype(jnp.float32)
+                return (
+                    jax.lax.dynamic_update_slice_in_dim(acc_q, q[None], i, 0),
+                    jax.lax.dynamic_update_slice_in_dim(acc_s, s[None], i, 0),
+                )
+        else:
+            def update_q(acc_q, acc_s, i, *mats):
+                q, s = quantize_slice(
+                    layer_transform(list(mats)), 0, qmode, group
+                )
+                return (
+                    jax.lax.dynamic_update_slice_in_dim(acc_q, q[None], i, 0),
+                    jax.lax.dynamic_update_slice_in_dim(acc_s, s[None], i, 0),
+                )
 
         step = jax.jit(
             update_q, donate_argnums=(0, 1), out_shardings=(acc_sh, s_sh)
         )
         for i in range(L):
-            mats = [put(reader.tensor(n), rep)
-                    for n in _plan_layer_sources(rule, i)]
+            mats = []
+            for n in _plan_layer_sources(rule, i):
+                mats.append(put(reader.tensor(n), rep))
+                if pq:
+                    mats.append(put(reader.tensor(n + ".scale"), rep))
             acc_q, acc_s = step(acc_q, acc_s, jnp.int32(i), *mats)
         if qmode == "int4":
             acc_q = pack_int4(acc_q, sh.q)
@@ -357,17 +415,36 @@ def stream_params_to_device(
                     lambda x: x.astype(dtype), out_shardings=sh
                 )(staged))
                 continue
-            group = int4_group(raw.shape[1], "vocab") if qmode == "int4" else None
-            staged = put(raw, rep_sharding(sh))
             if qmode == "int4":
                 qb = base_sharding(sh.q)
                 q8_sh = NamedSharding(qb.mesh, qb.spec)
             else:
                 q8_sh = sh.q
-            q8, scale = jax.jit(
-                lambda x: quantize_slice(x, 1, qmode, group),
-                out_shardings=(q8_sh, sh.scale),
-            )(staged)
+            if prequant is not None:
+                meta1 = pq_meta([rule[1]])
+                staged = put(raw, rep_sharding(sh))
+                sc = put(reader.tensor(rule[1] + ".scale"), rep_sharding(sh))
+                if qmode == "int4" and meta1["packed"]:
+                    d_full = raw.shape[1] * 2
+                    q8 = jax.jit(
+                        lambda x: unpack_int4_jnp(x, d_full),
+                        out_shardings=q8_sh,
+                    )(staged)
+                else:
+                    q8 = jax.jit(
+                        lambda x: x, out_shardings=q8_sh
+                    )(staged)
+                scale = jax.jit(lambda x: x, out_shardings=sh.scale)(sc)
+            else:
+                group = (
+                    int4_group(raw.shape[1], "vocab")
+                    if qmode == "int4" else None
+                )
+                staged = put(raw, rep_sharding(sh))
+                q8, scale = jax.jit(
+                    lambda x: quantize_slice(x, 1, qmode, group),
+                    out_shardings=(q8_sh, sh.scale),
+                )(staged)
             if qmode == "int4":
                 q8 = pack_int4(q8, sh.q)
             assign(path, QuantWeight(q=q8, scale=scale, mode=qmode))
