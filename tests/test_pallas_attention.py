@@ -376,3 +376,38 @@ def test_padded_head_dim_matches_unpadded_oracle(quantized):
         np.asarray(outp)[live, :, :HD], np.asarray(refp, np.float32)[live],
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_decode_grp4_matches_oracle(monkeypatch):
+    """The decode group size is a tunable (config/runner read it from the
+    kernel module); the kernel must stay correct at other GRP values."""
+    import nanovllm_tpu.ops.pallas.ragged_attention as ra
+
+    monkeypatch.setattr(ra, "GRP", 4)
+    rng = np.random.default_rng(7)
+    kc, vc = make_cache(rng, num_blocks=24)
+    kv_lens = [3, 16, 33, 48, 7, 21]
+    tables = [[0, 1, 2, 3], [4, 5, 0, 0], [6, 7, 8, 9], [10, 11, 12, 0],
+              [13, 0, 0, 0], [14, 15, 0, 0]]
+    reqs = [
+        dict(token_ids=[1], start=n - 1, kv_len=n,
+             block_table=t[: -(-n // BLOCK)], temperature=1.0)
+        for n, t in zip(kv_lens, tables)
+    ]
+    inputs = build_step_inputs(
+        reqs, block_size=BLOCK, num_tokens_bucket=8, num_seqs_bucket=8,
+        max_blocks_per_seq=4, rng=np.zeros(2, np.uint32), group_pairs=4,
+    )
+    meta = meta_from_inputs(inputs)
+    q = jnp.asarray(rng.standard_normal((8, HQ, HD), np.float32))
+    kn, vn = new_kv(rng, 8)
+    ref, kr, vr = ragged_paged_attention_ref(q, kn, vn, kc, vc, 0, meta, sm_scale=SM)
+    out, ko, vo = paged_decode_attention(
+        q, kn, vn, kc, vc, 0, meta, sm_scale=SM, interpret=True
+    )
+    n = len(reqs)
+    np.testing.assert_allclose(
+        np.asarray(out)[:n], np.asarray(ref)[:n], rtol=2e-2, atol=2e-2
+    )
+    np.testing.assert_allclose(np.asarray(ko), np.asarray(kr), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vo), np.asarray(vr), rtol=1e-6, atol=1e-6)
