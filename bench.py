@@ -47,7 +47,7 @@ def main():
             QWEN3_0_6B, QWEN3_8B, QWEN3_TINY, make_qwen3_dir)
 
         arch = os.environ.get("BENCH_ARCH", "0.6b")
-        cfgs = {"0.6b": QWEN3_0_6B, "8b": QWEN3_8B, "tiny": QWEN3_TINY}
+        cfgs = {"0.6b": QWEN3_0_6B, "8b": QWEN3_8B, "32b": QWEN3_32B, "tiny": QWEN3_TINY}
         model_dir = make_qwen3_dir(f"/tmp/qwen3-{arch}-bench", cfgs[arch])
 
     llm = LLM(

@@ -29,14 +29,6 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-QWEN3_32B = dict(
-    vocab_size=152064, hidden_size=5120, intermediate_size=27648,
-    num_hidden_layers=64, num_attention_heads=64, num_key_value_heads=8,
-    head_dim=128, max_position_embeddings=40960, rope_theta=1000000.0,
-    rms_norm_eps=1e-6, tie_word_embeddings=False,
-)
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--coordinator", default=None,
@@ -73,7 +65,7 @@ def main():
 
     from nanovllm_tpu import LLM, SamplingParams
     from nanovllm_tpu.utils.testing import (
-        QWEN3_0_6B, QWEN3_8B, make_qwen3_dir)
+        QWEN3_0_6B, QWEN3_32B, QWEN3_8B, make_qwen3_dir)
 
     archs = {"0.6b": QWEN3_0_6B, "8b": QWEN3_8B, "32b": QWEN3_32B}
     arch_name = os.environ.get("BENCH_ARCH", "32b" if not args.cpu else "0.6b")

@@ -39,6 +39,21 @@ QWEN3_8B = dict(
     tie_word_embeddings=False,
 )
 
+# Qwen3-32B architecture (the BASELINE.md TP=8 / multi-host config).
+QWEN3_32B = dict(
+    vocab_size=152064,
+    hidden_size=5120,
+    intermediate_size=27648,
+    num_hidden_layers=64,
+    num_attention_heads=64,
+    num_key_value_heads=8,
+    head_dim=128,
+    max_position_embeddings=40960,
+    rope_theta=1000000.0,
+    rms_norm_eps=1e-6,
+    tie_word_embeddings=False,
+)
+
 # Tiny config for dryruns / CI (all dims divisible by 8 for TP tests).
 QWEN3_TINY = dict(
     vocab_size=512,
