@@ -28,10 +28,12 @@ Design (see /opt/skills/guides/pallas_guide.md):
 - Pages convert to f32 BEFORE any masked select: narrow dtypes have (32,128)
   native tiling and selects on them force whole-buffer relayouts.
 - Cache appends: prefill writes new rows page-by-page before its reads (page
-  0 is re-fetched when its prefetch predates the write); decode patches the
-  new row in registers for its own attention and persists an aligned tile
-  asynchronously — written pages have no same-invocation readers, so the
-  DMAs drain lazily (per-lane staging; final drain at the last grid step).
+  0 is re-fetched when its prefetch predates the write); decode folds the
+  new token's self-attention into the group's accumulator INIT (m starts at
+  the self-score, l at 1, acc at v_new — tiny per-group tensors), masks
+  history at kv_len-1, and persists an aligned tile asynchronously — written
+  pages have no same-invocation readers, so the DMAs drain lazily (per-lane
+  staging; final drain at the last grid step).
 - Online softmax in fp32 (running m/l + unnormalized accumulator, one divide
   at the end); mask value -0.7*f32max, safe division for empty rows.
 - GQA batched over kv heads: q is pre-transposed (cheap XLA transpose outside
