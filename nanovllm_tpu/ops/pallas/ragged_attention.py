@@ -93,6 +93,13 @@ def quantize_kv_rows(x: jax.Array):
 
 GRP = 8  # sequences per decode grid step (buckets must be multiples)
 
+# Partial-last-page DMA rungs: a sequence's final page is fetched only up to
+# the smallest rung covering its valid rows (full pages use the last rung ==
+# block_size). Rung granularity 64 satisfies every dtype's sublane tile
+# (int8/fp8 32, bf16 8). At bench shapes (~1.1k avg context, 256-blocks) the
+# full-page fetch wasted ~12% of DMA bytes on rows past kv_len.
+PAGE_RUNG = 64
+
 
 def _decode_kernel(
     # scalar prefetch
@@ -159,29 +166,58 @@ def _decode_kernel(
     def nb_of(seq):
         return _cdiv(kv_lens_ref[seq], block_size)
 
+    n_rungs = max(1, block_size // PAGE_RUNG)
+    rung = block_size // n_rungs  # == PAGE_RUNG, or the whole (small) block
+
+    def rung_conds(rows):
+        """Static per-rung predicates: rung r fetches r*rung rows. The last
+        rung also covers full pages (rows >= block); rows <= 0 means the
+        lane has no page at this depth and fetches nothing. Start and wait
+        recompute identical predicates from the same prefetched scalars, so
+        every start has exactly one matching wait."""
+        conds = []
+        for r in range(1, n_rungs + 1):
+            lo = (r - 1) * rung
+            c = rows > lo
+            if r < n_rungs:
+                c &= rows <= r * rung
+            conds.append((c, r * rung))
+        return conds
+
     def read_group_page(grp, page, slot):
         # One page per live-at-this-depth sequence of the group, landing in
-        # that sequence's [block] strip of the buffer. Reads go through the
-        # aliased *output* refs: the same HBM buffer on hardware, and in
-        # interpret mode (separate arrays) reads then observe the appends.
+        # that sequence's [block] strip of the buffer — fetched only up to
+        # the rung covering its valid rows (full pages = last rung). Reads go
+        # through the aliased *output* refs: the same HBM buffer on hardware,
+        # and in interpret mode (separate arrays) reads then observe appends.
         for i in range(GRP):
             seq = grp * GRP + i
+            rows = kv_lens_ref[seq] - page * block_size
 
-            @pl.when(page < nb_of(seq))
-            def _start(i=i, seq=seq):
-                page_id = tables_ref[seq, page]
-                strip = pl.ds(i * block_size, block_size)
-                pltpu.make_async_copy(
-                    k_out_hbm.at[layer, :, page_id],
-                    k_buf.at[slot, :, strip],
-                    sems.at[0, slot, i],
-                ).start()
-                pltpu.make_async_copy(
-                    v_out_hbm.at[layer, :, page_id],
-                    v_buf.at[slot, :, strip],
-                    sems.at[1, slot, i],
-                ).start()
-                if quantized:
+            for cond, hi in rung_conds(rows):
+
+                @pl.when(cond)
+                def _start(i=i, seq=seq, hi=hi):
+                    page_id = tables_ref[seq, page]
+                    pltpu.make_async_copy(
+                        k_out_hbm.at[layer, :, page_id, pl.ds(0, hi)],
+                        k_buf.at[slot, :, pl.ds(i * block_size, hi)],
+                        sems.at[0, slot, i],
+                    ).start()
+                    pltpu.make_async_copy(
+                        v_out_hbm.at[layer, :, page_id, pl.ds(0, hi)],
+                        v_buf.at[slot, :, pl.ds(i * block_size, hi)],
+                        sems.at[1, slot, i],
+                    ).start()
+
+            if quantized:
+                # Scale tiles are fetched whole regardless of rung: their
+                # lane-dim (block) slicing wants 128-alignment and the tile
+                # is ~3% of the page bytes.
+                @pl.when(rows > 0)
+                def _scales(i=i, seq=seq):
+                    page_id = tables_ref[seq, page]
+                    strip = pl.ds(i * block_size, block_size)
                     pltpu.make_async_copy(
                         ks_out_hbm.at[layer, page_id],
                         ks_buf.at[slot, :, strip],
@@ -192,38 +228,51 @@ def _decode_kernel(
                         vs_buf.at[slot, :, strip],
                         sems.at[3, slot, i],
                     ).start()
-
-            if not quantized:
-                # A lane with no page at this depth leaves its V strip
-                # un-DMA'd: bf16 scratch garbage can be NaN (on hardware and
-                # in interpret mode), and the p @ V dot then sums 0 * NaN.
-                # Zero the strip (K needs nothing: NaN scores die in the
-                # mask *select*; int8 garbage is always finite and the
-                # scale folds contribute exact zeros).
-                @pl.when(page >= nb_of(seq))
-                def _zero(i=i, seq=seq):
-                    strip = pl.ds(i * block_size, block_size)
-                    v_buf[slot, :, strip, :] = jnp.zeros(
-                        (v_buf.shape[1], block_size, v_buf.shape[3]),
-                        v_buf.dtype,
+            else:
+                # Un-DMA'd V rows (no page at this depth, or rows past the
+                # fetched rung): bf16 scratch garbage can be NaN (on hardware
+                # and in interpret mode), and the p @ V dot then sums 0 * NaN.
+                # Zero them. (K needs nothing: NaN scores die in the mask
+                # *select*; int8 garbage is always finite and the scale folds
+                # contribute exact zeros.)
+                for r in range(n_rungs):
+                    cond = (rows <= 0) if r == 0 else (
+                        (rows > (r - 1) * rung) & (rows <= r * rung)
                     )
+
+                    @pl.when(cond)
+                    def _zero(i=i, r=r):
+                        off = i * block_size + r * rung
+                        n = block_size - r * rung
+                        v_buf[slot, :, pl.ds(off, n), :] = jnp.zeros(
+                            (v_buf.shape[1], n, v_buf.shape[3]), v_buf.dtype
+                        )
 
     def wait_group_page(grp, page, slot):
         for i in range(GRP):
             seq = grp * GRP + i
+            rows = kv_lens_ref[seq] - page * block_size
 
-            @pl.when(page < nb_of(seq))
-            def _wait(i=i, seq=seq):
-                strip = pl.ds(i * block_size, block_size)
-                pltpu.make_async_copy(
-                    k_out_hbm.at[0, :, 0], k_buf.at[slot, :, strip],
-                    sems.at[0, slot, i],
-                ).wait()
-                pltpu.make_async_copy(
-                    v_out_hbm.at[0, :, 0], v_buf.at[slot, :, strip],
-                    sems.at[1, slot, i],
-                ).wait()
-                if quantized:
+            for cond, hi in rung_conds(rows):
+
+                @pl.when(cond)
+                def _wait(i=i, hi=hi):
+                    pltpu.make_async_copy(
+                        k_out_hbm.at[0, :, 0, pl.ds(0, hi)],
+                        k_buf.at[slot, :, pl.ds(i * block_size, hi)],
+                        sems.at[0, slot, i],
+                    ).wait()
+                    pltpu.make_async_copy(
+                        v_out_hbm.at[0, :, 0, pl.ds(0, hi)],
+                        v_buf.at[slot, :, pl.ds(i * block_size, hi)],
+                        sems.at[1, slot, i],
+                    ).wait()
+
+            if quantized:
+
+                @pl.when(rows > 0)
+                def _wait_scales(i=i):
+                    strip = pl.ds(i * block_size, block_size)
                     pltpu.make_async_copy(
                         ks_out_hbm.at[0, 0], ks_buf.at[slot, :, strip],
                         sems.at[2, slot, i],
@@ -704,41 +753,97 @@ def _prefill_kernel(
 
     layer = layer_ref[0]
 
+    n_rungs = max(1, block_size // PAGE_RUNG)
+    rung = block_size // n_rungs
+
+    def pair_rows(pair):
+        """Valid rows of this pair's page under the causal frontier: the page
+        is fetched only up to the rung covering them (see PAGE_RUNG). Start,
+        wait, and refetch recompute identical predicates from the same
+        prefetched scalars, so every start has exactly one matching wait."""
+        tile = jnp.minimum(pair_tile_ref[pair], nt - 1)
+        s = tile_seq_ref[tile]
+        limit = jnp.minimum(kv_lens_ref[s], tile_pos0_ref[tile] + q_tile)
+        return limit - pair_page_ref[pair] * block_size
+
+    def rung_conds(rows):
+        conds = []
+        for r in range(1, n_rungs + 1):
+            c = rows > (r - 1) * rung
+            if r < n_rungs:
+                c &= rows <= r * rung
+            conds.append((c, r * rung))
+        return conds
+
     def read_pair(pair, slot):
         # Reads through the aliased *output* refs (see decode kernel note).
         tile = jnp.minimum(pair_tile_ref[pair], nt - 1)
         page = pair_page_ref[pair]
         page_id = tables_ref[tile_seq_ref[tile], page]
-        pltpu.make_async_copy(
-            k_out_hbm.at[layer, :, page_id], k_buf.at[slot], sems.at[0, slot]
-        ).start()
-        pltpu.make_async_copy(
-            v_out_hbm.at[layer, :, page_id], v_buf.at[slot], sems.at[1, slot]
-        ).start()
-        if quantized:
-            pltpu.make_async_copy(
-                ks_out_hbm.at[layer, page_id], ks_buf.at[slot],
-                sems.at[2, slot],
-            ).start()
-            pltpu.make_async_copy(
-                vs_out_hbm.at[layer, page_id], vs_buf.at[slot],
-                sems.at[3, slot],
-            ).start()
+        rows = pair_rows(pair)
+        for cond, hi in rung_conds(rows):
 
-    def wait_page(slot):
-        pltpu.make_async_copy(
-            k_out_hbm.at[0, :, 0], k_buf.at[slot], sems.at[0, slot]
-        ).wait()
-        pltpu.make_async_copy(
-            v_out_hbm.at[0, :, 0], v_buf.at[slot], sems.at[1, slot]
-        ).wait()
+            @pl.when(cond)
+            def _start(hi=hi):
+                pltpu.make_async_copy(
+                    k_out_hbm.at[layer, :, page_id, pl.ds(0, hi)],
+                    k_buf.at[slot, :, pl.ds(0, hi)], sems.at[0, slot]
+                ).start()
+                pltpu.make_async_copy(
+                    v_out_hbm.at[layer, :, page_id, pl.ds(0, hi)],
+                    v_buf.at[slot, :, pl.ds(0, hi)], sems.at[1, slot]
+                ).start()
+
         if quantized:
-            pltpu.make_async_copy(
-                ks_out_hbm.at[0, 0], ks_buf.at[slot], sems.at[2, slot]
-            ).wait()
-            pltpu.make_async_copy(
-                vs_out_hbm.at[0, 0], vs_buf.at[slot], sems.at[3, slot]
-            ).wait()
+            # Scale tiles are fetched whole: their lane-dim (block) slicing
+            # wants 128-alignment and the tile is ~3% of the page bytes.
+            @pl.when(rows > 0)
+            def _scales():
+                pltpu.make_async_copy(
+                    ks_out_hbm.at[layer, page_id], ks_buf.at[slot],
+                    sems.at[2, slot],
+                ).start()
+                pltpu.make_async_copy(
+                    vs_out_hbm.at[layer, page_id], vs_buf.at[slot],
+                    sems.at[3, slot],
+                ).start()
+        else:
+            # Un-DMA'd V rows past the fetched rung: bf16 scratch garbage can
+            # be NaN and the p @ V dot then sums 0 * NaN — zero them. (K needs
+            # nothing: NaN scores die in the mask *select*.)
+            for r in range(1, n_rungs):
+
+                @pl.when((rows > (r - 1) * rung) & (rows <= r * rung))
+                def _zero(r=r):
+                    n = block_size - r * rung
+                    v_buf[slot, :, pl.ds(r * rung, n), :] = jnp.zeros(
+                        (v_buf.shape[1], n, v_buf.shape[3]), v_buf.dtype
+                    )
+
+    def wait_page(rows, slot):
+        for cond, hi in rung_conds(rows):
+
+            @pl.when(cond)
+            def _wait(hi=hi):
+                pltpu.make_async_copy(
+                    k_out_hbm.at[0, :, 0, pl.ds(0, hi)],
+                    k_buf.at[slot, :, pl.ds(0, hi)], sems.at[0, slot]
+                ).wait()
+                pltpu.make_async_copy(
+                    v_out_hbm.at[0, :, 0, pl.ds(0, hi)],
+                    v_buf.at[slot, :, pl.ds(0, hi)], sems.at[1, slot]
+                ).wait()
+
+        if quantized:
+
+            @pl.when(rows > 0)
+            def _wait_scales():
+                pltpu.make_async_copy(
+                    ks_out_hbm.at[0, 0], ks_buf.at[slot], sems.at[2, slot]
+                ).wait()
+                pltpu.make_async_copy(
+                    vs_out_hbm.at[0, 0], vs_buf.at[slot], sems.at[3, slot]
+                ).wait()
 
     @pl.when(i == 0)
     def _init_first():
@@ -823,7 +928,8 @@ def _prefill_kernel(
         def _prefetch():
             read_pair(pre, jnp.where(slot == 0, 2, slot - 1))
 
-        wait_page(slot)
+        rows_here = kv_limit - j * block_size
+        wait_page(rows_here, slot)
         buf_idx_ref[0] = jnp.where(slot == 2, 0, slot + 1)
 
         @pl.when(j == 0)
@@ -859,7 +965,7 @@ def _prefill_kernel(
         @pl.when(same_tile | prev_tile)
         def _refetch():
             read_pair(i, slot)
-            wait_page(slot)
+            wait_page(rows_here, slot)
 
         hkv, bq, groups, hd = q_ref.shape
         m = bq * groups

@@ -411,3 +411,100 @@ def test_decode_grp4_matches_oracle(monkeypatch):
     )
     np.testing.assert_allclose(np.asarray(ko), np.asarray(kr), rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(vo), np.asarray(vr), rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_decode_partial_page_rungs(quantized):
+    """Blocks >= 2*PAGE_RUNG fetch a sequence's last page only up to the
+    rung covering its valid rows (ragged_attention.PAGE_RUNG). kv lengths
+    straddle every rung boundary of a 128-block (2 rungs of 64), including
+    exact boundaries, one-token pages, and dead lanes at depth 1."""
+    block = 128
+    rng = np.random.default_rng(13)
+    if quantized:
+        kq = np.clip(rng.standard_normal((1, HKV, 18, block, HD)) * 40, -127, 127)
+        vq = np.clip(rng.standard_normal((1, HKV, 18, block, HD)) * 40, -127, 127)
+        kc = (jnp.asarray(kq, jnp.int8), jnp.asarray(
+            rng.uniform(0.005, 0.02, (1, 18, HKV, block)), jnp.float32))
+        vc = (jnp.asarray(vq, jnp.int8), jnp.asarray(
+            rng.uniform(0.005, 0.02, (1, 18, HKV, block)), jnp.float32))
+    else:
+        k = rng.standard_normal((1, HKV, 18, block, HD), np.float32)
+        v = rng.standard_normal((1, HKV, 18, block, HD), np.float32)
+        kc, vc = jnp.asarray(k), jnp.asarray(v)
+    kv_lens = [1, 63, 64, 65, 127, 128, 130, 255]
+    nb = [-(-n // block) for n in kv_lens]
+    start = np.cumsum([0] + nb)
+    tables = [list(range(start[i], start[i + 1])) for i in range(len(kv_lens))]
+    reqs = [
+        dict(token_ids=[1], start=n - 1, kv_len=n, block_table=t,
+             temperature=1.0)
+        for n, t in zip(kv_lens, tables)
+    ]
+    inputs = build_step_inputs(
+        reqs, block_size=block, num_tokens_bucket=8, num_seqs_bucket=8,
+        max_blocks_per_seq=2, rng=np.zeros(2, np.uint32), group_pairs=8)
+    meta = meta_from_inputs(inputs)
+    q = jnp.asarray(rng.standard_normal((8, HQ, HD)), jnp.float32)
+    kn, vn = new_kv(rng, 8)
+
+    ref, kr, vr = ragged_paged_attention_ref(q, kn, vn, kc, vc, 0, meta, sm_scale=SM)
+    out, ko, vo = paged_decode_attention(
+        q, kn, vn, kc, vc, 0, meta, sm_scale=SM, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2
+    )
+    if quantized:
+        np.testing.assert_array_equal(np.asarray(ko[0]), np.asarray(kr[0]))
+        np.testing.assert_allclose(np.asarray(ko[1]), np.asarray(kr[1]),
+                                   rtol=1e-6, atol=1e-6)
+    else:
+        np.testing.assert_allclose(np.asarray(ko), np.asarray(kr),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(vo), np.asarray(vr),
+                                   rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_prefill_partial_page_rungs(quantized):
+    """Prefill page reads also stop at the rung covering the causal frontier
+    (block 128 = 2 rungs of 64): fresh prefills with lens straddling the rung
+    boundary, plus a chunked continuation whose q positions start mid-page."""
+    block = 128
+    q_tile = 8
+    rng = np.random.default_rng(17)
+    shape = (1, HKV, 12, block, HD)
+    sshape = (1, 12, HKV, block)
+    if quantized:
+        kc = (jnp.zeros(shape, jnp.int8), jnp.zeros(sshape, jnp.float32))
+        vc = (jnp.zeros(shape, jnp.int8), jnp.zeros(sshape, jnp.float32))
+    else:
+        kc = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        vc = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    # Fresh prefills (kv == q rows) at 70 and 130; chunk 2 of a 190-token
+    # sequence whose first 128 tokens (one whole page) are already cached.
+    reqs = [
+        dict(token_ids=list(range(70)), start=0, kv_len=70,
+             block_table=[0], temperature=1.0),
+        dict(token_ids=list(range(130)), start=0, kv_len=130,
+             block_table=[1, 2], temperature=1.0),
+        dict(token_ids=list(range(62)), start=128, kv_len=190,
+             block_table=[3, 4], temperature=1.0),
+    ]
+    inputs = build_step_inputs(
+        reqs, block_size=block, num_tokens_bucket=280, num_seqs_bucket=4,
+        max_blocks_per_seq=2, rng=np.zeros(2, np.uint32), q_tile=q_tile)
+    meta = meta_from_inputs(inputs)
+    t = 280
+    q = jnp.asarray(rng.standard_normal((t, HQ, HD)), jnp.float32)
+    kn, vn = new_kv(rng, t)
+
+    ref, _, _ = ragged_paged_attention_ref(q, kn, vn, kc, vc, 0, meta, sm_scale=SM)
+    out, ko, vo = ragged_prefill_attention(
+        q, kn, vn, kc, vc, 0, meta, sm_scale=SM, q_tile=q_tile, interpret=True
+    )
+    live = np.asarray(inputs.slot_mapping) >= 0
+    np.testing.assert_allclose(
+        np.asarray(out)[live], np.asarray(ref)[live], rtol=2e-2, atol=2e-2
+    )
