@@ -9,19 +9,25 @@ from nanovllm_tpu.engine.inputs import build_step_inputs
 from nanovllm_tpu.ops.attention import AttentionMeta
 from nanovllm_tpu.ops.pallas.ragged_attention import paged_decode_attention
 
+import os
+
 BLOCK, HD, HKV, HQ, L = 256, 128, 8, 16, 28
 SM = HD ** -0.5
 S = 256
-KVLEN = 768  # 3 pages/seq
+# Default kv length is bench-like and NOT a page multiple, so the
+# partial-last-page rungs engage (KVLEN=768 measures the full-page path).
+KVLEN = int(os.environ.get("KVLEN", 1100))
 
 rng = np.random.default_rng(0)
 NB = 408
 kc = jnp.zeros((L, HKV, NB, BLOCK, HD), jnp.bfloat16)
 vc = jnp.zeros((L, HKV, NB, BLOCK, HD), jnp.bfloat16)
-print("pool GB:", kc.nbytes * 2 / 1e9)
+print("pool GB:", kc.nbytes * 2 / 1e9, " kvlen:", KVLEN)
 
+PAGES = -(-KVLEN // BLOCK)
 reqs = [dict(token_ids=[1], start=KVLEN - 1, kv_len=KVLEN,
-             block_table=[(4 * i) % 400, (4 * i + 1) % 400, (4 * i + 2) % 400], temperature=1.0)
+             block_table=[(PAGES * i + p) % 400 for p in range(PAGES)],
+             temperature=1.0)
         for i in range(S)]
 inputs = build_step_inputs(reqs, block_size=BLOCK, num_tokens_bucket=S,
                            num_seqs_bucket=S, max_blocks_per_seq=16,
