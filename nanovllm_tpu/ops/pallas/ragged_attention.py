@@ -50,6 +50,7 @@ Design (see /opt/skills/guides/pallas_guide.md):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -98,7 +99,9 @@ GRP = 8  # sequences per decode grid step (buckets must be multiples)
 # block_size). Rung granularity 64 satisfies every dtype's sublane tile
 # (int8/fp8 32, bf16 8). At bench shapes (~1.1k avg context, 256-blocks) the
 # full-page fetch wasted ~12% of DMA bytes on rows past kv_len.
-PAGE_RUNG = 64
+# NANOVLLM_PAGE_RUNG overrides (any value >= block_size restores whole-page
+# fetches — the pre-rung code path, byte for byte).
+PAGE_RUNG = int(os.environ.get("NANOVLLM_PAGE_RUNG", "64"))
 
 
 def _decode_kernel(
