@@ -92,7 +92,10 @@ def quantize_kv_rows(x: jax.Array):
 # overhead. The engine sorts decode batches by kv length so each group has
 # near-uniform page depth (a group's DMA reads run to its max member).
 
-GRP = 8  # sequences per decode grid step (buckets must be multiples)
+# Sequences per decode grid step (buckets must be multiples; Config rounds).
+# NANOVLLM_GRP overrides for hardware experiments — every consumer (bucket
+# rounding, worklist builder, kernel) reads this module constant.
+GRP = int(os.environ.get("NANOVLLM_GRP", "8"))
 
 # Partial-last-page DMA rungs: a sequence's final page is fetched only up to
 # the smallest rung covering its valid rows (full pages use the last rung ==

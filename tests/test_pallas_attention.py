@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from nanovllm_tpu.engine.inputs import build_step_inputs
 from nanovllm_tpu.ops.attention import AttentionMeta, ragged_paged_attention_ref
 from nanovllm_tpu.ops.pallas.ragged_attention import (
+    GRP,
     paged_decode_attention,
     ragged_prefill_attention,
 )
@@ -61,7 +62,7 @@ def build(reqs, t_bucket, s_bucket, w, q_tile=None):
         q_tile=q_tile,
         # In this file batches without a q_tile are decode batches: build the
         # decode kernel's (group, page) worklist.
-        group_pairs=None if q_tile else 8,
+        group_pairs=None if q_tile else GRP,
     )
     return inputs, meta_from_inputs(inputs)
 
@@ -239,7 +240,7 @@ def test_decode_int8_kv_matches_oracle():
     ]
     inputs = build_step_inputs(
         reqs, block_size=block, num_tokens_bucket=8, num_seqs_bucket=8,
-        max_blocks_per_seq=3, rng=np.zeros(2, np.uint32), group_pairs=8)
+        max_blocks_per_seq=3, rng=np.zeros(2, np.uint32), group_pairs=GRP)
     meta = meta_from_inputs(inputs)
     q = jnp.asarray(rng.standard_normal((8, HQ, HD)), jnp.float32)
     kn, vn = new_kv(rng, 8)
@@ -443,7 +444,7 @@ def test_decode_partial_page_rungs(quantized):
     ]
     inputs = build_step_inputs(
         reqs, block_size=block, num_tokens_bucket=8, num_seqs_bucket=8,
-        max_blocks_per_seq=2, rng=np.zeros(2, np.uint32), group_pairs=8)
+        max_blocks_per_seq=2, rng=np.zeros(2, np.uint32), group_pairs=GRP)
     meta = meta_from_inputs(inputs)
     q = jnp.asarray(rng.standard_normal((8, HQ, HD)), jnp.float32)
     kn, vn = new_kv(rng, 8)
