@@ -136,8 +136,8 @@ def main():
 
     base = run(args.model, tokens, random_weights=args.random_weights)
     print({"config": "bf16", "ppl": round(base, 4)})
-    for q, kv in (("int8", "auto"), ("int8", "int8"), ("int4", "auto"),
-                  ("fp8", "auto")):
+    for q, kv in (("int8", "auto"), ("int8", "int8"), ("int8", "int4"),
+                  ("int4", "auto"), ("fp8", "auto")):
         ppl = run(args.model, tokens, quantization=q, kv_cache_dtype=kv,
                   random_weights=args.random_weights)
         print({"config": f"{q}+kv={kv}", "ppl": round(ppl, 4),

@@ -7,7 +7,7 @@ import jax, jax.numpy as jnp
 from nanovllm_tpu.engine.inputs import build_step_inputs
 from nanovllm_tpu.ops.attention import AttentionMeta, ragged_paged_attention_ref
 from nanovllm_tpu.ops.pallas.ragged_attention import (
-    paged_decode_attention, ragged_prefill_attention)
+    GRP, paged_decode_attention, ragged_prefill_attention)
 
 BLOCK, HD, HKV, HQ = 256, 128, 8, 16
 SM = HD ** -0.5
@@ -32,7 +32,7 @@ reqs = [dict(token_ids=[1], start=n-1, kv_len=n,
         for n, t in zip(kv_lens, tables)]
 inputs = build_step_inputs(reqs, block_size=BLOCK, num_tokens_bucket=8,
                            num_seqs_bucket=8, max_blocks_per_seq=4,
-                           rng=np.zeros(2, np.uint32), group_pairs=8)
+                           rng=np.zeros(2, np.uint32), group_pairs=GRP)
 meta = meta_of(inputs)
 q = jnp.asarray(rng.standard_normal((8, HQ, HD)), jnp.bfloat16)
 kn = jnp.asarray(rng.standard_normal((8, HKV, HD)), jnp.bfloat16)
@@ -112,7 +112,7 @@ reqs = [dict(token_ids=[1], start=n-1, kv_len=n, block_table=t,
              temperature=1.0) for n, t in zip(kv_lens2, tables2)]
 inputs = build_step_inputs(reqs, block_size=BLOCK, num_tokens_bucket=8,
                            num_seqs_bucket=8, max_blocks_per_seq=4,
-                           rng=np.zeros(2, np.uint32), group_pairs=8)
+                           rng=np.zeros(2, np.uint32), group_pairs=GRP)
 meta = meta_of(inputs)
 qd = jnp.asarray(rng.standard_normal((8, HQ, HD)), jnp.bfloat16)
 knd = jnp.asarray(rng.standard_normal((8, HKV, HD)), jnp.bfloat16)
@@ -125,3 +125,40 @@ d = np.abs(np.asarray(out[:3], np.float32) - np.asarray(ref[:3], np.float32)).ma
 print("decode int8-kv max diff vs oracle:", d)
 assert d < 0.08, d
 print("INT8-KV TPU PROBE PASS")
+
+# ---- int4 KV (head-paired nibble packing) on real chip
+HS = HKV // 2
+kc4 = (jnp.zeros((2, HS, NB, BLOCK, HD), jnp.uint8),
+       jnp.zeros((2, NB, HKV, BLOCK), jnp.float32))
+vc4 = (jnp.zeros((2, HS, NB, BLOCK, HD), jnp.uint8),
+       jnp.zeros((2, NB, HKV, BLOCK), jnp.float32))
+reqs = [dict(token_ids=list(range(c)), start=s, kv_len=s+c,
+             block_table=t, temperature=1.0)
+        for (s, c), t in zip(lens, tables2)]
+inputs = build_step_inputs(reqs, block_size=BLOCK, num_tokens_bucket=768,
+                           num_seqs_bucket=4, max_blocks_per_seq=2,
+                           rng=np.zeros(2, np.uint32), q_tile=128)
+meta = meta_of(inputs)
+ref, kr4, vr4 = ragged_paged_attention_ref(q, kn, vn, kc4, vc4, 0, meta, sm_scale=SM)
+out, ko4, vo4 = jax.jit(
+    lambda *a: ragged_prefill_attention(*a, 0, meta, sm_scale=SM, q_tile=128)
+)(q, kn, vn, kc4, vc4)
+live = np.asarray(inputs.seq_ids) < 4
+d = np.abs(np.asarray(out, np.float32)[live] - np.asarray(ref, np.float32)[live]).max()
+print("prefill int4-kv max diff vs oracle:", d)
+assert d < 0.1, d
+
+reqs = [dict(token_ids=[1], start=n-1, kv_len=n, block_table=t,
+             temperature=1.0) for n, t in zip(kv_lens2, tables2)]
+inputs = build_step_inputs(reqs, block_size=BLOCK, num_tokens_bucket=8,
+                           num_seqs_bucket=8, max_blocks_per_seq=4,
+                           rng=np.zeros(2, np.uint32), group_pairs=GRP)
+meta = meta_of(inputs)
+ref, _, _ = ragged_paged_attention_ref(qd, knd, vnd, kr4, vr4, 0, meta, sm_scale=SM)
+out, _, _ = jax.jit(
+    lambda *a: paged_decode_attention(*a, 0, meta, sm_scale=SM)
+)(qd, knd, vnd, ko4, vo4)
+d = np.abs(np.asarray(out[:3], np.float32) - np.asarray(ref[:3], np.float32)).max()
+print("decode int4-kv max diff vs oracle:", d)
+assert d < 0.1, d
+print("INT4-KV TPU PROBE PASS")

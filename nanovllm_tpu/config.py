@@ -32,7 +32,7 @@ class Config:
     # --- TPU-specific extensions (absent in reference) ---
     hbm_bytes: int | None = None       # per-chip HBM override (auto-sizing)
     dtype: str = "bfloat16"            # parameter/activation dtype
-    kv_cache_dtype: str = "auto"       # "auto" -> dtype; or "int8" / "fp8"
+    kv_cache_dtype: str = "auto"       # "auto" -> dtype; or "int8"/"int4"/"fp8"
     quantization: str | None = None    # None | "int8" | "int4" | "fp8" (weight-only)
     scan_layers: bool = True           # lax.scan over layers (fast compile) vs unrolled
     use_pallas_attention: bool | None = None  # None -> auto (True on TPU)
@@ -81,11 +81,14 @@ class Config:
         if self.kv_cache_dtype == "auto":
             self.kv_cache_dtype = self.dtype
         # int8 KV stores values in 1 byte with an f32 scale per (token, head)
-        # — the fast quantized path (native int8 converts). fp8 (e4m3,
-        # scale-free) also works but v5e emulates fp8 converts in software,
-        # so it is slower than bf16 for decode-heavy work.
+        # — the fast quantized path (native int8 converts). int4 halves the
+        # KV bytes again (decode is KV-DMA-bound), nibble-packing two heads
+        # per byte with the same per-(token, head) scales — needs an even
+        # per-shard kv-head count. fp8 (e4m3, scale-free) also works but v5e
+        # emulates fp8 converts in software, so it is slower than bf16 for
+        # decode-heavy work.
         assert self.kv_cache_dtype in (
-            "bfloat16", "float16", "float32", "int8", "fp8"
+            "bfloat16", "float16", "float32", "int8", "int4", "fp8"
         ), f"unsupported kv_cache_dtype {self.kv_cache_dtype!r}"
         # Few, coarse buckets: every (bucket, mode) pair is a separate XLA
         # program; decode matmuls are weight-bandwidth-bound so padding a

@@ -45,6 +45,9 @@ _DTYPES = {
     "float32": jnp.float32,
     "float16": jnp.float16,
     "int8": jnp.int8,
+    # int4 KV storage: uint8 bytes, two head-paired nibbles per byte
+    # (ops/pallas/ragged_attention.quantize_kv_rows_int4).
+    "int4": jnp.uint8,
     "fp8": jnp.float8_e4m3fn,
 }
 
@@ -269,12 +272,28 @@ class ModelRunner:
 
     @property
     def kv_quantized(self) -> bool:
-        return self.config.kv_cache_dtype == "int8"
+        return self.config.kv_cache_dtype in ("int8", "int4")
+
+    @property
+    def _kv_storage_heads(self) -> int:
+        """Value-array head dim: int4 packs two heads' nibbles per byte."""
+        h = self.spec.num_kv_heads
+        if self.config.kv_cache_dtype == "int4":
+            assert h % (2 * self.tp) == 0, (
+                f"int4 KV needs an even per-shard kv-head count "
+                f"({h} heads / tp={self.tp})"
+            )
+            return h // 2
+        return h
 
     def _kv_block_bytes(self) -> int:
         spec = self.spec
         hd = self.kernel_head_dim
-        per_value = jnp.dtype(self.kv_dtype).itemsize
+        per_value = (
+            0.5
+            if self.config.kv_cache_dtype == "int4"
+            else jnp.dtype(self.kv_dtype).itemsize
+        )
         scale = 4 / hd if self.kv_quantized else 0  # f32 per (token, head)
         return int(
             2
@@ -368,7 +387,7 @@ class ModelRunner:
         cfg, spec = self.config, self.spec
         shape = (
             spec.num_layers,
-            spec.num_kv_heads,
+            self._kv_storage_heads,
             num_blocks,
             cfg.kvcache_block_size,
             self.kernel_head_dim,
@@ -378,6 +397,8 @@ class ModelRunner:
             vsh = NamedSharding(self.mesh, vspec)
             ssh = NamedSharding(self.mesh, sspec)
 
+            # Scale slabs stay full-head ([Hkv], one f32 per token, head)
+            # even when the values are nibble-packed.
             sshape = (
                 spec.num_layers,
                 num_blocks,
@@ -387,7 +408,7 @@ class ModelRunner:
 
             def pool():
                 return (
-                    self._device_zeros(shape, jnp.int8, vsh),
+                    self._device_zeros(shape, self.kv_dtype, vsh),
                     self._device_zeros(sshape, jnp.float32, ssh),
                 )
 

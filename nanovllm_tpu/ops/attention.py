@@ -63,13 +63,22 @@ def write_kv(k_all, v_all, layer, k, v, slot_mapping):
     ``k, v: [T, num_kv_heads, head_dim]``.
     """
     if isinstance(k_all, tuple):
-        # Quantized cache: (int8 values, f32 per-token scales).
-        from nanovllm_tpu.ops.pallas.ragged_attention import quantize_kv_rows
+        # Quantized cache: (values, f32 per-token scales) — int8 full-head,
+        # or uint8 nibble-packed int4 (head-paired, quantize_kv_rows_int4).
+        from nanovllm_tpu.ops.pallas.ragged_attention import (
+            quantize_kv_rows,
+            quantize_kv_rows_int4,
+        )
 
         kq_all, ks_all = k_all
         vq_all, vs_all = v_all
-        kq, ks = quantize_kv_rows(k)
-        vq, vs = quantize_kv_rows(v)
+        rowq = (
+            quantize_kv_rows_int4
+            if kq_all.dtype == jnp.uint8
+            else quantize_kv_rows
+        )
+        kq, ks = rowq(k)
+        vq, vs = rowq(v)
         kq_all, vq_all = write_kv(kq_all, vq_all, layer, kq, vq, slot_mapping)
         # Scales are page-major [L, blocks, Hkv, block].
         L, nb, H, bs = ks_all.shape
@@ -125,8 +134,17 @@ def _paged_attention_ref(
             vals, scales = cache
             v_ = jax.lax.dynamic_index_in_dim(vals, layer, 0, keepdims=False)
             s_ = jax.lax.dynamic_index_in_dim(scales, layer, 0, keepdims=False)
+            if vals.dtype == jnp.uint8:
+                # int4: unpack head-paired nibbles [Hs,...] -> [Hkv,...].
+                from nanovllm_tpu.ops.pallas.ragged_attention import (
+                    unpack_int4_heads,
+                )
+
+                v_ = unpack_int4_heads(v_)
+            else:
+                v_ = v_.astype(jnp.float32)
             # scales are page-major [blocks, Hkv, block] -> head-major.
-            return v_.astype(jnp.float32) * s_.transpose(1, 0, 2)[..., None]
+            return v_ * s_.transpose(1, 0, 2)[..., None]
         return jax.lax.dynamic_index_in_dim(cache, layer, 0, keepdims=False)
 
     k_cache = layer_of(k_all)

@@ -78,6 +78,40 @@ def quantize_kv_rows(x: jax.Array):
     return q, scale
 
 
+def quantize_kv_rows_int4(x: jax.Array):
+    """Per-(token, head) int4 quantization, nibble-packed along the KV-HEAD
+    dim: byte h holds head h (low nibble) and head h + Hkv/2 (high nibble),
+    each stored biased +8 (1..15, symmetric range ±7·scale).
+
+    Head-pairing (not token- or lane-pairing) keeps the packed page's
+    (sublane=token, lane=hd) tiling identical to int8 — no new Mosaic
+    alignment surface — and makes appends RMW-free: a new token's rows for
+    ALL heads are written together, so both nibbles of every byte are known
+    at write time. Within a shard_map the pairing is shard-local, matching
+    the contiguous-head TP sharding.
+
+    x: [T, Hkv, hd] (Hkv even) -> (uint8 [T, Hkv/2, hd], f32 [T, Hkv]).
+    """
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -7, 7) + 8.0
+    hs = x.shape[1] // 2
+    packed = (q[:, :hs] + 16.0 * q[:, hs:]).astype(jnp.uint8)
+    return packed, scale
+
+
+def unpack_int4_heads(b: jax.Array) -> jax.Array:
+    """f32 nibble-packed bytes [Hs, ...] -> unbiased f32 values [2*Hs, ...]
+    (head h from the low nibble, head h + Hs from the high). Pure f32
+    arithmetic (exact for 0..255) — no narrow-int shifts, which would force
+    whole-buffer relayouts in Mosaic."""
+    bf = b.astype(jnp.float32)
+    hi = jnp.floor(bf * (1.0 / 16.0))
+    lo = bf - hi * 16.0
+    return jnp.concatenate([lo, hi], axis=0) - 8.0
+
+
 # =========================================================== decode kernel
 #
 # Grouped: each grid step processes GRP sequences against one page each,
@@ -153,6 +187,7 @@ def _decode_kernel(
     block_size: int,
     sm_scale: float,
     quantized: bool,
+    kv_bits: int,
     wb_tile: int,
     interpret: bool,
 ):
@@ -381,15 +416,6 @@ def _decode_kernel(
                 out = jnp.where(idx == i, fn(g * GRP + i), out)
             return out
 
-        # Convert pages to f32 BEFORE any select (narrow-dtype selects force
-        # relayouts; wide operands keep the dots at full MXU rate). In int8
-        # mode the per-token scales are NOT applied here: a [H, N] lane
-        # vector cannot relayout onto k's sublane dim, so the scales fold
-        # into the scores (k) and probabilities (v) instead, where the token
-        # dim is already on lanes.
-        k = k_buf[slot].reshape(hkv, GRP, block_size, hd).astype(jnp.float32)
-        v = v_buf[slot].reshape(hkv, GRP, block_size, hd).astype(jnp.float32)
-
         # History-column validity, 2D [Hkv, GRP*block] (token dim on lanes —
         # cheap; anything materialized at the full [.., GRP*G, GRP*block]
         # scores shape costs GRPx the VPU work). Position kv_len-1 is this
@@ -477,8 +503,19 @@ def _decode_kernel(
         q = q_ref[...].astype(jnp.float32).reshape(
             hkv, GRP * groups, hd
         ) * sm_scale
-        kf = k.reshape(hkv, GRP * block_size, hd)
-        vf = v.reshape(hkv, GRP * block_size, hd)
+        # Convert pages to f32 BEFORE any select (narrow-dtype selects force
+        # relayouts; wide operands keep the dots at full MXU rate). In int8
+        # and int4 modes the per-token scales are NOT applied here: a [H, N]
+        # lane vector cannot relayout onto k's sublane dim, so the scales
+        # fold into the scores (k) and probabilities (v) instead, where the
+        # token dim is already on lanes. int4 pages additionally unpack
+        # their head-paired nibbles ([Hkv/2] bytes -> [Hkv] values).
+        if kv_bits == 4:
+            kf = unpack_int4_heads(k_buf[slot])   # [Hkv, GRP*block, hd]
+            vf = unpack_int4_heads(v_buf[slot])
+        else:
+            kf = k_buf[slot].astype(jnp.float32)
+            vf = v_buf[slot].astype(jnp.float32)
 
         # NaN hygiene (hardware AND interpret): K garbage in never-DMA'd
         # strips dies in the mask *selects* below (their columns are always
@@ -556,16 +593,21 @@ def paged_decode_attention(
     interpret: bool = False,
 ):
     """Returns (out [S, Hq, hd], k_cache, v_cache) — caches updated in place.
-    Quantized caches are (int8 values, f32 per-token scales) pairs."""
+    Quantized caches are (values, f32 per-token scales) pairs: int8 values
+    full-head, or uint8 nibble-packed int4 ([Hkv/2] bytes per head pair,
+    see quantize_kv_rows_int4)."""
     quantized = _is_quantized(k_cache)
     if quantized:
         kc, ks = k_cache
         vc, vs = v_cache
+        kv_bits = 4 if kc.dtype == jnp.uint8 else 8
     else:
         kc, vc = k_cache, v_cache
         ks = vs = jnp.zeros((1, 1, 1, 1), jnp.float32)
+        kv_bits = 0
     S, Hq, hd = q.shape
-    _, Hkv, _, block_size, _ = kc.shape
+    _, Hs, _, block_size, _ = kc.shape      # storage head count
+    Hkv = 2 * Hs if kv_bits == 4 else Hs    # logical kv heads
     groups = Hq // Hkv
     assert S % GRP == 0, f"decode bucket {S} not a multiple of group {GRP}"
     wb_tile = 32 if quantized else 8
@@ -574,8 +616,9 @@ def paged_decode_attention(
     k_new_hm = k_new.transpose(1, 0, 2)[:, :, None]
     v_new_hm = v_new.transpose(1, 0, 2)[:, :, None]
     if quantized:
-        kq, ksc = quantize_kv_rows(k_new)   # [S, Hkv, hd], [S, Hkv]
-        vq, vsc = quantize_kv_rows(v_new)
+        rowq = quantize_kv_rows_int4 if kv_bits == 4 else quantize_kv_rows
+        kq, ksc = rowq(k_new)   # [S, Hs, hd], [S, Hkv]
+        vq, vsc = rowq(v_new)
         k_store = kq.transpose(1, 0, 2)[:, :, None]
         v_store = vq.transpose(1, 0, 2)[:, :, None]
         ks_new = jnp.broadcast_to(
@@ -610,8 +653,8 @@ def paged_decode_attention(
             grp_block((Hkv, GRP, groups, hd)),   # q
             grp_block((Hkv, GRP, 1, hd)),        # k_new (compute dtype)
             grp_block((Hkv, GRP, 1, hd)),        # v_new
-            grp_block((Hkv, GRP, 1, hd)),        # k_store (cache dtype)
-            grp_block((Hkv, GRP, 1, hd)),        # v_store
+            grp_block((Hs, GRP, 1, hd)),         # k_store (cache dtype)
+            grp_block((Hs, GRP, 1, hd)),         # v_store
             grp_block((Hkv, GRP, block_size)),   # ks_new (lane-broadcast)
             grp_block((Hkv, GRP, block_size)),   # vs_new
             pl.BlockSpec(memory_space=pl.ANY),   # k pages (HBM)
@@ -627,8 +670,8 @@ def paged_decode_attention(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((3, Hkv, GRP * block_size, hd), kc.dtype),
-            pltpu.VMEM((3, Hkv, GRP * block_size, hd), vc.dtype),
+            pltpu.VMEM((3, Hs, GRP * block_size, hd), kc.dtype),
+            pltpu.VMEM((3, Hs, GRP * block_size, hd), vc.dtype),
             pltpu.VMEM(
                 (3, Hkv, GRP * block_size) if quantized else (1, 1, 1),
                 jnp.float32,
@@ -639,8 +682,8 @@ def paged_decode_attention(
             ),
             pltpu.SemaphoreType.DMA((4, 3, GRP)),
             pltpu.SemaphoreType.DMA((4, GRP)),
-            pltpu.VMEM((GRP, Hkv, wb_tile, hd), kc.dtype),
-            pltpu.VMEM((GRP, Hkv, wb_tile, hd), vc.dtype),
+            pltpu.VMEM((GRP, Hs, wb_tile, hd), kc.dtype),
+            pltpu.VMEM((GRP, Hs, wb_tile, hd), vc.dtype),
             pltpu.VMEM(
                 (GRP, Hkv, block_size) if quantized else (1, 1, 1), jnp.float32
             ),
@@ -656,7 +699,8 @@ def paged_decode_attention(
     )
     kernel = functools.partial(
         _decode_kernel, block_size=block_size, sm_scale=sm_scale,
-        quantized=quantized, wb_tile=wb_tile, interpret=interpret,
+        quantized=quantized, kv_bits=kv_bits, wb_tile=wb_tile,
+        interpret=interpret,
     )
     # Inputs count from the start of the scalar-prefetch operands: 6 scalars,
     # then q(6) k_new(7) v_new(8) k_store(9) v_store(10) ks_new(11)
@@ -736,6 +780,7 @@ def _prefill_kernel(
     q_tile: int,
     sm_scale: float,
     quantized: bool,
+    kv_bits: int,
 ):
     # The grid is a flat worklist of active (tile, page) pairs: a dense
     # (tiles x pages) grid is ~75% skipped steps whose per-step scalar work
@@ -980,8 +1025,13 @@ def _prefill_kernel(
         # M = G rows per MXU pass looping over BQ — measured 20 us/pair vs
         # ~2 us with M = BQ*G (G is 2-4 on these models).
         q = q_ref[...].astype(jnp.float32).reshape(hkv, m, hd)
-        k = k_buf[slot].astype(jnp.float32)            # [Hkv, block, hd]
-        v = v_buf[slot].astype(jnp.float32)
+        if kv_bits == 4:
+            # Nibble-packed pages: [Hkv/2] bytes unpack to [Hkv] values.
+            k = unpack_int4_heads(k_buf[slot])         # [Hkv, block, hd]
+            v = unpack_int4_heads(v_buf[slot])
+        else:
+            k = k_buf[slot].astype(jnp.float32)        # [Hkv, block, hd]
+            v = v_buf[slot].astype(jnp.float32)
         # scores[h, r, tok] (row r = query bq r//G) — batched over kv heads.
         # In int8 mode the per-token scales fold into the scores /
         # probabilities (token dim on lanes there; it cannot relayout onto
@@ -1045,16 +1095,20 @@ def ragged_prefill_attention(
     interpret: bool = False,
 ):
     """Returns (out [T, Hq, hd], k_cache, v_cache) — caches updated in place.
-    Quantized caches are (int8 values, f32 per-token scales) pairs."""
+    Quantized caches are (values, f32 per-token scales) pairs: int8 values
+    full-head, or uint8 nibble-packed int4 (see quantize_kv_rows_int4)."""
     quantized = _is_quantized(k_cache)
     if quantized:
         kc, ks = k_cache
         vc, vs = v_cache
+        kv_bits = 4 if kc.dtype == jnp.uint8 else 8
     else:
         kc, vc = k_cache, v_cache
         ks = vs = jnp.zeros((1, 1, 1, 1), jnp.float32)
+        kv_bits = 0
     T, Hq, hd = q.shape
-    _, Hkv, _, block_size, _ = kc.shape
+    _, Hs, _, block_size, _ = kc.shape      # storage head count
+    Hkv = 2 * Hs if kv_bits == 4 else Hs    # logical kv heads
     groups = Hq // Hkv
     NT = meta.tile_seq.shape[0]
     assert NT * q_tile == T, f"q of {T} rows vs {NT} tiles of {q_tile}"
@@ -1063,8 +1117,9 @@ def ragged_prefill_attention(
     W = meta.block_tables.shape[1]
     q_hm = q.reshape(T, Hkv, groups, hd).transpose(1, 0, 2, 3)
     if quantized:
-        kq, ksc = quantize_kv_rows(k_new)
-        vq, vsc = quantize_kv_rows(v_new)
+        rowq = quantize_kv_rows_int4 if kv_bits == 4 else quantize_kv_rows
+        kq, ksc = rowq(k_new)
+        vq, vsc = rowq(v_new)
         k_store = kq.transpose(1, 0, 2)
         v_store = vq.transpose(1, 0, 2)
         ks_new = ksc.T       # [Hkv, T] f32
@@ -1108,8 +1163,8 @@ def ragged_prefill_attention(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((3, Hkv, block_size, hd), kc.dtype),
-            pltpu.VMEM((3, Hkv, block_size, hd), vc.dtype),
+            pltpu.VMEM((3, Hs, block_size, hd), kc.dtype),
+            pltpu.VMEM((3, Hs, block_size, hd), vc.dtype),
             pltpu.VMEM(
                 (3, Hkv, block_size) if quantized else (1, 1, 1), jnp.float32
             ),
@@ -1133,6 +1188,7 @@ def ragged_prefill_attention(
         q_tile=q_tile,
         sm_scale=sm_scale,
         quantized=quantized,
+        kv_bits=kv_bits,
     )
     # Inputs count from the start of the scalar-prefetch operands: 8 scalars,
     # then q(8) k_store(9) v_store(10) ks_new(11) vs_new(12) k_hbm(13)

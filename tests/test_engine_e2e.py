@@ -205,6 +205,25 @@ def test_int8_kv_cache_close_to_bf16(tiny_qwen3_dir):
     assert agree >= 12, (out, ref)
 
 
+def test_int4_kv_cache_close_to_bf16(tiny_qwen3_dir):
+    """int4 KV (head-paired nibble packing, per-token scales) end-to-end;
+    the ±7-level grid is coarse, so require only majority greedy agreement
+    with the full-precision cache on an untrained tiny model."""
+    rng = np.random.default_rng(13)
+    prompts = [rng.integers(2, 500, size=n).tolist() for n in (9, 21)]
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    kw = dict(ENGINE_KW)
+    kw["kvcache_block_size"] = 32
+    ref_llm = LLM(tiny_qwen3_dir, **kw)
+    ref = [o["token_ids"] for o in ref_llm.generate(prompts, sp, use_tqdm=False)]
+    ref_llm.exit()
+    q_llm = LLM(tiny_qwen3_dir, kv_cache_dtype="int4", **kw)
+    out = [o["token_ids"] for o in q_llm.generate(prompts, sp, use_tqdm=False)]
+    q_llm.exit()
+    agree = sum(a == b for o, r in zip(out, ref) for a, b in zip(o, r))
+    assert agree >= 9, (out, ref)
+
+
 def test_preemption_recompute_under_pipeline(tiny_qwen3_dir):
     """KV-pool pressure forces preempt-by-recompute while sampled values are
     still in flight (the engine must drain before re-prefilling); greedy

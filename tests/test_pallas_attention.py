@@ -290,6 +290,102 @@ def test_prefill_int8_kv_matches_oracle():
     )
 
 
+def _snap_int4(x):
+    """Round rows onto the int4 quantization grid (scale = amax/7 per
+    (token, head)). Grid-resident inputs quantize exactly, so the kernel's
+    full-precision self-term equals the oracle's quantized-row read and the
+    comparison is tight."""
+    x = np.asarray(x)
+    scale = np.maximum(np.abs(x).max(-1, keepdims=True), 1e-8) / 7.0
+    return jnp.asarray(np.clip(np.round(x / scale), -7, 7) * scale, np.float32)
+
+
+def test_decode_int4_kv_matches_oracle():
+    """int4 KV cache: uint8 values nibble-packed along the kv-head dim
+    ([Hkv/2] bytes, head h low nibble / head h+Hkv/2 high), per-(token, head)
+    f32 scales — kernel vs oracle, block 32."""
+    block = 32
+    rng = np.random.default_rng(11)
+    hs = HKV // 2
+    kc = (jnp.asarray(rng.integers(0, 256, (1, hs, 16, block, HD)), jnp.uint8),
+          jnp.asarray(rng.uniform(0.05, 0.3, (1, 16, HKV, block)), jnp.float32))
+    vc = (jnp.asarray(rng.integers(0, 256, (1, hs, 16, block, HD)), jnp.uint8),
+          jnp.asarray(rng.uniform(0.05, 0.3, (1, 16, HKV, block)), jnp.float32))
+    kv_lens = [3, 32, 65, 90]
+    tables = [[0, 1, 2], [3, 4, 5], [6, 7, 8], [9, 10, 11]]
+    reqs = [
+        dict(token_ids=[1], start=n - 1, kv_len=n,
+             block_table=t[: -(-n // block)], temperature=1.0)
+        for n, t in zip(kv_lens, tables)
+    ]
+    inputs = build_step_inputs(
+        reqs, block_size=block, num_tokens_bucket=8, num_seqs_bucket=8,
+        max_blocks_per_seq=3, rng=np.zeros(2, np.uint32), group_pairs=GRP)
+    meta = meta_from_inputs(inputs)
+    q = jnp.asarray(rng.standard_normal((8, HQ, HD)), jnp.float32)
+    kn, vn = new_kv(rng, 8)
+    # Snap new rows onto the int4 grid: the kernel folds the new token's
+    # self-attention in at full precision while the oracle reads its
+    # quantized cache row — identical only for grid-resident values.
+    kn, vn = _snap_int4(kn), _snap_int4(vn)
+
+    ref, kr, vr = ragged_paged_attention_ref(q, kn, vn, kc, vc, 0, meta, sm_scale=SM)
+    out, ko, vo = paged_decode_attention(
+        q, kn, vn, kc, vc, 0, meta, sm_scale=SM, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out)[:4], np.asarray(ref)[:4], rtol=2e-2, atol=2e-2
+    )
+    # The packed new rows + scales must round-trip through the cache.
+    np.testing.assert_array_equal(np.asarray(ko[0]), np.asarray(kr[0]))
+    np.testing.assert_allclose(np.asarray(ko[1]), np.asarray(kr[1]),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(vo[0]), np.asarray(vr[0]))
+
+
+def test_prefill_int4_kv_matches_oracle():
+    block = 32
+    q_tile = 8
+    rng = np.random.default_rng(12)
+    hs = HKV // 2
+    shape = (1, hs, 16, block, HD)
+    sshape = (1, 16, HKV, block)
+    kc = (jnp.zeros(shape, jnp.uint8), jnp.zeros(sshape, jnp.float32))
+    vc = (jnp.zeros(shape, jnp.uint8), jnp.zeros(sshape, jnp.float32))
+    lens = [5, 40, 16]
+    tables = [[0, 1], [2, 3], [4]]
+    reqs = [
+        dict(token_ids=list(range(n)), start=0, kv_len=n,
+             block_table=t, temperature=1.0)
+        for n, t in zip(lens, tables)
+    ]
+    inputs = build_step_inputs(
+        reqs, block_size=block, num_tokens_bucket=72, num_seqs_bucket=4,
+        max_blocks_per_seq=2, rng=np.zeros(2, np.uint32), q_tile=q_tile)
+    meta = meta_from_inputs(inputs)
+    q = jnp.asarray(rng.standard_normal((72, HQ, HD)), jnp.float32)
+    kn, vn = new_kv(rng, 72)
+
+    ref, kr, _ = ragged_paged_attention_ref(q, kn, vn, kc, vc, 0, meta, sm_scale=SM)
+    out, ko, vo = ragged_prefill_attention(
+        q, kn, vn, kc, vc, 0, meta, sm_scale=SM, q_tile=q_tile, interpret=True
+    )
+    # Both paths attend over the quantized appended rows, so the outputs
+    # match tightly without snapping.
+    live = np.asarray(inputs.seq_ids) < 4
+    np.testing.assert_allclose(
+        np.asarray(out)[live], np.asarray(ref)[live], rtol=2e-2, atol=2e-2
+    )
+    # Packed bytes agree at every LIVE slot (the kernel also writes tile-run
+    # rows past kv_len inside sequence-owned pages — by design; the oracle
+    # drops them).
+    slots = np.asarray(inputs.slot_mapping)
+    lv = slots >= 0
+    a = np.asarray(ko[0]).reshape(hs, -1, HD)
+    d = np.asarray(kr[0]).reshape(hs, -1, HD)
+    np.testing.assert_array_equal(a[:, slots[lv]], d[:, slots[lv]])
+
+
 def _pad_hd(x, khd):
     return jnp.pad(x, ((0, 0), (0, 0), (0, khd - x.shape[-1])))
 
