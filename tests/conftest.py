@@ -68,3 +68,33 @@ def tiny_qwen3_dir(tmp_path_factory):
     )
     fast.save_pretrained(path)
     return str(path)
+
+
+@pytest.fixture(scope="session")
+def tiny_qwen3_4kv_dir(tmp_path_factory):
+    """Like tiny_qwen3_dir but with 4 kv heads: int4-KV nibble packing needs
+    an even per-shard head count, so TP=2 tests need >= 4 heads."""
+    import torch
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    cfg = Qwen3Config(
+        vocab_size=512,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        head_dim=16,
+        max_position_embeddings=1024,
+        rope_theta=10000.0,
+        tie_word_embeddings=True,
+        torch_dtype="float32",
+    )
+    torch.manual_seed(1)
+    model = Qwen3ForCausalLM(cfg)
+    path = tmp_path_factory.mktemp("tiny_qwen3_4kv")
+    model.save_pretrained(path, safe_serialization=True)
+    from nanovllm_tpu.utils.testing import _write_tiny_tokenizer
+
+    _write_tiny_tokenizer(str(path))
+    return str(path)

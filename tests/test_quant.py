@@ -117,3 +117,32 @@ def test_quantized_tp_matches_single_chip(tiny_qwen3_dir):
     out = two.generate(prompts, sp, use_tqdm=False)
     two.exit()
     assert out[0]["token_ids"] == ref[0]["token_ids"]
+
+
+def test_int4_kv_tp_matches_single_chip(tiny_qwen3_4kv_dir):
+    """int4 KV under TP=2: the nibble pairing is shard-local (each shard
+    packs its own contiguous kv heads), so a 2-way mesh must sample exactly
+    the tokens tp=1 does."""
+    from nanovllm_tpu import LLM, SamplingParams
+
+    tiny_qwen3_dir = tiny_qwen3_4kv_dir
+    prompts = [[3, 4, 5, 6, 7, 8, 9, 10]]
+    sp = SamplingParams(temperature=0.0, max_tokens=5, ignore_eos=True)
+    kwargs = dict(
+        dtype="float32",
+        kv_cache_dtype="int4",
+        max_model_len=128,
+        max_num_batched_tokens=128,
+        max_num_seqs=4,
+        kvcache_block_size=16,
+        num_kvcache_blocks=32,
+        decode_buckets=(4,),
+        prefill_buckets=(128,),
+    )
+    one = LLM(tiny_qwen3_dir, tensor_parallel_size=1, **kwargs)
+    ref = one.generate(prompts, sp, use_tqdm=False)
+    one.exit()
+    two = LLM(tiny_qwen3_dir, tensor_parallel_size=2, **kwargs)
+    out = two.generate(prompts, sp, use_tqdm=False)
+    two.exit()
+    assert out[0]["token_ids"] == ref[0]["token_ids"]
