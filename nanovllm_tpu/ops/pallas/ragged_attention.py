@@ -140,6 +140,17 @@ GRP = int(os.environ.get("NANOVLLM_GRP", "8"))
 # fetches — the pre-rung code path, byte for byte).
 PAGE_RUNG = int(os.environ.get("NANOVLLM_PAGE_RUNG", "64"))
 
+# Dot-operand dtype experiment: q/k/p/v MXU operands in bf16 instead of f32
+# (accumulation stays f32 via preferred_element_type). Dequantized int8/int4
+# values are small integers — exact in bf16 — and v5e's MXU runs f32 dots at
+# a fraction of its bf16 rate, so once int4 halves the DMA time the f32 dots
+# can become the kernel bottleneck. Off by default until measured on chip.
+DOT_DTYPE = (
+    jnp.bfloat16
+    if os.environ.get("NANOVLLM_DOT_BF16", "0") == "1"
+    else jnp.float32
+)
+
 
 def _decode_kernel(
     # scalar prefetch
@@ -500,22 +511,23 @@ def _decode_kernel(
                     ).start()
 
         # sm_scale folds into q (tiny tensor) instead of a pass over scores.
-        q = q_ref[...].astype(jnp.float32).reshape(
-            hkv, GRP * groups, hd
-        ) * sm_scale
-        # Convert pages to f32 BEFORE any select (narrow-dtype selects force
-        # relayouts; wide operands keep the dots at full MXU rate). In int8
-        # and int4 modes the per-token scales are NOT applied here: a [H, N]
-        # lane vector cannot relayout onto k's sublane dim, so the scales
-        # fold into the scores (k) and probabilities (v) instead, where the
-        # token dim is already on lanes. int4 pages additionally unpack
-        # their head-paired nibbles ([Hkv/2] bytes -> [Hkv] values).
+        q = (
+            q_ref[...].astype(jnp.float32).reshape(hkv, GRP * groups, hd)
+            * sm_scale
+        ).astype(DOT_DTYPE)
+        # Convert pages to a wide dtype BEFORE any select (narrow-dtype
+        # selects force relayouts; all masking here is on the f32 scores).
+        # In int8 and int4 modes the per-token scales are NOT applied here:
+        # a [H, N] lane vector cannot relayout onto k's sublane dim, so the
+        # scales fold into the scores (k) and probabilities (v) instead,
+        # where the token dim is already on lanes. int4 pages additionally
+        # unpack their head-paired nibbles ([Hkv/2] bytes -> [Hkv] values).
         if kv_bits == 4:
-            kf = unpack_int4_heads(k_buf[slot])   # [Hkv, GRP*block, hd]
-            vf = unpack_int4_heads(v_buf[slot])
+            kf = unpack_int4_heads(k_buf[slot]).astype(DOT_DTYPE)
+            vf = unpack_int4_heads(v_buf[slot]).astype(DOT_DTYPE)
         else:
-            kf = k_buf[slot].astype(jnp.float32)
-            vf = v_buf[slot].astype(jnp.float32)
+            kf = k_buf[slot].astype(DOT_DTYPE)    # [Hkv, GRP*block, hd]
+            vf = v_buf[slot].astype(DOT_DTYPE)
 
         # NaN hygiene (hardware AND interpret): K garbage in never-DMA'd
         # strips dies in the mask *selects* below (their columns are always
@@ -556,7 +568,7 @@ def _decode_kernel(
         if quantized:
             p = p * vs_vec[:, None, :]      # fold V dequant scales
         o_curr = jax.lax.dot_general(
-            p, vf,
+            p.astype(DOT_DTYPE), vf,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
@@ -1024,14 +1036,14 @@ def _prefill_kernel(
         # kernel): a 4D dot with lhs non-contracting (BQ, G) lowers with
         # M = G rows per MXU pass looping over BQ — measured 20 us/pair vs
         # ~2 us with M = BQ*G (G is 2-4 on these models).
-        q = q_ref[...].astype(jnp.float32).reshape(hkv, m, hd)
+        q = q_ref[...].astype(DOT_DTYPE).reshape(hkv, m, hd)
         if kv_bits == 4:
             # Nibble-packed pages: [Hkv/2] bytes unpack to [Hkv] values.
-            k = unpack_int4_heads(k_buf[slot])         # [Hkv, block, hd]
-            v = unpack_int4_heads(v_buf[slot])
+            k = unpack_int4_heads(k_buf[slot]).astype(DOT_DTYPE)
+            v = unpack_int4_heads(v_buf[slot]).astype(DOT_DTYPE)
         else:
-            k = k_buf[slot].astype(jnp.float32)        # [Hkv, block, hd]
-            v = v_buf[slot].astype(jnp.float32)
+            k = k_buf[slot].astype(DOT_DTYPE)          # [Hkv, block, hd]
+            v = v_buf[slot].astype(DOT_DTYPE)
         # scores[h, r, tok] (row r = query bq r//G) — batched over kv heads.
         # In int8 mode the per-token scales fold into the scores /
         # probabilities (token dim on lanes there; it cannot relayout onto
@@ -1067,7 +1079,7 @@ def _prefill_kernel(
         if quantized:
             p = p * vs_buf[slot][:, None, :]
         o_curr = jax.lax.dot_general(
-            p, v,
+            p.astype(DOT_DTYPE), v,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
