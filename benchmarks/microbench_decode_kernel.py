@@ -7,7 +7,7 @@ import numpy as np
 import jax, jax.numpy as jnp
 from nanovllm_tpu.engine.inputs import build_step_inputs
 from nanovllm_tpu.ops.attention import AttentionMeta
-from nanovllm_tpu.ops.pallas.ragged_attention import paged_decode_attention
+from nanovllm_tpu.ops.pallas.ragged_attention import GRP, paged_decode_attention
 
 import os
 
@@ -31,7 +31,7 @@ reqs = [dict(token_ids=[1], start=KVLEN - 1, kv_len=KVLEN,
         for i in range(S)]
 inputs = build_step_inputs(reqs, block_size=BLOCK, num_tokens_bucket=S,
                            num_seqs_bucket=S, max_blocks_per_seq=16,
-                           rng=np.zeros(2, np.uint32), group_pairs=8)
+                           rng=np.zeros(2, np.uint32), group_pairs=GRP)
 meta = AttentionMeta(
     positions=inputs.positions, slot_mapping=inputs.slot_mapping,
     seq_ids=inputs.seq_ids, kv_lens=inputs.kv_lens,

@@ -137,8 +137,12 @@ GRP = int(os.environ.get("NANOVLLM_GRP", "8"))
 # (int8/fp8 32, bf16 8). At bench shapes (~1.1k avg context, 256-blocks) the
 # full-page fetch wasted ~12% of DMA bytes on rows past kv_len.
 # NANOVLLM_PAGE_RUNG overrides (any value >= block_size restores whole-page
-# fetches — the pre-rung code path, byte for byte).
+# fetches — the pre-rung code path, byte for byte). Values below a block
+# must divide it in 64-row steps: n_rungs = block // rung is assumed exact
+# (a non-divisor under-fetches the last rung's rows), and 64 is the sublane
+# alignment every cache dtype's DMA slices need.
 PAGE_RUNG = int(os.environ.get("NANOVLLM_PAGE_RUNG", "64"))
+assert PAGE_RUNG > 0, f"NANOVLLM_PAGE_RUNG={PAGE_RUNG} must be positive"
 
 # Dot-operand dtype experiment: q/k/p/v MXU operands in bf16 instead of f32
 # (accumulation stays f32 via preferred_element_type). Dequantized int8/int4
@@ -220,6 +224,10 @@ def _decode_kernel(
 
     n_rungs = max(1, block_size // PAGE_RUNG)
     rung = block_size // n_rungs  # == PAGE_RUNG, or the whole (small) block
+    assert rung * n_rungs == block_size and (n_rungs == 1 or rung % 64 == 0), (
+        f"PAGE_RUNG={PAGE_RUNG} must divide block_size={block_size} in "
+        f"64-row steps (or exceed it for whole-page fetches)"
+    )
 
     def rung_conds(rows):
         """Static per-rung predicates: rung r fetches r*rung rows. The last
@@ -818,6 +826,10 @@ def _prefill_kernel(
 
     n_rungs = max(1, block_size // PAGE_RUNG)
     rung = block_size // n_rungs
+    assert rung * n_rungs == block_size and (n_rungs == 1 or rung % 64 == 0), (
+        f"PAGE_RUNG={PAGE_RUNG} must divide block_size={block_size} in "
+        f"64-row steps (or exceed it for whole-page fetches)"
+    )
 
     def pair_rows(pair):
         """Valid rows of this pair's page under the causal frontier: the page

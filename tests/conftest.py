@@ -27,9 +27,8 @@ def pytest_configure(config):
     )
 
 
-@pytest.fixture(scope="session")
-def tiny_qwen3_dir(tmp_path_factory):
-    """Create a tiny random-weight HF Qwen3 checkpoint on disk (no network)."""
+def _make_tiny_qwen3(path, *, num_kv_heads: int, seed: int):
+    """Write a tiny random-weight HF Qwen3 checkpoint (no network)."""
     import torch
     from transformers import Qwen3Config, Qwen3ForCausalLM
 
@@ -39,17 +38,21 @@ def tiny_qwen3_dir(tmp_path_factory):
         intermediate_size=128,
         num_hidden_layers=2,
         num_attention_heads=4,
-        num_key_value_heads=2,
+        num_key_value_heads=num_kv_heads,
         head_dim=16,
         max_position_embeddings=1024,
         rope_theta=10000.0,
         tie_word_embeddings=True,
         torch_dtype="float32",
     )
-    torch.manual_seed(0)
-    model = Qwen3ForCausalLM(cfg)
+    torch.manual_seed(seed)
+    Qwen3ForCausalLM(cfg).save_pretrained(path, safe_serialization=True)
+
+
+@pytest.fixture(scope="session")
+def tiny_qwen3_dir(tmp_path_factory):
     path = tmp_path_factory.mktemp("tiny_qwen3")
-    model.save_pretrained(path, safe_serialization=True)
+    _make_tiny_qwen3(path, num_kv_heads=2, seed=0)
 
     # A tiny offline word-level tokenizer so the engine's string-prompt path
     # (tokenize/decode, EOS id) works without network access.
@@ -74,26 +77,8 @@ def tiny_qwen3_dir(tmp_path_factory):
 def tiny_qwen3_4kv_dir(tmp_path_factory):
     """Like tiny_qwen3_dir but with 4 kv heads: int4-KV nibble packing needs
     an even per-shard head count, so TP=2 tests need >= 4 heads."""
-    import torch
-    from transformers import Qwen3Config, Qwen3ForCausalLM
-
-    cfg = Qwen3Config(
-        vocab_size=512,
-        hidden_size=64,
-        intermediate_size=128,
-        num_hidden_layers=2,
-        num_attention_heads=4,
-        num_key_value_heads=4,
-        head_dim=16,
-        max_position_embeddings=1024,
-        rope_theta=10000.0,
-        tie_word_embeddings=True,
-        torch_dtype="float32",
-    )
-    torch.manual_seed(1)
-    model = Qwen3ForCausalLM(cfg)
     path = tmp_path_factory.mktemp("tiny_qwen3_4kv")
-    model.save_pretrained(path, safe_serialization=True)
+    _make_tiny_qwen3(path, num_kv_heads=4, seed=1)
     from nanovllm_tpu.utils.testing import _write_tiny_tokenizer
 
     _write_tiny_tokenizer(str(path))

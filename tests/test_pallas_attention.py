@@ -366,7 +366,7 @@ def test_prefill_int4_kv_matches_oracle():
     q = jnp.asarray(rng.standard_normal((72, HQ, HD)), jnp.float32)
     kn, vn = new_kv(rng, 72)
 
-    ref, kr, _ = ragged_paged_attention_ref(q, kn, vn, kc, vc, 0, meta, sm_scale=SM)
+    ref, kr, vr = ragged_paged_attention_ref(q, kn, vn, kc, vc, 0, meta, sm_scale=SM)
     out, ko, vo = ragged_prefill_attention(
         q, kn, vn, kc, vc, 0, meta, sm_scale=SM, q_tile=q_tile, interpret=True
     )
@@ -376,14 +376,21 @@ def test_prefill_int4_kv_matches_oracle():
     np.testing.assert_allclose(
         np.asarray(out)[live], np.asarray(ref)[live], rtol=2e-2, atol=2e-2
     )
-    # Packed bytes agree at every LIVE slot (the kernel also writes tile-run
-    # rows past kv_len inside sequence-owned pages — by design; the oracle
-    # drops them).
+    # Packed bytes and scale slabs agree at every LIVE slot (the kernel also
+    # writes tile-run rows past kv_len inside sequence-owned pages — by
+    # design; the oracle drops them).
     slots = np.asarray(inputs.slot_mapping)
-    lv = slots >= 0
-    a = np.asarray(ko[0]).reshape(hs, -1, HD)
-    d = np.asarray(kr[0]).reshape(hs, -1, HD)
-    np.testing.assert_array_equal(a[:, slots[lv]], d[:, slots[lv]])
+    lv = slots[slots >= 0]
+    pages, lanes = lv // block, lv % block
+    for got, want in ((ko[0], kr[0]), (vo[0], vr[0])):
+        a = np.asarray(got).reshape(hs, -1, HD)
+        d = np.asarray(want).reshape(hs, -1, HD)
+        np.testing.assert_array_equal(a[:, lv], d[:, lv])
+    for got, want in ((ko[1], kr[1]), (vo[1], vr[1])):
+        np.testing.assert_allclose(
+            np.asarray(got)[0, pages, :, lanes],
+            np.asarray(want)[0, pages, :, lanes], rtol=1e-6, atol=1e-6,
+        )
 
 
 def _pad_hd(x, khd):
