@@ -65,9 +65,10 @@ def main():
 
     from nanovllm_tpu import LLM, SamplingParams
     from nanovllm_tpu.utils.testing import (
-        QWEN3_0_6B, QWEN3_32B, QWEN3_8B, make_qwen3_dir)
+        QWEN2_72B, QWEN3_0_6B, QWEN3_32B, QWEN3_8B, make_qwen3_dir)
 
-    archs = {"0.6b": QWEN3_0_6B, "8b": QWEN3_8B, "32b": QWEN3_32B}
+    archs = {"0.6b": QWEN3_0_6B, "8b": QWEN3_8B, "32b": QWEN3_32B,
+             "72b": QWEN2_72B}
     arch_name = os.environ.get("BENCH_ARCH", "32b" if not args.cpu else "0.6b")
     arch = dict(archs[arch_name])
     if args.cpu:  # shrink for the self-test

@@ -54,6 +54,22 @@ QWEN3_32B = dict(
     tie_word_embeddings=False,
 )
 
+# Qwen2.5-72B architecture (the BASELINE.md 72B multi-host config; Qwen2
+# family — qkv bias, no qk-norm — served by the same decoder with spec flags).
+QWEN2_72B = dict(
+    vocab_size=152064,
+    hidden_size=8192,
+    intermediate_size=29568,
+    num_hidden_layers=80,
+    num_attention_heads=64,
+    num_key_value_heads=8,
+    max_position_embeddings=32768,
+    rope_theta=1000000.0,
+    rms_norm_eps=1e-6,
+    tie_word_embeddings=False,
+    _family="qwen2",
+)
+
 # Tiny config for dryruns / CI (all dims divisible by 8 for TP tests).
 QWEN3_TINY = dict(
     vocab_size=512,
@@ -72,11 +88,15 @@ QWEN3_TINY = dict(
 
 def make_qwen3_dir(path: str, arch: dict) -> str:
     """Write config.json + a tiny offline tokenizer; no weights."""
-    from transformers import Qwen3Config
+    from transformers import Qwen2Config, Qwen3Config
 
+    arch = dict(arch)
+    cfg_cls = {"qwen2": Qwen2Config, "qwen3": Qwen3Config}[
+        arch.pop("_family", "qwen3")
+    ]
     os.makedirs(path, exist_ok=True)
     if not os.path.exists(os.path.join(path, "config.json")):
-        Qwen3Config(**arch, torch_dtype="bfloat16").save_pretrained(path)
+        cfg_cls(**arch, torch_dtype="bfloat16").save_pretrained(path)
     if not os.path.exists(os.path.join(path, "tokenizer.json")):
         _write_tiny_tokenizer(path)
     return path

@@ -88,3 +88,20 @@ def test_family_greedy_matches_hf(tmp_path_factory, family):
     llm.exit()
     for prompt, out in zip(prompts, outs):
         assert out["token_ids"] == _hf_greedy(hf_model, prompt, n_new), family
+
+
+def test_qwen2_72b_arch_spec(tmp_path_factory):
+    """The BASELINE 72B config (Qwen2.5-72B arch) resolves to the Qwen2
+    family with the right spec flags (bench.py / scaling_harness BENCH_ARCH
+    =72b path)."""
+    from transformers import AutoConfig
+
+    from nanovllm_tpu.models import get_model_family
+    from nanovllm_tpu.utils.testing import QWEN2_72B, make_qwen3_dir
+
+    d = make_qwen3_dir(str(tmp_path_factory.mktemp("q72b")), QWEN2_72B)
+    hf = AutoConfig.from_pretrained(d)
+    spec = get_model_family(hf).spec_from_hf(hf)
+    assert (spec.num_layers, spec.hidden_size, spec.head_dim) == (80, 8192, 128)
+    assert spec.has_qkv_bias and not spec.has_qk_norm
+    assert not spec.tie_embeddings
