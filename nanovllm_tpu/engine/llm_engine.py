@@ -54,6 +54,7 @@ class LLMEngine:
         # one batched fetch per `fetch_interval` steps (drain()).
         self.pending: list[tuple] = []
         self._emitted: dict[int, list[int]] = {}
+        self._drain_count = 0  # generate_stream wakes on ring drains
         atexit.register(self.exit)
 
     def exit(self):
@@ -82,6 +83,7 @@ class LLMEngine:
         register prefix-cache hashes, emit finished outputs."""
         if not self.pending:
             return []
+        self._drain_count += 1
         ring = self.model_runner.fetch_ring()
         # The fetch blocked until every dispatched step executed: close the
         # metrics interval now (device-true phase timing) and get per-row
@@ -159,6 +161,56 @@ class LLMEngine:
             with jax.profiler.trace(self.config.profile_dir):
                 return self._generate(prompts, sampling_params, use_tqdm)
         return self._generate(prompts, sampling_params, use_tqdm)
+
+    def generate_stream(
+        self,
+        prompts: list[str] | list[list[int]],
+        sampling_params: SamplingParams | list[SamplingParams],
+    ):
+        """Incremental generation (beyond the reference, whose API is offline
+        ``generate`` only): a generator yielding one event dict per sequence
+        per ring drain as sampled-token values reach the host:
+
+            {"index": i,            # position in ``prompts``
+             "token_ids": [...],    # NEW completion tokens since last event
+             "finished": bool,
+             "text": str}           # full completion text, finished event only
+
+        Streaming granularity is ``config.fetch_interval`` decode steps per
+        drain (the async pipeline fetches the device token ring in batches —
+        a per-step fetch would cost ~40 ms of tunnel RTT each); serve with a
+        small interval (engine default 8) for low per-token latency.
+        """
+        self._emitted.clear()
+        if not isinstance(sampling_params, list):
+            sampling_params = [sampling_params] * len(prompts)
+        seqs = [
+            self.add_request(p, sp) for p, sp in zip(prompts, sampling_params)
+        ]
+        watermark = [0] * len(seqs)
+        done = [False] * len(seqs)
+        last_drain = self._drain_count
+        while not all(done):
+            self.step()
+            if self._drain_count == last_drain:
+                continue  # no new values on host yet
+            last_drain = self._drain_count
+            for i, seq in enumerate(seqs):
+                if done[i]:
+                    continue
+                hi = seq.num_valued_tokens - seq.num_prompt_tokens
+                new = seq.completion_token_ids[watermark[i]: hi]
+                fin = seq.is_finished and seq.num_valued_tokens == seq.num_tokens
+                if not new and not fin:
+                    continue
+                event = {"index": i, "token_ids": new, "finished": fin}
+                if fin:
+                    done[i] = True
+                    event["text"] = self.tokenizer.decode(
+                        seq.completion_token_ids
+                    )
+                watermark[i] = hi
+                yield event
 
     def _generate(self, prompts, sampling_params, use_tqdm):
         # _emitted dedups drain outputs; entries from a previous generate()

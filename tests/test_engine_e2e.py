@@ -244,3 +244,44 @@ def test_preemption_recompute_under_pipeline(tiny_qwen3_dir):
     out = [o["token_ids"] for o in tight.generate(prompts, sp, use_tqdm=False)]
     tight.exit()
     assert out == ref
+
+
+def test_generate_stream_matches_generate(llm):
+    """Streamed token deltas concatenate to exactly the offline generate()
+    output (greedy => both runs sample identically), arrive incrementally
+    (more than one event per sequence), and end with a finished event
+    carrying the full text."""
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(2, 500, size=n).tolist() for n in (9, 26, 14)]
+    sp = SamplingParams(temperature=0.0, max_tokens=20, ignore_eos=True)
+    want = llm.generate(prompts, sp, use_tqdm=False)
+
+    events = list(llm.generate_stream(prompts, sp))
+    got = {i: [] for i in range(len(prompts))}
+    finished = set()
+    for ev in events:
+        assert ev["index"] not in finished, "event after finished"
+        got[ev["index"]] += ev["token_ids"]
+        if ev["finished"]:
+            finished.add(ev["index"])
+            assert ev["text"] == llm.tokenizer.decode(got[ev["index"]])
+    assert finished == set(range(len(prompts)))
+    for i, w in enumerate(want):
+        assert got[i] == w["token_ids"], i
+    # Incremental: fetch_interval(8) < max_tokens(20) forces multiple drains.
+    assert max(sum(1 for e in events if e["index"] == i) for i in got) > 1
+
+
+def test_generate_stream_eos_stops(llm, tiny_qwen3_dir):
+    """A sequence that hits EOS mid-stream finishes early and never emits
+    tokens past the EOS."""
+    rng = np.random.default_rng(11)
+    prompt = rng.integers(2, 500, size=12).tolist()
+    eos = llm.config.eos
+    sp = SamplingParams(temperature=0.0, max_tokens=60, ignore_eos=False)
+    toks = []
+    for ev in llm.generate_stream([prompt], sp):
+        toks += ev["token_ids"]
+    ref = llm.generate([prompt], sp, use_tqdm=False)[0]["token_ids"]
+    assert toks == ref
+    assert eos not in toks[:-1]
