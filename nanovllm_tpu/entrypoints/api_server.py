@@ -1,0 +1,268 @@
+"""Online HTTP serving on top of the continuous-batching engine.
+
+The reference (nano-vllm) serves offline batches only (`example.py` /
+`bench.py`); this entrypoint adds the online surface a production deployment
+needs: requests arrive at any time over HTTP, join the running batch at the
+next scheduler step (continuous batching), and stream token deltas back as
+each async ring drain lands.
+
+Design: ONE engine thread owns the device (the TPU runtime is strictly
+single-client; see CLAUDE.md) and runs the schedule/step/drain loop.
+HTTP handler threads never touch the engine — they enqueue an intake record
+and block on a per-request queue that the engine thread feeds after every
+ring drain.
+
+Protocol (stdlib-only, no framework dependency):
+  GET  /health              -> {"status": "ok"}
+  POST /generate            body: {"prompt": str | [int], "temperature"?,
+                             "max_tokens"?, "ignore_eos"?, "top_k"?,
+                             "top_p"?, "stream"?}
+    stream=false (default): one JSON body
+        {"text": ..., "token_ids": [...]}
+    stream=true: ndjson — one line per event
+        {"token_ids": [...], "finished": false}
+        {"token_ids": [...], "finished": true, "text": ...}
+
+Run: python -m nanovllm_tpu.entrypoints.api_server <model_dir> [--port 8000]
+(plus any LLM(...) config kwargs via --config key=value).
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from nanovllm_tpu.sampling_params import SamplingParams
+
+_SENTINEL = object()
+
+
+class _StreamState:
+    """Engine-thread-side per-request record: the sequence, its consumer
+    queue, and how many completion tokens have been emitted."""
+
+    __slots__ = ("seq", "out", "watermark")
+
+    def __init__(self, seq, out):
+        self.seq = seq
+        self.out = out
+        self.watermark = 0
+
+
+class ServingEngine:
+    """Continuous-batching serve loop around an LLMEngine.
+
+    ``submit`` is thread-safe and returns a queue of event dicts (same shape
+    as ``LLMEngine.generate_stream`` events, minus "index"); the queue ends
+    with a sentinel. The engine thread folds new arrivals into the running
+    batch before every step, so a request admitted mid-decode joins at the
+    next prefill opportunity without draining the batch.
+    """
+
+    def __init__(self, engine):
+        self.engine = engine
+        self.intake: queue.Queue = queue.Queue()
+        self.active: dict[int, _StreamState] = {}
+        self._stop = False
+        self.thread = threading.Thread(target=self._loop, daemon=True)
+        self.thread.start()
+
+    def submit(self, prompt, sampling_params: SamplingParams) -> queue.Queue:
+        out: queue.Queue = queue.Queue()
+        self.intake.put((prompt, sampling_params, out))
+        return out
+
+    def shutdown(self):
+        self._stop = True
+        self.intake.put(None)  # wake the loop
+        self.thread.join(timeout=60)
+
+    # ----------------------------------------------------- engine thread
+
+    def _admit(self, block: bool):
+        try:
+            item = self.intake.get(timeout=0.05) if block else self.intake.get_nowait()
+        except queue.Empty:
+            return
+        while True:
+            if item is not None:
+                prompt, sp, out = item
+                try:
+                    seq = self.engine.add_request(prompt, sp)
+                    self.active[seq.seq_id] = _StreamState(seq, out)
+                except Exception as e:  # oversized prompt etc.
+                    out.put({"error": str(e)})
+                    out.put(_SENTINEL)
+            try:
+                item = self.intake.get_nowait()
+            except queue.Empty:
+                return
+
+    def _loop(self):
+        engine = self.engine
+        while not self._stop:
+            # Block for work only when fully idle; otherwise just fold in
+            # whatever has arrived and keep stepping.
+            self._admit(block=engine.is_finished())
+            if engine.is_finished():
+                continue
+            drains_before = engine._drain_count
+            engine.step()
+            if engine._drain_count != drains_before:
+                self._emit()
+        for st in self.active.values():
+            st.out.put(_SENTINEL)
+
+    def _emit(self):
+        done = []
+        for seq_id, st in self.active.items():
+            seq = st.seq
+            hi = seq.num_valued_tokens - seq.num_prompt_tokens
+            new = seq.completion_token_ids[st.watermark: hi]
+            fin = seq.is_finished and seq.num_valued_tokens == seq.num_tokens
+            if not new and not fin:
+                continue
+            event = {"token_ids": new, "finished": fin}
+            if fin:
+                event["text"] = self.engine.tokenizer.decode(
+                    seq.completion_token_ids
+                )
+                done.append(seq_id)
+            st.watermark = hi
+            st.out.put(event)
+        for seq_id in done:
+            st = self.active.pop(seq_id)
+            st.out.put(_SENTINEL)
+            # Keep the drain-dedup map bounded for a long-lived server.
+            self.engine._emitted.pop(seq_id, None)
+
+
+def _make_handler(serving: ServingEngine):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *args):  # quiet by default
+            pass
+
+        def do_GET(self):
+            if self.path != "/health":
+                self.send_error(404)
+                return
+            body = b'{"status": "ok"}'
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self.send_error(404)
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                prompt = req["prompt"]
+                sp = SamplingParams(
+                    temperature=float(req.get("temperature", 1.0)),
+                    max_tokens=int(req.get("max_tokens", 64)),
+                    ignore_eos=bool(req.get("ignore_eos", False)),
+                    top_k=int(req.get("top_k", 0)),
+                    top_p=float(req.get("top_p", 1.0)),
+                )
+            except (KeyError, ValueError, json.JSONDecodeError) as e:
+                self.send_error(400, explain=str(e))
+                return
+            out = serving.submit(prompt, sp)
+            if req.get("stream"):
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-ndjson")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+                while True:
+                    ev = out.get()
+                    if ev is _SENTINEL:
+                        self.wfile.write(b"0\r\n\r\n")
+                        return
+                    line = (json.dumps(ev) + "\n").encode()
+                    self.wfile.write(
+                        f"{len(line):x}\r\n".encode() + line + b"\r\n"
+                    )
+                    self.wfile.flush()
+            else:
+                token_ids, text, error = [], None, None
+                while True:
+                    ev = out.get()
+                    if ev is _SENTINEL:
+                        break
+                    error = ev.get("error", error)
+                    token_ids += ev.get("token_ids", [])
+                    text = ev.get("text", text)
+                if error is not None:
+                    self.send_error(400, explain=error)
+                    return
+                body = json.dumps(
+                    {"text": text, "token_ids": token_ids}
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+    return Handler
+
+
+def serve(llm, host: str = "0.0.0.0", port: int = 8000):
+    """Serve an existing LLM/LLMEngine; returns (server, serving_engine).
+    Call ``server.serve_forever()`` (blocking) or drive it from a thread."""
+    serving = ServingEngine(llm)
+    server = ThreadingHTTPServer((host, port), _make_handler(serving))
+    return server, serving
+
+
+def main(argv=None):
+    import argparse
+    import os
+
+    if os.environ.get("NANOVLLM_PLATFORM"):
+        # The TPU-tunnel sitecustomize pins jax_platforms at startup; this
+        # knob (same as bench.py) routes CPU/debug runs.
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["NANOVLLM_PLATFORM"])
+
+    from nanovllm_tpu import LLM
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("model")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument(
+        "--config", nargs="*", default=[],
+        help="LLM config overrides as key=value (ints/floats auto-cast)",
+    )
+    args = ap.parse_args(argv)
+    kwargs = {}
+    for kv in args.config:
+        k, v = kv.split("=", 1)
+        for cast in (int, float):
+            try:
+                v = cast(v)
+                break
+            except ValueError:
+                continue
+        kwargs[k] = v
+    llm = LLM(args.model, **kwargs)
+    server, serving = serve(llm, args.host, args.port)
+    print(f"serving {args.model} on {args.host}:{args.port}")
+    try:
+        server.serve_forever()
+    finally:
+        serving.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""Online HTTP serving: health, blocking + streaming completions, and
+mid-flight admission into the continuous batch."""
+
+import http.client
+import json
+import threading
+
+import numpy as np
+import pytest
+
+from nanovllm_tpu import LLM, SamplingParams
+from nanovllm_tpu.entrypoints.api_server import serve
+
+ENGINE_KW = dict(
+    max_num_batched_tokens=128,
+    max_num_seqs=8,
+    max_model_len=128,
+    kvcache_block_size=16,
+    num_kvcache_blocks=64,
+    decode_buckets=(4, 8),
+    prefill_buckets=(64, 128),
+    dtype="float32",
+    use_pallas_attention=False,
+    enforce_eager=True,
+    fetch_interval=4,
+)
+
+
+@pytest.fixture(scope="module")
+def server(tiny_qwen3_dir):
+    llm = LLM(tiny_qwen3_dir, **ENGINE_KW)
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(2, 500, size=11).tolist()
+    sp = SamplingParams(temperature=0.0, max_tokens=14, ignore_eos=True)
+    expected = llm.generate([prompt], sp, use_tqdm=False)[0]
+    srv, serving = serve(llm, host="127.0.0.1", port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv.server_address[1], prompt, expected
+    srv.shutdown()
+    serving.shutdown()
+
+
+def _post(port, body):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    conn.request("POST", "/generate", json.dumps(body),
+                 {"Content-Type": "application/json"})
+    return conn.getresponse()
+
+
+def test_health(server):
+    port, _, _ = server
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("GET", "/health")
+    r = conn.getresponse()
+    assert r.status == 200 and json.loads(r.read())["status"] == "ok"
+
+
+def test_blocking_completion_matches_offline(server):
+    port, prompt, expected = server
+    r = _post(port, dict(prompt=prompt, temperature=0.0, max_tokens=14,
+                         ignore_eos=True))
+    assert r.status == 200
+    out = json.loads(r.read())
+    assert out["token_ids"] == expected["token_ids"]
+    assert out["text"] == expected["text"]
+
+
+def test_streaming_completion(server):
+    port, prompt, expected = server
+    r = _post(port, dict(prompt=prompt, temperature=0.0, max_tokens=14,
+                         ignore_eos=True, stream=True))
+    assert r.status == 200
+    events = [json.loads(line) for line in r.read().splitlines() if line]
+    toks = [t for ev in events for t in ev["token_ids"]]
+    assert toks == expected["token_ids"]
+    assert events[-1]["finished"] and events[-1]["text"] == expected["text"]
+    assert len(events) > 1  # fetch_interval(4) < max_tokens(14): incremental
+
+
+def test_concurrent_requests_continuous_batch(server):
+    """Several requests in flight at once all return the same tokens as the
+    lone-request run (greedy decode is batch-composition-independent)."""
+    port, prompt, expected = server
+    results = {}
+
+    def hit(i):
+        r = _post(port, dict(prompt=prompt, temperature=0.0, max_tokens=14,
+                             ignore_eos=True))
+        results[i] = json.loads(r.read())["token_ids"]
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert results == {i: expected["token_ids"] for i in range(4)}
+
+
+def test_bad_request(server):
+    port, _, _ = server
+    assert _post(port, dict(max_tokens=4)).status == 400  # no prompt
