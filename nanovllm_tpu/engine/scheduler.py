@@ -30,6 +30,7 @@ class Scheduler:
     def __init__(self, config: Config):
         self.max_num_seqs = config.max_num_seqs
         self.max_num_batched_tokens = config.max_num_batched_tokens
+        self.max_model_len = config.max_model_len
         # Prefill budget is charged in padded units so per-seq q-tile
         # alignment can never overflow the largest compiled token bucket.
         self.token_align = max(1, getattr(config, "schedule_token_align", 1))
@@ -165,7 +166,14 @@ class Scheduler:
                 continue
             seq.append_placeholder()
             appended.append(True)
-            if seq.num_completion_tokens >= seq.max_tokens:
+            if (
+                seq.num_completion_tokens >= seq.max_tokens
+                # Length cap: a sequence at max_model_len cannot append more
+                # KV (block tables are sized for max_model_len); the token
+                # just sampled is its last (vLLM-style completion capping —
+                # the reference would overflow here too).
+                or seq.num_tokens >= self.max_model_len
+            ):
                 self.finish(seq)
         return appended
 

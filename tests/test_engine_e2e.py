@@ -285,3 +285,19 @@ def test_generate_stream_eos_stops(llm, tiny_qwen3_dir):
     ref = llm.generate([prompt], sp, use_tqdm=False)[0]["token_ids"]
     assert toks == ref
     assert eos not in toks[:-1]
+
+
+def test_max_model_len_caps_completion(llm):
+    """A request whose prompt + max_tokens exceeds max_model_len finishes at
+    the length cap instead of overflowing the block table (the pre-fix
+    failure: broadcast error building block_tables mid-decode)."""
+    rng = np.random.default_rng(13)
+    L = llm.config.max_model_len
+    prompt = rng.integers(2, 500, size=L - 10).tolist()
+    sp = SamplingParams(temperature=0.0, max_tokens=L, ignore_eos=True)
+    out = llm.generate([prompt], sp, use_tqdm=False)[0]
+    assert len(out["token_ids"]) == 10  # capped at max_model_len total
+    # A prompt already at the cap still yields one token and stops.
+    prompt = rng.integers(2, 500, size=L).tolist()
+    out = llm.generate([prompt], sp, use_tqdm=False)[0]
+    assert len(out["token_ids"]) == 1

@@ -17,6 +17,7 @@ def make_scheduler(num_blocks=64, max_seqs=8, max_tokens=64):
         eos=EOS,
         num_kvcache_blocks=num_blocks,
         kvcache_block_size=BS,
+        max_model_len=num_blocks * BS,
     )
     return Scheduler(cfg)
 
