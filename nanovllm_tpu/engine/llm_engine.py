@@ -75,6 +75,15 @@ class LLMEngine:
         self.scheduler.add(seq)
         return seq
 
+    def abort_request(self, seq: Sequence):
+        """Stop a request early (e.g. an online client disconnected). Safe
+        with steps in flight: this is the same finish path max_tokens/EOS
+        use — later drains guard finished sequences, and device steps execute
+        in dispatch order, so in-flight writes to the freed pages land before
+        any new owner's."""
+        if not seq.is_finished:
+            self.scheduler.finish(seq)
+
     # ---------------------------------------------------------------- loop
 
     def drain(self) -> list[tuple[int, list[int]]]:

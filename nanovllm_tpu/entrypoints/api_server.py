@@ -69,10 +69,18 @@ class ServingEngine:
         self.thread = threading.Thread(target=self._loop, daemon=True)
         self.thread.start()
 
-    def submit(self, prompt, sampling_params: SamplingParams) -> queue.Queue:
+    def submit(self, prompt, sampling_params: SamplingParams):
+        """Returns (event queue, cancel handle). Pass the handle to
+        ``cancel`` if the client goes away."""
         out: queue.Queue = queue.Queue()
-        self.intake.put((prompt, sampling_params, out))
-        return out
+        handle: dict = {}
+        self.intake.put(("submit", prompt, sampling_params, out, handle))
+        return out, handle
+
+    def cancel(self, handle: dict):
+        """Abort a submitted request. FIFO intake guarantees the submit was
+        processed (and ``handle['seq']`` set) before this is."""
+        self.intake.put(("cancel", handle))
 
     def shutdown(self):
         self._stop = True
@@ -87,14 +95,22 @@ class ServingEngine:
         except queue.Empty:
             return
         while True:
-            if item is not None:
-                prompt, sp, out = item
+            if item is not None and item[0] == "submit":
+                _, prompt, sp, out, handle = item
                 try:
                     seq = self.engine.add_request(prompt, sp)
+                    handle["seq"] = seq
                     self.active[seq.seq_id] = _StreamState(seq, out)
                 except Exception as e:  # oversized prompt etc.
                     out.put({"error": str(e)})
                     out.put(_SENTINEL)
+            elif item is not None and item[0] == "cancel":
+                seq = item[1].get("seq")
+                if seq is not None and seq.seq_id in self.active:
+                    self.engine.abort_request(seq)
+                    st = self.active.pop(seq.seq_id)
+                    st.out.put(_SENTINEL)
+                    self.engine._emitted.pop(seq.seq_id, None)
             try:
                 item = self.intake.get_nowait()
             except queue.Empty:
@@ -175,7 +191,7 @@ def _make_handler(serving: ServingEngine):
             except (KeyError, ValueError, json.JSONDecodeError) as e:
                 self.send_error(400, explain=str(e))
                 return
-            out = serving.submit(prompt, sp)
+            out, handle = serving.submit(prompt, sp)
             if req.get("stream"):
                 self.send_response(200)
                 self.send_header("Content-Type", "application/x-ndjson")
@@ -187,10 +203,15 @@ def _make_handler(serving: ServingEngine):
                         self.wfile.write(b"0\r\n\r\n")
                         return
                     line = (json.dumps(ev) + "\n").encode()
-                    self.wfile.write(
-                        f"{len(line):x}\r\n".encode() + line + b"\r\n"
-                    )
-                    self.wfile.flush()
+                    try:
+                        self.wfile.write(
+                            f"{len(line):x}\r\n".encode() + line + b"\r\n"
+                        )
+                        self.wfile.flush()
+                    except (BrokenPipeError, ConnectionResetError):
+                        # Client went away: free its batch slot + KV blocks.
+                        serving.cancel(handle)
+                        return
             else:
                 token_ids, text, error = [], None, None
                 while True:

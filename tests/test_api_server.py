@@ -26,9 +26,13 @@ ENGINE_KW = dict(
 )
 
 
+_server_llm = [None]  # exposes the served engine to white-box assertions
+
+
 @pytest.fixture(scope="module")
 def server(tiny_qwen3_dir):
     llm = LLM(tiny_qwen3_dir, **ENGINE_KW)
+    _server_llm[0] = llm
     rng = np.random.default_rng(5)
     prompt = rng.integers(2, 500, size=11).tolist()
     sp = SamplingParams(temperature=0.0, max_tokens=14, ignore_eos=True)
@@ -100,3 +104,36 @@ def test_concurrent_requests_continuous_batch(server):
 def test_bad_request(server):
     port, _, _ = server
     assert _post(port, dict(max_tokens=4)).status == 400  # no prompt
+
+
+def test_client_disconnect_cancels_request(server, tiny_qwen3_dir):
+    """Closing a streaming connection mid-generation aborts the sequence:
+    the engine drains to idle, every KV block is freed, and the server keeps
+    serving."""
+    import socket
+    import time
+
+    port, prompt, expected = server
+    body = json.dumps(dict(prompt=prompt, temperature=0.0, max_tokens=100,
+                           ignore_eos=True, stream=True)).encode()
+    s = socket.create_connection(("127.0.0.1", port), timeout=30)
+    s.sendall(b"POST /generate HTTP/1.1\r\nHost: x\r\n"
+              b"Content-Type: application/json\r\n"
+              + f"Content-Length: {len(body)}\r\n\r\n".encode() + body)
+    s.recv(1024)  # headers + first chunk started
+    s.close()     # client goes away mid-stream
+
+    # The server loop must abort the sequence and return to idle.
+    llm = _server_llm[0]
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if llm.is_finished() and not llm.scheduler.running:
+            break
+        time.sleep(0.5)
+    assert llm.is_finished(), "engine did not drain after client disconnect"
+    bm = llm.scheduler.block_manager
+    assert bm.num_free_blocks == bm.num_blocks, "leaked KV blocks after abort"
+    # Still serving: a fresh request completes with the usual tokens.
+    r = _post(port, dict(prompt=prompt, temperature=0.0, max_tokens=14,
+                         ignore_eos=True))
+    assert json.loads(r.read())["token_ids"] == expected["token_ids"]
