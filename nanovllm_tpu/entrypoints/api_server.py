@@ -180,7 +180,23 @@ def _make_handler(serving: ServingEngine):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
-                prompt = req["prompt"]
+                if "messages" in req:
+                    # Chat form: [{"role": ..., "content": ...}, ...] through
+                    # the model's chat template (reference example.py:27-29);
+                    # template-less (test) tokenizers fall back to joined
+                    # contents.
+                    tok = serving.engine.tokenizer
+                    if tok.chat_template:
+                        prompt = tok.apply_chat_template(
+                            req["messages"], tokenize=True,
+                            add_generation_prompt=True,
+                        )
+                    else:
+                        prompt = "\n".join(
+                            m["content"] for m in req["messages"]
+                        )
+                else:
+                    prompt = req["prompt"]
                 sp = SamplingParams(
                     temperature=float(req.get("temperature", 1.0)),
                     max_tokens=int(req.get("max_tokens", 64)),

@@ -137,3 +137,15 @@ def test_client_disconnect_cancels_request(server, tiny_qwen3_dir):
     r = _post(port, dict(prompt=prompt, temperature=0.0, max_tokens=14,
                          ignore_eos=True))
     assert json.loads(r.read())["token_ids"] == expected["token_ids"]
+
+
+def test_chat_messages_form(server):
+    """The chat form routes through the chat template (or joined contents for
+    template-less tokenizers) and generates normally."""
+    port, _, _ = server
+    r = _post(port, dict(
+        messages=[{"role": "user", "content": "hello world"}],
+        temperature=0.0, max_tokens=5, ignore_eos=True))
+    assert r.status == 200
+    out = json.loads(r.read())
+    assert len(out["token_ids"]) == 5
