@@ -163,10 +163,22 @@ def _make_handler(serving: ServingEngine):
             pass
 
         def do_GET(self):
-            if self.path != "/health":
+            if self.path == "/health":
+                body = b'{"status": "ok"}'
+            elif self.path == "/metrics":
+                # Engine observability: TTFT p50/p99, per-phase tok/s, e2e
+                # latency (utils/metrics.py) plus live queue depths.
+                m = dict(serving.engine.metrics.summary())
+                m["num_waiting"] = len(serving.engine.scheduler.waiting)
+                m["num_running"] = len(serving.engine.scheduler.running)
+                m["num_streams"] = len(serving.active)
+                # NaN (empty percentiles) is not valid JSON; emit null.
+                m = {k: (None if isinstance(v, float) and v != v else v)
+                     for k, v in m.items()}
+                body = json.dumps(m).encode()
+            else:
                 self.send_error(404)
                 return
-            body = b'{"status": "ok"}'
             self.send_response(200)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))

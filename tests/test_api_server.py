@@ -149,3 +149,17 @@ def test_chat_messages_form(server):
     assert r.status == 200
     out = json.loads(r.read())
     assert len(out["token_ids"]) == 5
+
+
+def test_metrics_endpoint(server):
+    port, _, _ = server
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("GET", "/metrics")
+    raw = conn.getresponse().read()
+
+    def reject(tok):  # strict JSON: NaN/Infinity must not appear
+        raise AssertionError(f"non-JSON constant in /metrics: {tok}")
+
+    m = json.loads(raw, parse_constant=reject)
+    assert {"num_waiting", "num_running", "num_streams"} <= set(m)
+    assert m["requests_finished"] >= 1  # module fixture already served some
