@@ -26,6 +26,12 @@ class Config:
     enforce_eager: bool = False
     hf_config: Any = None
     eos: int = -1
+    # Full engine-level stop set. Chat models often declare SEVERAL EOS ids
+    # (generation_config.json eos_token_id lists, e.g. Qwen chat's
+    # <|im_end|> + <|endoftext|>, Llama-3's eot_id + end_of_text); stopping on
+    # only tokenizer.eos_token_id overruns turn boundaries. Filled by the
+    # engine from generation_config + tokenizer; () -> {eos}.
+    eos_ids: tuple = ()
     kvcache_block_size: int = 256
     num_kvcache_blocks: int = -1
 

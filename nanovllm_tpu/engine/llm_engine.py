@@ -46,6 +46,25 @@ class LLMEngine:
         self.tokenizer = AutoTokenizer.from_pretrained(config.model, use_fast=True)
         if config.eos == -1:
             config.eos = self.tokenizer.eos_token_id
+        if not config.eos_ids:
+            # Chat checkpoints stop on SEVERAL ids (generation_config.json
+            # eos_token_id is a list for Qwen chat / Llama-3); union them
+            # with the tokenizer's eos so turn boundaries actually stop.
+            eos_ids = {config.eos}
+            try:
+                from transformers import GenerationConfig
+
+                gc_eos = GenerationConfig.from_pretrained(
+                    config.model
+                ).eos_token_id
+                if gc_eos is not None:
+                    eos_ids |= (
+                        set(gc_eos) if isinstance(gc_eos, (list, tuple))
+                        else {gc_eos}
+                    )
+            except OSError:
+                pass  # no generation_config.json (tests, bare checkpoints)
+            config.eos_ids = tuple(sorted(eos_ids))
         # Scheduler after the runner: KV sizing fills num_kvcache_blocks.
         self.scheduler = Scheduler(config)
         self.metrics = EngineMetrics()
@@ -103,6 +122,7 @@ class LLMEngine:
             done_t = row_times[row] if row < len(row_times) else perf_counter()
             values = ring[row, : len(seqs)].tolist()
             self.scheduler.apply_values(seqs, appended, values)
+            self._check_stop_strings(seqs)
             for seq, was_appended in zip(seqs, appended):
                 if not was_appended:
                     continue
@@ -115,11 +135,45 @@ class LLMEngine:
                 ):
                     self.metrics.record_finished(seq.arrival_time, done_t)
                     self._emitted[seq.seq_id] = seq.completion_token_ids
-                    outputs.append((seq.seq_id, seq.completion_token_ids))
+                    outputs.append(
+                        (seq.seq_id, seq.completion_token_ids,
+                         self.final_text(seq))
+                    )
         self.pending.clear()
         return outputs
 
-    def step(self) -> tuple[list[tuple[int, list[int]]], int]:
+    def final_text(self, seq: Sequence) -> str:
+        """Decoded completion, honoring stop-string trimming."""
+        if seq.output_text is not None:
+            return seq.output_text
+        return self.tokenizer.decode(seq.completion_token_ids)
+
+    def _check_stop_strings(self, seqs: list[Sequence]):
+        """Finish sequences whose decoded completion now contains one of
+        their stop strings; the stop text and everything after it is trimmed
+        (token tail truncated at the token that completed the match). Runs
+        only for requests that set ``stop`` — the per-drain incremental
+        re-decode is their cost alone."""
+        for seq in seqs:
+            if not seq.stop or seq.output_text is not None:
+                continue
+            n = seq.num_valued_tokens - seq.num_prompt_tokens
+            comp = seq.token_ids[
+                seq.num_prompt_tokens: seq.num_prompt_tokens + n
+            ]
+            for k in range(seq.stop_checked + 1, n + 1):
+                text = self.tokenizer.decode(comp[:k])
+                hits = [i for i in (text.find(s) for s in seq.stop) if i >= 0]
+                if not hits:
+                    continue
+                seq.output_text = text[: min(hits)]
+                seq.truncate(seq.num_prompt_tokens + k)
+                if not seq.is_finished:  # may already be done by max_tokens
+                    self.scheduler.finish(seq)
+                break
+            seq.stop_checked = min(n, seq.num_completion_tokens)
+
+    def step(self) -> tuple[list[tuple], int]:
         """Dispatch one step; drain the pipeline when the ring is full (or
         when nothing is schedulable but values are still in flight)."""
         outputs = []
@@ -215,9 +269,7 @@ class LLMEngine:
                 event = {"index": i, "token_ids": new, "finished": fin}
                 if fin:
                     done[i] = True
-                    event["text"] = self.tokenizer.decode(
-                        seq.completion_token_ids
-                    )
+                    event["text"] = self.final_text(seq)
                 watermark[i] = hi
                 yield event
 
@@ -246,15 +298,11 @@ class LLMEngine:
                         "Decode": f"{int(dec)}tok/s",
                     }
                 )
-            for seq_id, token_ids in output:
-                outputs[seq_id] = token_ids
+            for seq_id, token_ids, text in output:
+                outputs[seq_id] = {"text": text, "token_ids": token_ids}
                 if use_tqdm:
                     pbar.update(1)
         outputs = [outputs[seq_id] for seq_id in sorted(outputs)]
-        outputs = [
-            {"text": self.tokenizer.decode(token_ids), "token_ids": token_ids}
-            for token_ids in outputs
-        ]
         if use_tqdm:
             pbar.close()
         return outputs

@@ -35,6 +35,10 @@ class Scheduler:
         # alignment can never overflow the largest compiled token bucket.
         self.token_align = max(1, getattr(config, "schedule_token_align", 1))
         self.eos = config.eos
+        self.eos_ids = (
+            frozenset(getattr(config, "eos_ids", ()) or ())
+            or frozenset({config.eos})
+        )
         self.block_manager = BlockManager(
             config.num_kvcache_blocks, config.kvcache_block_size
         )
@@ -185,7 +189,11 @@ class Scheduler:
             if not was_appended or not seq.apply_value(int(token_id)):
                 continue
             self.block_manager.hash_new_full_blocks(seq)
-            if not seq.ignore_eos and token_id == self.eos:
+            # ignore_eos bypasses the model's EOS set only; per-request
+            # stop_token_ids always apply (vLLM semantics).
+            if (not seq.ignore_eos and token_id in self.eos_ids) or (
+                token_id in seq.stop_token_ids
+            ):
                 seq.truncate(seq.num_valued_tokens)
                 if seq.is_finished:
                     continue  # already finished by max_tokens; output trimmed

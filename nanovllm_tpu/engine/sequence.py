@@ -53,6 +53,12 @@ class Sequence:
         self.top_k = sampling_params.top_k
         self.top_p = sampling_params.top_p
         self.uses_filtering = sampling_params.uses_filtering
+        self.stop = sampling_params.stop
+        self.stop_token_ids = frozenset(sampling_params.stop_token_ids)
+        # Stop-string machinery (engine-side, host text): completion tokens
+        # already scanned, and the trimmed final text once a stop string hit.
+        self.stop_checked = 0
+        self.output_text: str | None = None
 
     def __len__(self):
         return self.num_tokens

@@ -14,14 +14,21 @@ ring drain.
 
 Protocol (stdlib-only, no framework dependency):
   GET  /health              -> {"status": "ok"}
+  GET  /metrics             -> engine stats (queue depths, tok/s, TTFT)
   POST /generate            body: {"prompt": str | [int], "temperature"?,
                              "max_tokens"?, "ignore_eos"?, "top_k"?,
-                             "top_p"?, "stream"?}
+                             "top_p"?, "stop"?, "stop_token_ids"?, "stream"?}
     stream=false (default): one JSON body
         {"text": ..., "token_ids": [...]}
     stream=true: ndjson — one line per event
         {"token_ids": [...], "finished": false}
         {"token_ids": [...], "finished": true, "text": ...}
+
+OpenAI-compatible surface (drop-in for openai-client tooling):
+  GET  /v1/models           -> model listing
+  POST /v1/completions      -> text_completion (+SSE streaming)
+  POST /v1/chat/completions -> chat.completion via the model's chat template
+                               (+SSE chunk streaming, data: [DONE] terminator)
 
 Run: python -m nanovllm_tpu.entrypoints.api_server <model_dir> [--port 8000]
 (plus any LLM(...) config kwargs via --config key=value).
@@ -142,9 +149,7 @@ class ServingEngine:
                 continue
             event = {"token_ids": new, "finished": fin}
             if fin:
-                event["text"] = self.engine.tokenizer.decode(
-                    seq.completion_token_ids
-                )
+                event["text"] = self.engine.final_text(seq)
                 done.append(seq_id)
             st.watermark = hi
             st.out.put(event)
@@ -153,6 +158,38 @@ class ServingEngine:
             st.out.put(_SENTINEL)
             # Keep the drain-dedup map bounded for a long-lived server.
             self.engine._emitted.pop(seq_id, None)
+
+
+class _IncrementalDetok:
+    """Streaming detokenizer: decodes the completion so far and emits only
+    the stable new suffix (a trailing U+FFFD means a token straddles a UTF-8
+    boundary — hold it back until the next event completes it)."""
+
+    def __init__(self, tokenizer):
+        self.tokenizer = tokenizer
+        self.token_ids: list[int] = []
+        self.emitted = 0
+
+    def push(self, new_token_ids) -> str:
+        self.token_ids += new_token_ids
+        text = self.tokenizer.decode(self.token_ids)
+        if text.endswith("�"):
+            return ""
+        delta = text[self.emitted:]
+        self.emitted = len(text)
+        return delta
+
+    def finish(self, final_text: str) -> str:
+        """Flush against the engine's final (stop-trimmed) text."""
+        delta = final_text[self.emitted:]
+        self.emitted = len(final_text)
+        return delta
+
+
+def _finish_reason(seq) -> str:
+    return (
+        "length" if seq.num_completion_tokens >= seq.max_tokens else "stop"
+    )
 
 
 def _make_handler(serving: ServingEngine):
@@ -165,6 +202,15 @@ def _make_handler(serving: ServingEngine):
         def do_GET(self):
             if self.path == "/health":
                 body = b'{"status": "ok"}'
+            elif self.path == "/v1/models":
+                body = json.dumps({
+                    "object": "list",
+                    "data": [{
+                        "id": serving.engine.config.model,
+                        "object": "model",
+                        "owned_by": "nanovllm_tpu",
+                    }],
+                }).encode()
             elif self.path == "/metrics":
                 # Engine observability: TTFT p50/p99, per-phase tok/s, e2e
                 # latency (utils/metrics.py) plus live queue depths.
@@ -185,7 +231,21 @@ def _make_handler(serving: ServingEngine):
             self.end_headers()
             self.wfile.write(body)
 
+        def _chat_prompt(self, messages):
+            # Chat form through the model's chat template (reference
+            # example.py:27-29); template-less (test) tokenizers fall back
+            # to joined contents.
+            tok = serving.engine.tokenizer
+            if tok.chat_template:
+                return tok.apply_chat_template(
+                    messages, tokenize=True, add_generation_prompt=True
+                )
+            return "\n".join(m["content"] for m in messages)
+
         def do_POST(self):
+            if self.path in ("/v1/completions", "/v1/chat/completions"):
+                self._openai(chat=self.path.endswith("/chat/completions"))
+                return
             if self.path != "/generate":
                 self.send_error(404)
                 return
@@ -193,20 +253,7 @@ def _make_handler(serving: ServingEngine):
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
                 if "messages" in req:
-                    # Chat form: [{"role": ..., "content": ...}, ...] through
-                    # the model's chat template (reference example.py:27-29);
-                    # template-less (test) tokenizers fall back to joined
-                    # contents.
-                    tok = serving.engine.tokenizer
-                    if tok.chat_template:
-                        prompt = tok.apply_chat_template(
-                            req["messages"], tokenize=True,
-                            add_generation_prompt=True,
-                        )
-                    else:
-                        prompt = "\n".join(
-                            m["content"] for m in req["messages"]
-                        )
+                    prompt = self._chat_prompt(req["messages"])
                 else:
                     prompt = req["prompt"]
                 sp = SamplingParams(
@@ -215,8 +262,13 @@ def _make_handler(serving: ServingEngine):
                     ignore_eos=bool(req.get("ignore_eos", False)),
                     top_k=int(req.get("top_k", 0)),
                     top_p=float(req.get("top_p", 1.0)),
+                    stop=req.get("stop", ()),
+                    stop_token_ids=req.get("stop_token_ids", ()),
                 )
-            except (KeyError, ValueError, json.JSONDecodeError) as e:
+            except (KeyError, ValueError, TypeError, AssertionError,
+                    json.JSONDecodeError) as e:
+                # AssertionError: SamplingParams validates by assert (e.g.
+                # top_p range, stop types) — a bad request, not a server bug.
                 self.send_error(400, explain=str(e))
                 return
             out, handle = serving.submit(prompt, sp)
@@ -260,6 +312,137 @@ def _make_handler(serving: ServingEngine):
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+
+        def _openai(self, chat: bool):
+            """OpenAI-compatible completions: request/response shapes a stock
+            openai client (or curl tooling) expects, mapped onto the same
+            serving engine. n>1 / logprobs / penalties are not supported."""
+            import time
+            import uuid
+
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                prompt = (
+                    self._chat_prompt(req["messages"]) if chat
+                    else req["prompt"]
+                )
+                sp = SamplingParams(
+                    temperature=float(req.get("temperature", 1.0)),
+                    max_tokens=int(req.get("max_tokens", 64)),
+                    top_p=float(req.get("top_p", 1.0)),
+                    stop=req.get("stop") or (),
+                )
+                if int(req.get("n", 1)) != 1:
+                    raise ValueError("only n=1 is supported")
+            except (KeyError, ValueError, TypeError, AssertionError,
+                    json.JSONDecodeError) as e:
+                self._openai_error(400, str(e))
+                return
+            rid = ("chatcmpl-" if chat else "cmpl-") + uuid.uuid4().hex[:24]
+            created = int(time.time())
+            model = req.get("model") or serving.engine.config.model
+            obj = "chat.completion" if chat else "text_completion"
+            out, handle = serving.submit(prompt, sp)
+
+            if req.get("stream"):
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+                detok = _IncrementalDetok(serving.engine.tokenizer)
+                first = True
+                while True:
+                    ev = out.get()
+                    if ev is _SENTINEL:
+                        self._sse(None)  # data: [DONE]
+                        self.wfile.write(b"0\r\n\r\n")
+                        return
+                    if "error" in ev:
+                        continue  # surfaced as an immediate [DONE]
+                    fin = ev.get("finished", False)
+                    delta = (
+                        detok.finish(ev["text"]) if fin
+                        else detok.push(ev.get("token_ids", []))
+                    )
+                    if not delta and not fin:
+                        continue
+                    if chat:
+                        d = {"content": delta}
+                        if first:
+                            d["role"] = "assistant"
+                            first = False
+                        choice = {"index": 0, "delta": d,
+                                  "finish_reason":
+                                  _finish_reason(handle["seq"]) if fin
+                                  else None}
+                        chunk = {"id": rid, "object": "chat.completion.chunk",
+                                 "created": created, "model": model,
+                                 "choices": [choice]}
+                    else:
+                        chunk = {"id": rid, "object": obj,
+                                 "created": created, "model": model,
+                                 "choices": [{"index": 0, "text": delta,
+                                              "logprobs": None,
+                                              "finish_reason":
+                                              _finish_reason(handle["seq"])
+                                              if fin else None}]}
+                    try:
+                        self._sse(chunk)
+                    except (BrokenPipeError, ConnectionResetError):
+                        serving.cancel(handle)
+                        return
+                return
+
+            text, error = None, None
+            while True:
+                ev = out.get()
+                if ev is _SENTINEL:
+                    break
+                error = ev.get("error", error)
+                text = ev.get("text", text)
+            if error is not None:
+                self._openai_error(400, error)
+                return
+            seq = handle["seq"]
+            usage = {
+                "prompt_tokens": seq.num_prompt_tokens,
+                "completion_tokens": seq.num_completion_tokens,
+                "total_tokens": seq.num_tokens,
+            }
+            if chat:
+                choice = {"index": 0,
+                          "message": {"role": "assistant", "content": text},
+                          "finish_reason": _finish_reason(seq)}
+            else:
+                choice = {"index": 0, "text": text, "logprobs": None,
+                          "finish_reason": _finish_reason(seq)}
+            body = json.dumps({"id": rid, "object": obj, "created": created,
+                               "model": model, "choices": [choice],
+                               "usage": usage}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _sse(self, payload):
+            data = b"data: [DONE]\n\n" if payload is None else (
+                b"data: " + json.dumps(payload).encode() + b"\n\n"
+            )
+            self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
+            self.wfile.flush()
+
+        def _openai_error(self, code: int, message: str):
+            body = json.dumps({"error": {
+                "message": message, "type": "invalid_request_error",
+            }}).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
 
     return Handler
 

@@ -6,6 +6,11 @@ max_tokens, ignore_eos). Differences: the reference *forbids* greedy decoding
 ``temperature == 0.0`` as greedy argmax, plus per-request top-k / top-p
 (nucleus) filtering, all fused in the on-device sampler. Requests that leave
 top_k/top_p at their defaults run the plain (cheaper) sampling program.
+
+Stopping controls beyond the reference: ``stop_token_ids`` (extra per-request
+stop ids, honored even under ``ignore_eos``) and ``stop`` strings (generation
+ends when the decoded completion contains any of them; the match and
+everything after it is trimmed from the output).
 """
 
 from dataclasses import dataclass
@@ -24,12 +29,26 @@ class SamplingParams:
     # of the (temperature-scaled) distribution with cumulative mass >= top_p,
     # evaluated within the top-TOPK_WINDOW candidate window.
     top_p: float = 1.0
+    # Stop when any of these strings appears in the decoded completion
+    # (checked on host at each ring drain; the stop text is excluded from the
+    # output). A single string is accepted and normalized to a 1-tuple.
+    stop: tuple = ()
+    # Stop when any of these token ids is sampled (in addition to the model's
+    # EOS set; applies even with ignore_eos=True, matching vLLM semantics).
+    stop_token_ids: tuple = ()
 
     def __post_init__(self):
         assert self.temperature >= 0.0, "temperature must be non-negative"
         assert self.max_tokens >= 1, "max_tokens must be at least 1"
         assert self.top_k >= 0, "top_k must be non-negative (0 disables)"
         assert 0.0 < self.top_p <= 1.0, "top_p must be in (0, 1]"
+        if isinstance(self.stop, str):
+            self.stop = (self.stop,)
+        self.stop = tuple(self.stop)
+        assert all(isinstance(s, str) and s for s in self.stop), (
+            "stop must be a non-empty string or a sequence of them"
+        )
+        self.stop_token_ids = tuple(int(t) for t in self.stop_token_ids)
 
     @property
     def uses_filtering(self) -> bool:

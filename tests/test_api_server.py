@@ -151,6 +151,86 @@ def test_chat_messages_form(server):
     assert len(out["token_ids"]) == 5
 
 
+def test_stop_token_ids_param(server):
+    """Per-request stop_token_ids plumb through /generate (first occurrence
+    of the stop id ends the completion, stop token included)."""
+    port, prompt, expected = server
+    t = expected["token_ids"][3]
+    k = expected["token_ids"].index(t)
+    r = _post(port, dict(prompt=prompt, temperature=0.0, max_tokens=14,
+                         ignore_eos=True, stop_token_ids=[t]))
+    assert r.status == 200
+    assert json.loads(r.read())["token_ids"] == expected["token_ids"][: k + 1]
+
+
+def test_bad_sampling_params_rejected(server):
+    port, prompt, _ = server
+    assert _post(port, dict(prompt=prompt, top_p=7.5)).status == 400
+
+
+def test_openai_models(server):
+    port, _, _ = server
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("GET", "/v1/models")
+    out = json.loads(conn.getresponse().read())
+    assert out["object"] == "list" and len(out["data"]) == 1
+
+
+def _post_path(port, path, body):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    conn.request("POST", path, json.dumps(body),
+                 {"Content-Type": "application/json"})
+    return conn.getresponse()
+
+
+def test_openai_completions(server):
+    port, prompt, expected = server
+    r = _post_path(port, "/v1/completions",
+                   dict(prompt=prompt, temperature=0.0, max_tokens=14))
+    assert r.status == 200
+    out = json.loads(r.read())
+    assert out["object"] == "text_completion"
+    choice = out["choices"][0]
+    # Greedy without ignore_eos: either the full 14-token trace (length) or
+    # an early EOS stop; both must be deterministic and well-formed.
+    assert choice["finish_reason"] in ("stop", "length")
+    assert out["usage"]["prompt_tokens"] == len(prompt)
+    assert out["usage"]["completion_tokens"] >= 1
+    if choice["finish_reason"] == "length":
+        assert choice["text"] == expected["text"]
+
+
+def test_openai_chat_stream_matches_blocking(server):
+    port, _, _ = server
+    body = dict(messages=[{"role": "user", "content": "hello world"}],
+                temperature=0.0, max_tokens=5)
+    blocking = json.loads(_post_path(port, "/v1/chat/completions", body).read())
+    content = blocking["choices"][0]["message"]["content"]
+
+    r = _post_path(port, "/v1/chat/completions", dict(body, stream=True))
+    assert r.status == 200
+    assert r.getheader("Content-Type") == "text/event-stream"
+    payloads = []
+    for line in r.read().decode().splitlines():
+        if line.startswith("data: "):
+            payloads.append(line[len("data: "):])
+    assert payloads[-1] == "[DONE]"
+    chunks = [json.loads(p) for p in payloads[:-1]]
+    assert chunks[0]["choices"][0]["delta"].get("role") == "assistant"
+    deltas = "".join(
+        c["choices"][0]["delta"].get("content", "") for c in chunks
+    )
+    assert deltas == content
+    assert chunks[-1]["choices"][0]["finish_reason"] in ("stop", "length")
+
+
+def test_openai_bad_request(server):
+    port, _, _ = server
+    r = _post_path(port, "/v1/completions", dict(prompt="a", n=3))
+    assert r.status == 400
+    assert "error" in json.loads(r.read())
+
+
 def test_metrics_endpoint(server):
     port, _, _ = server
     conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
