@@ -113,6 +113,13 @@ class LLMEngine:
             return []
         self._drain_count += 1
         ring = self.model_runner.fetch_ring()
+        # Second transfer only when some in-flight sequence asked for
+        # logprobs — plain serving never pays the extra fetch.
+        lp_ring = (
+            self.model_runner.fetch_logprob_ring()
+            if any(s.logprobs for seqs, _ in self.pending for s in seqs)
+            else None
+        )
         # The fetch blocked until every dispatched step executed: close the
         # metrics interval now (device-true phase timing) and get per-row
         # estimated completion timestamps for TTFT / e2e latency.
@@ -121,7 +128,11 @@ class LLMEngine:
         for row, (seqs, appended) in enumerate(self.pending):
             done_t = row_times[row] if row < len(row_times) else perf_counter()
             values = ring[row, : len(seqs)].tolist()
-            self.scheduler.apply_values(seqs, appended, values)
+            lps = (
+                lp_ring[row, : len(seqs)].tolist()
+                if lp_ring is not None else None
+            )
+            self.scheduler.apply_values(seqs, appended, values, lps)
             self._check_stop_strings(seqs)
             for seq, was_appended in zip(seqs, appended):
                 if not was_appended:
@@ -135,9 +146,13 @@ class LLMEngine:
                 ):
                     self.metrics.record_finished(seq.arrival_time, done_t)
                     self._emitted[seq.seq_id] = seq.completion_token_ids
+                    lp_out = (
+                        seq.logprob_values[: seq.num_completion_tokens]
+                        if seq.logprobs else None
+                    )
                     outputs.append(
                         (seq.seq_id, seq.completion_token_ids,
-                         self.final_text(seq))
+                         self.final_text(seq), lp_out)
                     )
         self.pending.clear()
         return outputs
@@ -237,6 +252,8 @@ class LLMEngine:
             {"index": i,            # position in ``prompts``
              "token_ids": [...],    # NEW completion tokens since last event
              "finished": bool,
+             "logprobs": [...],     # parallel to token_ids, only if the
+                                    # request set SamplingParams.logprobs
              "text": str}           # full completion text, finished event only
 
         Streaming granularity is ``config.fetch_interval`` decode steps per
@@ -267,6 +284,8 @@ class LLMEngine:
                 if not new and not fin:
                     continue
                 event = {"index": i, "token_ids": new, "finished": fin}
+                if seq.logprobs:
+                    event["logprobs"] = seq.logprob_values[watermark[i]: hi]
                 if fin:
                     done[i] = True
                     event["text"] = self.final_text(seq)
@@ -298,8 +317,10 @@ class LLMEngine:
                         "Decode": f"{int(dec)}tok/s",
                     }
                 )
-            for seq_id, token_ids, text in output:
+            for seq_id, token_ids, text, lps in output:
                 outputs[seq_id] = {"text": text, "token_ids": token_ids}
+                if lps is not None:
+                    outputs[seq_id]["logprobs"] = lps
                 if use_tqdm:
                     pbar.update(1)
         outputs = [outputs[seq_id] for seq_id in sorted(outputs)]

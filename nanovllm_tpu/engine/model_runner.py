@@ -431,7 +431,10 @@ class ModelRunner:
           the next decode step's input (no host round-trip per step — a
           device->host fetch costs ~40ms through the tunneled runtime);
         - ring[K, S]: per-step sampled tokens, fetched in one transfer every
-          K steps for EOS checks / output assembly.
+          K steps for EOS checks / output assembly;
+        - lp_ring[K, S]: chosen-token log-probabilities, written only by the
+          logprobs step variant (requests without logprobs pass it through
+          untouched — zero compute, the buffer just rides the donation).
         """
         cfg = self.config
         self.num_slots = 2 * cfg.max_num_seqs + 1  # last = dead slot
@@ -444,6 +447,9 @@ class ModelRunner:
             self._device_zeros((self.num_slots,), jnp.int32, rep),
             self._device_zeros(
                 (self.ring_size, ring_width), jnp.int32, rep
+            ),
+            self._device_zeros(
+                (self.ring_size, ring_width), jnp.float32, rep
             ),
         )
 
@@ -543,9 +549,9 @@ class ModelRunner:
         axis = "tp" if tp > 1 else None
 
         def local_step(params, kv, tstate, rope, inputs: StepInputs,
-                       is_prefill: bool, filtered: bool):
+                       is_prefill: bool, filtered: bool, want_lp: bool):
             """Per-device program (the whole program when tp == 1)."""
-            last_buf, ring = tstate
+            last_buf, ring, lp_ring = tstate
             if not is_prefill:
                 # Decode inputs come from the on-device last-token buffer —
                 # the host never needs the sampled values to keep stepping.
@@ -585,19 +591,32 @@ class ModelRunner:
             ring = jax.lax.dynamic_update_slice(
                 ring, tokens[None], (inputs.ring_pos[0], jnp.int32(0))
             )
-            return kv, (last_buf, ring)
+            if want_lp:
+                # Chosen-token model log-prob (raw logits, not temperature-
+                # scaled — OpenAI semantics). Separate compiled variant: the
+                # logsumexp reads the whole [S, V] logits again, so plain
+                # requests never pay for it.
+                lf = logits.astype(jnp.float32)
+                lse = jax.scipy.special.logsumexp(lf, axis=-1)
+                chosen = jnp.take_along_axis(lf, tokens[:, None], axis=1)[:, 0]
+                lp_ring = jax.lax.dynamic_update_slice(
+                    lp_ring, (chosen - lse)[None],
+                    (inputs.ring_pos[0], jnp.int32(0)),
+                )
+            return kv, (last_buf, ring, lp_ring)
 
         if tp == 1:
             step = local_step
         else:
             kv_spec = (self._kv_pspec(), self._kv_pspec())
-            tstate_spec = (P(), P())
+            tstate_spec = (P(), P(), P())
             inputs_spec = StepInputs(*([P()] * len(StepInputs._fields)))
 
-            def step(params, kv, tstate, rope, inputs, is_prefill, filtered):
+            def step(params, kv, tstate, rope, inputs, is_prefill, filtered,
+                     want_lp):
                 return _shard_map(
                     lambda p, k, t, r, i: local_step(p, k, t, r, i, is_prefill,
-                                                     filtered),
+                                                     filtered, want_lp),
                     mesh=self.mesh,
                     in_specs=(self._param_pspecs(), kv_spec, tstate_spec,
                               (P(), P()), inputs_spec),
@@ -608,7 +627,9 @@ class ModelRunner:
         # in place; one compiled program per (shape bucket, mode) — the TPU
         # analogue of the reference's CUDA-graph set (model_runner.py:222-257).
         self._step_fn = step  # raw (un-jitted) for AOT/lowering consumers
-        self._step = jax.jit(step, donate_argnums=(1, 2), static_argnums=(5, 6))
+        self._step = jax.jit(
+            step, donate_argnums=(1, 2), static_argnums=(5, 6, 7)
+        )
         # AOT executables per (t_bucket, s_bucket, is_prefill); filled by
         # warmup(). Misses fall back to the jit path (compile on first hit).
         self._compiled = {}
@@ -661,10 +682,10 @@ class ModelRunner:
         for t_bucket, s_bucket, p_bucket, is_prefill in shapes:
             t0 = perf_counter()
             inputs = self._dummy_inputs(t_bucket, s_bucket, is_prefill, p_bucket)
-            key = (t_bucket, s_bucket, p_bucket, is_prefill, False)
+            key = (t_bucket, s_bucket, p_bucket, is_prefill, False, False)
             self._compiled[key] = self._step.lower(
                 self.params, self.kv, self.token_state, self.rope, inputs,
-                is_prefill, False,
+                is_prefill, False, False,
             ).compile()
             mode = "prefill" if is_prefill else "decode"
             if jax.process_index() == 0:
@@ -681,9 +702,10 @@ class ModelRunner:
         buffer; this step's samples land in ring row ``ring_pos`` and in each
         sequence's slot. Fetch values later via ``fetch_ring``."""
         cfg = self.config
-        # Any top-k/top-p request selects the "filtered" sampling variant of
-        # the step program (compiled lazily; plain requests never pay for it).
+        # Any top-k/top-p (or logprobs) request selects a separate compiled
+        # variant of the step program (lazily; plain requests never pay).
         filtered = any(seq.uses_filtering for seq in seqs)
+        want_lp = any(seq.logprobs for seq in seqs)
         reqs = []
         for seq in seqs:
             if is_prefill:
@@ -770,7 +792,7 @@ class ModelRunner:
                 ),
                 inputs,
             )
-        key = (t_bucket, s_bucket, p_bucket, is_prefill, filtered)
+        key = (t_bucket, s_bucket, p_bucket, is_prefill, filtered, want_lp)
         compiled = self._compiled.get(key)
         if compiled is not None:
             self.kv, self.token_state = compiled(
@@ -779,7 +801,7 @@ class ModelRunner:
         else:
             self.kv, self.token_state = self._step(
                 self.params, self.kv, self.token_state, self.rope, inputs,
-                is_prefill, filtered,
+                is_prefill, filtered, want_lp,
             )
 
     def fetch_ring(self) -> np.ndarray:
@@ -788,6 +810,13 @@ class ModelRunner:
         ring_pos r since the previous fetch). The ring is replicated, so on
         multi-host runs each host reads its local copy (no DCN traffic)."""
         return np.asarray(self.token_state[1].addressable_data(0))
+
+    def fetch_logprob_ring(self) -> np.ndarray:
+        """The chosen-token log-prob ring (f32, same layout as fetch_ring).
+        Rows are only meaningful for steps dispatched with a logprobs request
+        (other steps leave their row untouched); the engine fetches this ring
+        only when some pending sequence asked for logprobs."""
+        return np.asarray(self.token_state[2].addressable_data(0))
 
     def exit(self):
         """Release device buffers (reference model_runner.py:50-59)."""

@@ -182,11 +182,15 @@ class Scheduler:
         return appended
 
     def apply_values(self, seqs: list[Sequence], appended: list[bool],
-                     token_ids: list[int]):
+                     token_ids: list[int],
+                     logprobs: list[float] | None = None):
         """Patch fetched token values into their placeholders; stop at a
         late-discovered EOS (truncate the overrun)."""
-        for seq, was_appended, token_id in zip(seqs, appended, token_ids):
-            if not was_appended or not seq.apply_value(int(token_id)):
+        for i, (seq, was_appended, token_id) in enumerate(
+            zip(seqs, appended, token_ids)
+        ):
+            lp = logprobs[i] if logprobs is not None else None
+            if not was_appended or not seq.apply_value(int(token_id), lp):
                 continue
             self.block_manager.hash_new_full_blocks(seq)
             # ignore_eos bypasses the model's EOS set only; per-request

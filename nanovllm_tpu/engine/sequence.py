@@ -55,6 +55,10 @@ class Sequence:
         self.uses_filtering = sampling_params.uses_filtering
         self.stop = sampling_params.stop
         self.stop_token_ids = frozenset(sampling_params.stop_token_ids)
+        self.logprobs = sampling_params.logprobs
+        # Chosen-token log-probabilities, parallel to completion tokens up to
+        # the valued watermark (filled as ring drains apply values).
+        self.logprob_values: list[float] = []
         # Stop-string machinery (engine-side, host text): completion tokens
         # already scanned, and the trimmed final text once a stop string hit.
         self.stop_checked = 0
@@ -106,7 +110,7 @@ class Sequence:
         self.token_ids.append(-1)
         self.num_tokens += 1
 
-    def apply_value(self, token_id: int) -> bool:
+    def apply_value(self, token_id: int, logprob: float | None = None) -> bool:
         """Patch the oldest placeholder with its fetched value; returns False
         if there is none (e.g. the tail was truncated at an earlier EOS)."""
         if self.num_valued_tokens >= self.num_tokens:
@@ -114,6 +118,8 @@ class Sequence:
         self.token_ids[self.num_valued_tokens] = token_id
         self.last_token = token_id
         self.num_valued_tokens += 1
+        if self.logprobs and logprob is not None:
+            self.logprob_values.append(float(logprob))
         return True
 
     def truncate(self, num_tokens: int):
@@ -122,6 +128,7 @@ class Sequence:
         del self.token_ids[num_tokens:]
         self.num_tokens = num_tokens
         self.num_valued_tokens = min(self.num_valued_tokens, num_tokens)
+        del self.logprob_values[num_tokens - self.num_prompt_tokens:]
         self.last_token = self.token_ids[-1]
 
     def __repr__(self):

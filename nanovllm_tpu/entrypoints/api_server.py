@@ -17,7 +17,8 @@ Protocol (stdlib-only, no framework dependency):
   GET  /metrics             -> engine stats (queue depths, tok/s, TTFT)
   POST /generate            body: {"prompt": str | [int], "temperature"?,
                              "max_tokens"?, "ignore_eos"?, "top_k"?,
-                             "top_p"?, "stop"?, "stop_token_ids"?, "stream"?}
+                             "top_p"?, "stop"?, "stop_token_ids"?,
+                             "logprobs"?, "stream"?}
     stream=false (default): one JSON body
         {"text": ..., "token_ids": [...]}
     stream=true: ndjson — one line per event
@@ -148,6 +149,8 @@ class ServingEngine:
             if not new and not fin:
                 continue
             event = {"token_ids": new, "finished": fin}
+            if seq.logprobs:
+                event["logprobs"] = seq.logprob_values[st.watermark: hi]
             if fin:
                 event["text"] = self.engine.final_text(seq)
                 done.append(seq_id)
@@ -264,6 +267,7 @@ def _make_handler(serving: ServingEngine):
                     top_p=float(req.get("top_p", 1.0)),
                     stop=req.get("stop", ()),
                     stop_token_ids=req.get("stop_token_ids", ()),
+                    logprobs=bool(req.get("logprobs", False)),
                 )
             except (KeyError, ValueError, TypeError, AssertionError,
                     json.JSONDecodeError) as e:
@@ -294,19 +298,28 @@ def _make_handler(serving: ServingEngine):
                         return
             else:
                 token_ids, text, error = [], None, None
+                lps: list[float] = []
                 while True:
                     ev = out.get()
                     if ev is _SENTINEL:
                         break
                     error = ev.get("error", error)
                     token_ids += ev.get("token_ids", [])
+                    lps += ev.get("logprobs", [])
                     text = ev.get("text", text)
                 if error is not None:
                     self.send_error(400, explain=error)
                     return
-                body = json.dumps(
-                    {"text": text, "token_ids": token_ids}
-                ).encode()
+                resp = {"text": text, "token_ids": token_ids}
+                if sp.logprobs:
+                    # Stop-string/EOS trimming can drop a tail after events
+                    # were emitted; the sequence holds the trimmed truth.
+                    seq = handle.get("seq")
+                    resp["token_ids"] = seq.completion_token_ids
+                    resp["logprobs"] = seq.logprob_values[
+                        : seq.num_completion_tokens
+                    ]
+                body = json.dumps(resp).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
@@ -316,7 +329,10 @@ def _make_handler(serving: ServingEngine):
         def _openai(self, chat: bool):
             """OpenAI-compatible completions: request/response shapes a stock
             openai client (or curl tooling) expects, mapped onto the same
-            serving engine. n>1 / logprobs / penalties are not supported."""
+            serving engine. Chosen-token logprobs are supported (classic
+            ``logprobs: N`` and chat ``logprobs: true`` both return the
+            sampled token's logprob; top-N alternatives are not).
+            n>1 / penalties are not supported."""
             import time
             import uuid
 
@@ -332,6 +348,7 @@ def _make_handler(serving: ServingEngine):
                     max_tokens=int(req.get("max_tokens", 64)),
                     top_p=float(req.get("top_p", 1.0)),
                     stop=req.get("stop") or (),
+                    logprobs=bool(req.get("logprobs") or False),
                 )
                 if int(req.get("n", 1)) != 1:
                     raise ValueError("only n=1 is supported")
@@ -366,8 +383,10 @@ def _make_handler(serving: ServingEngine):
                         detok.finish(ev["text"]) if fin
                         else detok.push(ev.get("token_ids", []))
                     )
-                    if not delta and not fin:
+                    ev_lps = ev.get("logprobs", []) if sp.logprobs else []
+                    if not delta and not fin and not ev_lps:
                         continue
+                    tok = serving.engine.tokenizer
                     if chat:
                         d = {"content": delta}
                         if first:
@@ -377,14 +396,28 @@ def _make_handler(serving: ServingEngine):
                                   "finish_reason":
                                   _finish_reason(handle["seq"]) if fin
                                   else None}
+                        if ev_lps:
+                            choice["logprobs"] = {"content": [
+                                {"token": tok.decode([t]), "logprob": l}
+                                for t, l in zip(ev["token_ids"], ev_lps)
+                            ]}
                         chunk = {"id": rid, "object": "chat.completion.chunk",
                                  "created": created, "model": model,
                                  "choices": [choice]}
                     else:
+                        lp_field = None
+                        if ev_lps:
+                            lp_field = {
+                                "tokens": [tok.decode([t])
+                                           for t in ev["token_ids"]],
+                                "token_logprobs": ev_lps,
+                                "top_logprobs": None,
+                                "text_offset": [],
+                            }
                         chunk = {"id": rid, "object": obj,
                                  "created": created, "model": model,
                                  "choices": [{"index": 0, "text": delta,
-                                              "logprobs": None,
+                                              "logprobs": lp_field,
                                               "finish_reason":
                                               _finish_reason(handle["seq"])
                                               if fin else None}]}
@@ -411,12 +444,30 @@ def _make_handler(serving: ServingEngine):
                 "completion_tokens": seq.num_completion_tokens,
                 "total_tokens": seq.num_tokens,
             }
+            lp_field = None
+            if sp.logprobs:
+                tok = serving.engine.tokenizer
+                toks = seq.completion_token_ids
+                vals = seq.logprob_values[: len(toks)]
+                if chat:
+                    lp_field = {"content": [
+                        {"token": tok.decode([t]), "logprob": l}
+                        for t, l in zip(toks, vals)
+                    ]}
+                else:
+                    lp_field = {
+                        "tokens": [tok.decode([t]) for t in toks],
+                        "token_logprobs": vals,
+                        "top_logprobs": None,
+                        "text_offset": [],
+                    }
             if chat:
                 choice = {"index": 0,
                           "message": {"role": "assistant", "content": text},
+                          "logprobs": lp_field,
                           "finish_reason": _finish_reason(seq)}
             else:
-                choice = {"index": 0, "text": text, "logprobs": None,
+                choice = {"index": 0, "text": text, "logprobs": lp_field,
                           "finish_reason": _finish_reason(seq)}
             body = json.dumps({"id": rid, "object": obj, "created": created,
                                "model": model, "choices": [choice],

@@ -36,6 +36,11 @@ class SamplingParams:
     # Stop when any of these token ids is sampled (in addition to the model's
     # EOS set; applies even with ignore_eos=True, matching vLLM semantics).
     stop_token_ids: tuple = ()
+    # Return the model log-probability of each sampled token (log-softmax of
+    # the raw logits, NOT temperature-scaled — OpenAI semantics). Requests
+    # that leave this False run a step variant that never computes the
+    # logsumexp, so they pay nothing.
+    logprobs: bool = False
 
     def __post_init__(self):
         assert self.temperature >= 0.0, "temperature must be non-negative"

@@ -243,3 +243,35 @@ def test_metrics_endpoint(server):
     m = json.loads(raw, parse_constant=reject)
     assert {"num_waiting", "num_running", "num_streams"} <= set(m)
     assert m["requests_finished"] >= 1  # module fixture already served some
+
+
+def test_logprobs_generate_and_openai(server):
+    port, prompt, expected = server
+    # /generate: aligned chosen-token logprobs.
+    r = _post(port, dict(prompt=prompt, temperature=0.0, max_tokens=6,
+                         ignore_eos=True, logprobs=True))
+    assert r.status == 200
+    out = json.loads(r.read())
+    assert len(out["logprobs"]) == len(out["token_ids"]) == 6
+    assert all(isinstance(v, float) and v <= 0.0 for v in out["logprobs"])
+    assert out["token_ids"] == expected["token_ids"][:6]
+
+    # /v1/completions with classic logprobs=1: OpenAI field shape.
+    r = _post_path(port, "/v1/completions",
+                   dict(prompt=prompt, temperature=0.0, max_tokens=6,
+                        logprobs=1))
+    assert r.status == 200
+    choice = json.loads(r.read())["choices"][0]
+    lp = choice["logprobs"]
+    assert len(lp["token_logprobs"]) == len(lp["tokens"])
+    assert lp["token_logprobs"] == out["logprobs"][: len(lp["token_logprobs"])]
+
+    # /v1/chat/completions with logprobs=true: content entries.
+    r = _post_path(port, "/v1/chat/completions",
+                   dict(messages=[{"role": "user", "content": "hello"}],
+                        temperature=0.0, max_tokens=4, logprobs=True))
+    assert r.status == 200
+    choice = json.loads(r.read())["choices"][0]
+    entries = choice["logprobs"]["content"]
+    assert len(entries) >= 1
+    assert all("token" in e and e["logprob"] <= 0.0 for e in entries)

@@ -301,3 +301,52 @@ def test_max_model_len_caps_completion(llm):
     prompt = rng.integers(2, 500, size=L).tolist()
     out = llm.generate([prompt], sp, use_tqdm=False)[0]
     assert len(out["token_ids"]) == 1
+
+
+def test_logprobs_match_hf(llm, tiny_qwen3_dir):
+    """Chosen-token logprobs (raw-logits log-softmax, OpenAI semantics) match
+    an HF teacher-forcing loop; requests without logprobs don't get the key."""
+    import torch
+    from transformers import Qwen3ForCausalLM
+
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(2, 500, size=n).tolist() for n in (9, 25)]
+    n_new = 7
+    sps = [
+        SamplingParams(temperature=0.0, max_tokens=n_new, ignore_eos=True,
+                       logprobs=True),
+        SamplingParams(temperature=0.0, max_tokens=n_new, ignore_eos=True),
+    ]
+    out = llm.generate(prompts, sps, use_tqdm=False)
+    assert "logprobs" not in out[1]
+    assert len(out[0]["logprobs"]) == n_new
+
+    model = Qwen3ForCausalLM.from_pretrained(tiny_qwen3_dir, dtype=torch.float32)
+    model.eval()
+    ids = list(prompts[0])
+    ref = []
+    with torch.no_grad():
+        for _ in range(n_new):
+            logits = model(torch.tensor([ids])).logits[0, -1]
+            t = int(logits.argmax())
+            ref.append(float(torch.log_softmax(logits, dim=-1)[t]))
+            ids.append(t)
+    assert out[0]["token_ids"] == ids[len(prompts[0]):]
+    assert max(
+        abs(a - b) for a, b in zip(out[0]["logprobs"], ref)
+    ) < 5e-3  # prefill accumulation-order drift vs torch oneDNN
+
+
+def test_generate_stream_logprobs(llm):
+    rng = np.random.default_rng(12)
+    prompt = rng.integers(2, 500, size=13).tolist()
+    sp = SamplingParams(temperature=0.0, max_tokens=9, ignore_eos=True,
+                        logprobs=True)
+    ref = llm.generate([prompt], sp, use_tqdm=False)[0]
+    tokens, lps = [], []
+    for ev in llm.generate_stream([prompt], sp):
+        assert len(ev["logprobs"]) == len(ev["token_ids"])
+        tokens += ev["token_ids"]
+        lps += ev["logprobs"]
+    assert tokens == ref["token_ids"]
+    assert lps == ref["logprobs"]
