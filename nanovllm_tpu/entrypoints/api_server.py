@@ -331,8 +331,9 @@ def _make_handler(serving: ServingEngine):
             openai client (or curl tooling) expects, mapped onto the same
             serving engine. Chosen-token logprobs are supported (classic
             ``logprobs: N`` and chat ``logprobs: true`` both return the
-            sampled token's logprob; top-N alternatives are not).
-            n>1 / penalties are not supported."""
+            sampled token's logprob; top-N alternatives are not). ``n`` up
+            to 16 fans out into prefix-cache-sharing sequences; penalties
+            are not supported."""
             import time
             import uuid
 
@@ -350,8 +351,9 @@ def _make_handler(serving: ServingEngine):
                     stop=req.get("stop") or (),
                     logprobs=bool(req.get("logprobs") or False),
                 )
-                if int(req.get("n", 1)) != 1:
-                    raise ValueError("only n=1 is supported")
+                n_choices = int(req.get("n", 1))
+                if not 1 <= n_choices <= 16:
+                    raise ValueError("n must be in [1, 16]")
             except (KeyError, ValueError, TypeError, AssertionError,
                     json.JSONDecodeError) as e:
                 self._openai_error(400, str(e))
@@ -360,7 +362,24 @@ def _make_handler(serving: ServingEngine):
             created = int(time.time())
             model = req.get("model") or serving.engine.config.model
             obj = "chat.completion" if chat else "text_completion"
-            out, handle = serving.submit(prompt, sp)
+            # n > 1: fan out into n sequences sharing the prompt — the
+            # prefix cache makes the duplicate prefills nearly free, and
+            # per-row Gumbel noise diversifies them at temperature > 0.
+            subs = [serving.submit(prompt, sp) for _ in range(n_choices)]
+            tok = serving.engine.tokenizer
+
+            def _lp_field(token_ids, lps):
+                if chat:
+                    return {"content": [
+                        {"token": tok.decode([t]), "logprob": l}
+                        for t, l in zip(token_ids, lps)
+                    ]}
+                return {
+                    "tokens": [tok.decode([t]) for t in token_ids],
+                    "token_logprobs": lps,
+                    "top_logprobs": None,
+                    "text_offset": [],
+                }
 
             if req.get("stream"):
                 self.send_response(200)
@@ -368,109 +387,114 @@ def _make_handler(serving: ServingEngine):
                 self.send_header("Cache-Control", "no-cache")
                 self.send_header("Transfer-Encoding", "chunked")
                 self.end_headers()
-                detok = _IncrementalDetok(serving.engine.tokenizer)
-                first = True
-                while True:
-                    ev = out.get()
+                # Merge the per-choice event queues (tagged by index) so
+                # chunks interleave as drains land, OpenAI-style.
+                merged: queue.Queue = queue.Queue()
+
+                def _pump(i, q):
+                    while True:
+                        ev = q.get()
+                        merged.put((i, ev))
+                        if ev is _SENTINEL:
+                            return
+
+                for i, (q, _) in enumerate(subs):
+                    threading.Thread(
+                        target=_pump, args=(i, q), daemon=True
+                    ).start()
+                detoks = [
+                    _IncrementalDetok(tok) for _ in range(n_choices)
+                ]
+                first = [True] * n_choices
+                live = n_choices
+                while live:
+                    i, ev = merged.get()
                     if ev is _SENTINEL:
-                        self._sse(None)  # data: [DONE]
-                        self.wfile.write(b"0\r\n\r\n")
-                        return
+                        live -= 1
+                        continue
                     if "error" in ev:
                         continue  # surfaced as an immediate [DONE]
                     fin = ev.get("finished", False)
                     delta = (
-                        detok.finish(ev["text"]) if fin
-                        else detok.push(ev.get("token_ids", []))
+                        detoks[i].finish(ev["text"]) if fin
+                        else detoks[i].push(ev.get("token_ids", []))
                     )
                     ev_lps = ev.get("logprobs", []) if sp.logprobs else []
                     if not delta and not fin and not ev_lps:
                         continue
-                    tok = serving.engine.tokenizer
+                    fr = (
+                        _finish_reason(subs[i][1]["seq"]) if fin else None
+                    )
                     if chat:
                         d = {"content": delta}
-                        if first:
+                        if first[i]:
                             d["role"] = "assistant"
-                            first = False
-                        choice = {"index": 0, "delta": d,
-                                  "finish_reason":
-                                  _finish_reason(handle["seq"]) if fin
-                                  else None}
+                            first[i] = False
+                        choice = {"index": i, "delta": d,
+                                  "finish_reason": fr}
                         if ev_lps:
-                            choice["logprobs"] = {"content": [
-                                {"token": tok.decode([t]), "logprob": l}
-                                for t, l in zip(ev["token_ids"], ev_lps)
-                            ]}
+                            choice["logprobs"] = _lp_field(
+                                ev["token_ids"], ev_lps
+                            )
                         chunk = {"id": rid, "object": "chat.completion.chunk",
                                  "created": created, "model": model,
                                  "choices": [choice]}
                     else:
-                        lp_field = None
-                        if ev_lps:
-                            lp_field = {
-                                "tokens": [tok.decode([t])
-                                           for t in ev["token_ids"]],
-                                "token_logprobs": ev_lps,
-                                "top_logprobs": None,
-                                "text_offset": [],
-                            }
                         chunk = {"id": rid, "object": obj,
                                  "created": created, "model": model,
-                                 "choices": [{"index": 0, "text": delta,
-                                              "logprobs": lp_field,
-                                              "finish_reason":
-                                              _finish_reason(handle["seq"])
-                                              if fin else None}]}
+                                 "choices": [{
+                                     "index": i, "text": delta,
+                                     "logprobs":
+                                     _lp_field(ev["token_ids"], ev_lps)
+                                     if ev_lps else None,
+                                     "finish_reason": fr,
+                                 }]}
                     try:
                         self._sse(chunk)
                     except (BrokenPipeError, ConnectionResetError):
-                        serving.cancel(handle)
+                        for _, handle in subs:
+                            serving.cancel(handle)
                         return
+                self._sse(None)  # data: [DONE]
+                self.wfile.write(b"0\r\n\r\n")
                 return
 
-            text, error = None, None
-            while True:
-                ev = out.get()
-                if ev is _SENTINEL:
-                    break
-                error = ev.get("error", error)
-                text = ev.get("text", text)
-            if error is not None:
-                self._openai_error(400, error)
-                return
-            seq = handle["seq"]
-            usage = {
-                "prompt_tokens": seq.num_prompt_tokens,
-                "completion_tokens": seq.num_completion_tokens,
-                "total_tokens": seq.num_tokens,
+            choices, usage = [], {
+                "prompt_tokens": 0, "completion_tokens": 0, "total_tokens": 0,
             }
-            lp_field = None
-            if sp.logprobs:
-                tok = serving.engine.tokenizer
-                toks = seq.completion_token_ids
-                vals = seq.logprob_values[: len(toks)]
+            for i, (out, handle) in enumerate(subs):
+                text, error = None, None
+                while True:
+                    ev = out.get()
+                    if ev is _SENTINEL:
+                        break
+                    error = ev.get("error", error)
+                    text = ev.get("text", text)
+                if error is not None:
+                    self._openai_error(400, error)
+                    return
+                seq = handle["seq"]
+                usage["prompt_tokens"] += seq.num_prompt_tokens
+                usage["completion_tokens"] += seq.num_completion_tokens
+                usage["total_tokens"] += seq.num_tokens
+                lp_field = None
+                if sp.logprobs:
+                    toks = seq.completion_token_ids
+                    lp_field = _lp_field(toks, seq.logprob_values[: len(toks)])
                 if chat:
-                    lp_field = {"content": [
-                        {"token": tok.decode([t]), "logprob": l}
-                        for t, l in zip(toks, vals)
-                    ]}
+                    choices.append(
+                        {"index": i,
+                         "message": {"role": "assistant", "content": text},
+                         "logprobs": lp_field,
+                         "finish_reason": _finish_reason(seq)}
+                    )
                 else:
-                    lp_field = {
-                        "tokens": [tok.decode([t]) for t in toks],
-                        "token_logprobs": vals,
-                        "top_logprobs": None,
-                        "text_offset": [],
-                    }
-            if chat:
-                choice = {"index": 0,
-                          "message": {"role": "assistant", "content": text},
-                          "logprobs": lp_field,
-                          "finish_reason": _finish_reason(seq)}
-            else:
-                choice = {"index": 0, "text": text, "logprobs": lp_field,
-                          "finish_reason": _finish_reason(seq)}
+                    choices.append(
+                        {"index": i, "text": text, "logprobs": lp_field,
+                         "finish_reason": _finish_reason(seq)}
+                    )
             body = json.dumps({"id": rid, "object": obj, "created": created,
-                               "model": model, "choices": [choice],
+                               "model": model, "choices": choices,
                                "usage": usage}).encode()
             self.send_response(200)
             self.send_header("Content-Type", "application/json")

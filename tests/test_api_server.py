@@ -226,9 +226,35 @@ def test_openai_chat_stream_matches_blocking(server):
 
 def test_openai_bad_request(server):
     port, _, _ = server
-    r = _post_path(port, "/v1/completions", dict(prompt="a", n=3))
+    r = _post_path(port, "/v1/completions", dict(prompt="a", n=0))
     assert r.status == 400
     assert "error" in json.loads(r.read())
+
+
+def test_openai_n_choices(server):
+    port, prompt, expected = server
+    r = _post_path(port, "/v1/completions",
+                   dict(prompt=prompt, temperature=0.0, max_tokens=6, n=3))
+    assert r.status == 200
+    out = json.loads(r.read())
+    assert [c["index"] for c in out["choices"]] == [0, 1, 2]
+    # Greedy: all fan-out choices must agree (and match the offline trace).
+    assert len({c["text"] for c in out["choices"]}) == 1
+    assert out["usage"]["prompt_tokens"] == 3 * len(prompt)
+
+    # Streaming n>1: chunks interleave with per-choice indices; every choice
+    # reaches a finish_reason.
+    r = _post_path(port, "/v1/chat/completions",
+                   dict(messages=[{"role": "user", "content": "hello"}],
+                        temperature=0.0, max_tokens=4, n=2, stream=True))
+    assert r.status == 200
+    finished = set()
+    for line in r.read().decode().splitlines():
+        if line.startswith("data: ") and line != "data: [DONE]":
+            c = json.loads(line[6:])["choices"][0]
+            if c["finish_reason"]:
+                finished.add(c["index"])
+    assert finished == {0, 1}
 
 
 def test_metrics_endpoint(server):
