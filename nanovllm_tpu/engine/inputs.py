@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+from nanovllm_tpu.sampling_params import LOGIT_BIAS_K
+
 import jax
 import numpy as np
 
@@ -48,6 +50,10 @@ class StepInputs(NamedTuple):
     # Per-seq sampling filters (used only by the "filtered" step variant).
     top_ks: jax.Array         # i32[S] (0 = no k limit)
     top_ps: jax.Array         # f32[S] (1.0 = no nucleus limit)
+    # Per-seq additive logit biases (used only by the "biased" step variant);
+    # padding entries are (id 0, bias 0.0) — a no-op scatter-add.
+    bias_ids: jax.Array       # i32[S, LOGIT_BIAS_K]
+    bias_vals: jax.Array      # f32[S, LOGIT_BIAS_K]
 
 
 def build_step_inputs(
@@ -107,6 +113,13 @@ def build_step_inputs(
     slot_ids = np.full(s_pad, num_slots - 1, np.int32)  # dead slot for padding
     top_ks = np.zeros(s_pad, np.int32)
     top_ps = np.ones(s_pad, np.float32)
+    bias_ids = np.zeros((s_pad, LOGIT_BIAS_K), np.int32)
+    bias_vals = np.zeros((s_pad, LOGIT_BIAS_K), np.float32)
+
+    def _fill_bias(i, r):
+        for k, (t, b) in enumerate(r.get("logit_bias", ()) or ()):
+            bias_ids[i, k] = t
+            bias_vals[i, k] = b
 
     n_req = len(reqs)
     decode_fast = (
@@ -148,6 +161,9 @@ def build_step_inputs(
         top_ps[:n_req] = np.fromiter(
             (r.get("top_p", 1.0) for r in reqs), np.float32, n_req
         )
+        if any(r.get("logit_bias") for r in reqs):
+            for i, r in enumerate(reqs):
+                _fill_bias(i, r)
 
     offset = n_req if decode_fast else 0
     for i, r in enumerate([] if decode_fast else reqs):
@@ -181,6 +197,7 @@ def build_step_inputs(
         slot_ids[i] = r.get("slot", num_slots - 1)
         top_ks[i] = r.get("top_k", 0)
         top_ps[i] = r.get("top_p", 1.0)
+        _fill_bias(i, r)
     assert offset <= t_pad, f"batch of {offset} tokens exceeds bucket {t_pad}"
     n_pairs = len(pairs)
     vector_pairs = False
@@ -241,4 +258,6 @@ def build_step_inputs(
         ring_pos=np.asarray([ring_pos], np.int32),
         top_ks=top_ks,
         top_ps=top_ps,
+        bias_ids=bias_ids,
+        bias_vals=bias_vals,
     )

@@ -549,7 +549,8 @@ class ModelRunner:
         axis = "tp" if tp > 1 else None
 
         def local_step(params, kv, tstate, rope, inputs: StepInputs,
-                       is_prefill: bool, filtered: bool, want_lp: bool):
+                       is_prefill: bool, filtered: bool, want_lp: bool,
+                       biased: bool):
             """Per-device program (the whole program when tp == 1)."""
             last_buf, ring, lp_ring = tstate
             if not is_prefill:
@@ -577,6 +578,16 @@ class ModelRunner:
                 # order (TPU: all_gather over ICI beats the reference's
                 # gather-to-rank-0, embed_head.py:62-66).
                 logits = jax.lax.all_gather(logits, axis, axis=1, tiled=True)
+            if biased:
+                # Additive logit_bias (OpenAI semantics), applied before
+                # temperature / filtering / logprobs. One [S, K] scatter-add
+                # into the gathered full-vocab logits; padding rows add 0.0
+                # at token 0. Separate compiled variant — plain requests
+                # never pay the scatter.
+                rows = jnp.arange(logits.shape[0], dtype=jnp.int32)[:, None]
+                logits = logits.astype(jnp.float32).at[
+                    rows, inputs.bias_ids
+                ].add(inputs.bias_vals)
             key = jax.random.wrap_key_data(inputs.rng)
             if filtered:
                 # Separate compiled variant: requests without top-k/top-p
@@ -613,10 +624,10 @@ class ModelRunner:
             inputs_spec = StepInputs(*([P()] * len(StepInputs._fields)))
 
             def step(params, kv, tstate, rope, inputs, is_prefill, filtered,
-                     want_lp):
+                     want_lp, biased):
                 return _shard_map(
                     lambda p, k, t, r, i: local_step(p, k, t, r, i, is_prefill,
-                                                     filtered, want_lp),
+                                                     filtered, want_lp, biased),
                     mesh=self.mesh,
                     in_specs=(self._param_pspecs(), kv_spec, tstate_spec,
                               (P(), P()), inputs_spec),
@@ -628,7 +639,7 @@ class ModelRunner:
         # analogue of the reference's CUDA-graph set (model_runner.py:222-257).
         self._step_fn = step  # raw (un-jitted) for AOT/lowering consumers
         self._step = jax.jit(
-            step, donate_argnums=(1, 2), static_argnums=(5, 6, 7)
+            step, donate_argnums=(1, 2), static_argnums=(5, 6, 7, 8)
         )
         # AOT executables per (t_bucket, s_bucket, is_prefill); filled by
         # warmup(). Misses fall back to the jit path (compile on first hit).
@@ -682,10 +693,11 @@ class ModelRunner:
         for t_bucket, s_bucket, p_bucket, is_prefill in shapes:
             t0 = perf_counter()
             inputs = self._dummy_inputs(t_bucket, s_bucket, is_prefill, p_bucket)
-            key = (t_bucket, s_bucket, p_bucket, is_prefill, False, False)
+            key = (t_bucket, s_bucket, p_bucket, is_prefill,
+                   False, False, False)
             self._compiled[key] = self._step.lower(
                 self.params, self.kv, self.token_state, self.rope, inputs,
-                is_prefill, False, False,
+                is_prefill, False, False, False,
             ).compile()
             mode = "prefill" if is_prefill else "decode"
             if jax.process_index() == 0:
@@ -706,6 +718,7 @@ class ModelRunner:
         # variant of the step program (lazily; plain requests never pay).
         filtered = any(seq.uses_filtering for seq in seqs)
         want_lp = any(seq.logprobs for seq in seqs)
+        biased = any(seq.logit_bias for seq in seqs)
         reqs = []
         for seq in seqs:
             if is_prefill:
@@ -726,6 +739,7 @@ class ModelRunner:
                     slot=seq.device_slot,
                     top_k=seq.top_k,
                     top_p=seq.top_p,
+                    logit_bias=seq.logit_bias,
                 )
             )
         q_tile = self.q_tile if (is_prefill and self.use_pallas) else None
@@ -792,7 +806,8 @@ class ModelRunner:
                 ),
                 inputs,
             )
-        key = (t_bucket, s_bucket, p_bucket, is_prefill, filtered, want_lp)
+        key = (t_bucket, s_bucket, p_bucket, is_prefill, filtered, want_lp,
+               biased)
         compiled = self._compiled.get(key)
         if compiled is not None:
             self.kv, self.token_state = compiled(
@@ -801,7 +816,7 @@ class ModelRunner:
         else:
             self.kv, self.token_state = self._step(
                 self.params, self.kv, self.token_state, self.rope, inputs,
-                is_prefill, filtered, want_lp,
+                is_prefill, filtered, want_lp, biased,
             )
 
     def fetch_ring(self) -> np.ndarray:

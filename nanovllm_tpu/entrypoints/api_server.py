@@ -268,6 +268,10 @@ def _make_handler(serving: ServingEngine):
                     stop=req.get("stop", ()),
                     stop_token_ids=req.get("stop_token_ids", ()),
                     logprobs=bool(req.get("logprobs", False)),
+                    logit_bias={
+                        int(k): float(v)
+                        for k, v in (req.get("logit_bias") or {}).items()
+                    },
                 )
             except (KeyError, ValueError, TypeError, AssertionError,
                     json.JSONDecodeError) as e:
@@ -350,6 +354,10 @@ def _make_handler(serving: ServingEngine):
                     top_p=float(req.get("top_p", 1.0)),
                     stop=req.get("stop") or (),
                     logprobs=bool(req.get("logprobs") or False),
+                    logit_bias={
+                        int(k): float(v)
+                        for k, v in (req.get("logit_bias") or {}).items()
+                    },
                 )
                 n_choices = int(req.get("n", 1))
                 if not 1 <= n_choices <= 16:

@@ -15,6 +15,10 @@ everything after it is trimmed from the output).
 
 from dataclasses import dataclass
 
+# Static width of the per-sequence logit-bias slab in the device batch
+# (jit needs fixed shapes; OpenAI itself caps logit_bias at ~300 entries,
+# and real use is a handful of tokens).
+LOGIT_BIAS_K = 32
 
 
 @dataclass(slots=True)
@@ -41,6 +45,12 @@ class SamplingParams:
     # that leave this False run a step variant that never computes the
     # logsumexp, so they pay nothing.
     logprobs: bool = False
+    # Additive per-token logit biases (OpenAI logit_bias): {token_id: bias}
+    # or a sequence of (token_id, bias) pairs, at most LOGIT_BIAS_K entries
+    # (the device batch carries a static-width [S, K] slab). Applied before
+    # temperature/filtering/logprobs; biased requests run their own compiled
+    # step variant.
+    logit_bias: dict | tuple = ()
 
     def __post_init__(self):
         assert self.temperature >= 0.0, "temperature must be non-negative"
@@ -54,6 +64,17 @@ class SamplingParams:
             "stop must be a non-empty string or a sequence of them"
         )
         self.stop_token_ids = tuple(int(t) for t in self.stop_token_ids)
+        items = (
+            self.logit_bias.items()
+            if isinstance(self.logit_bias, dict) else self.logit_bias
+        )
+        self.logit_bias = tuple((int(t), float(b)) for t, b in items)
+        assert len(self.logit_bias) <= LOGIT_BIAS_K, (
+            f"logit_bias supports at most {LOGIT_BIAS_K} entries"
+        )
+        assert all(t >= 0 for t, _ in self.logit_bias), (
+            "logit_bias token ids must be non-negative"
+        )
 
     @property
     def uses_filtering(self) -> bool:

@@ -301,3 +301,20 @@ def test_logprobs_generate_and_openai(server):
     entries = choice["logprobs"]["content"]
     assert len(entries) >= 1
     assert all("token" in e and e["logprob"] <= 0.0 for e in entries)
+
+
+def test_logit_bias_param(server):
+    port, prompt, _ = server
+    r = _post(port, dict(prompt=prompt, temperature=0.0, max_tokens=4,
+                         ignore_eos=True, logit_bias={"9": 1000.0}))
+    assert r.status == 200
+    assert json.loads(r.read())["token_ids"] == [9] * 4
+
+    r = _post_path(port, "/v1/completions",
+                   dict(prompt=prompt, temperature=0.0, max_tokens=3,
+                        logit_bias={"9": 1000.0}))
+    assert r.status == 200
+    out = json.loads(r.read())
+    # token 9 maps to a real word in the tiny tokenizer; just check shape +
+    # determinism of the forced choice via usage.
+    assert out["usage"]["completion_tokens"] >= 1

@@ -350,3 +350,45 @@ def test_generate_stream_logprobs(llm):
         lps += ev["logprobs"]
     assert tokens == ref["token_ids"]
     assert lps == ref["logprobs"]
+
+
+def test_logit_bias(llm, tiny_qwen3_dir):
+    """Additive logit_bias (OpenAI semantics): a large positive bias forces
+    the token under greedy; a large negative bias on the natural greedy
+    choice changes it; unbiased requests in the same batch are unaffected."""
+    rng = np.random.default_rng(13)
+    prompt = rng.integers(2, 500, size=15).tolist()
+    base_sp = SamplingParams(temperature=0.0, max_tokens=5, ignore_eos=True)
+    base = llm.generate([prompt], base_sp, use_tqdm=False)[0]
+
+    forced = 7
+    out = llm.generate(
+        [prompt, prompt],
+        [SamplingParams(temperature=0.0, max_tokens=5, ignore_eos=True,
+                        logit_bias={forced: 1000.0}),
+         base_sp],
+        use_tqdm=False,
+    )
+    assert out[0]["token_ids"] == [forced] * 5
+    assert out[1]["token_ids"] == base["token_ids"]  # neighbor unaffected
+
+    banned = base["token_ids"][0]
+    out = llm.generate(
+        [prompt],
+        SamplingParams(temperature=0.0, max_tokens=1, ignore_eos=True,
+                       logit_bias={banned: -1e9}),
+        use_tqdm=False,
+    )
+    assert out[0]["token_ids"][0] != banned
+
+    # Bias composes with the filtered (top-k/top-p) variant and logprobs:
+    # the forced token must survive a top_k=1 window and report its
+    # (post-bias) logprob as ~0.
+    out = llm.generate(
+        [prompt],
+        SamplingParams(temperature=1.0, max_tokens=3, ignore_eos=True,
+                       top_k=1, logprobs=True, logit_bias={forced: 1000.0}),
+        use_tqdm=False,
+    )
+    assert out[0]["token_ids"] == [forced] * 3
+    assert all(abs(lp) < 1e-3 for lp in out[0]["logprobs"])
