@@ -54,6 +54,9 @@ class StepInputs(NamedTuple):
     # padding entries are (id 0, bias 0.0) — a no-op scatter-add.
     bias_ids: jax.Array       # i32[S, LOGIT_BIAS_K]
     bias_vals: jax.Array      # f32[S, LOGIT_BIAS_K]
+    # Per-seq sampling seeds (used only by the "seeded" step variant);
+    # -1 = unseeded row (keeps the per-step noise stream).
+    seeds: jax.Array          # i32[S]
 
 
 def build_step_inputs(
@@ -115,6 +118,7 @@ def build_step_inputs(
     top_ps = np.ones(s_pad, np.float32)
     bias_ids = np.zeros((s_pad, LOGIT_BIAS_K), np.int32)
     bias_vals = np.zeros((s_pad, LOGIT_BIAS_K), np.float32)
+    seeds = np.full(s_pad, -1, np.int32)
 
     def _fill_bias(i, r):
         for k, (t, b) in enumerate(r.get("logit_bias", ()) or ()):
@@ -164,6 +168,11 @@ def build_step_inputs(
         if any(r.get("logit_bias") for r in reqs):
             for i, r in enumerate(reqs):
                 _fill_bias(i, r)
+        if any(r.get("seed") is not None for r in reqs):
+            seeds[:n_req] = np.fromiter(
+                (-1 if r.get("seed") is None else r["seed"] for r in reqs),
+                np.int32, n_req,
+            )
 
     offset = n_req if decode_fast else 0
     for i, r in enumerate([] if decode_fast else reqs):
@@ -198,6 +207,8 @@ def build_step_inputs(
         top_ks[i] = r.get("top_k", 0)
         top_ps[i] = r.get("top_p", 1.0)
         _fill_bias(i, r)
+        if r.get("seed") is not None:
+            seeds[i] = r["seed"]
     assert offset <= t_pad, f"batch of {offset} tokens exceeds bucket {t_pad}"
     n_pairs = len(pairs)
     vector_pairs = False
@@ -260,4 +271,5 @@ def build_step_inputs(
         top_ps=top_ps,
         bias_ids=bias_ids,
         bias_vals=bias_vals,
+        seeds=seeds,
     )

@@ -550,7 +550,7 @@ class ModelRunner:
 
         def local_step(params, kv, tstate, rope, inputs: StepInputs,
                        is_prefill: bool, filtered: bool, want_lp: bool,
-                       biased: bool):
+                       biased: bool, seeded: bool):
             """Per-device program (the whole program when tp == 1)."""
             last_buf, ring, lp_ring = tstate
             if not is_prefill:
@@ -589,15 +589,19 @@ class ModelRunner:
                     rows, inputs.bias_ids
                 ].add(inputs.bias_vals)
             key = jax.random.wrap_key_data(inputs.rng)
+            # "seeded" variant: per-request reproducible noise streams keyed
+            # by (seed, sampled position) — see ops.sampling._row_gumbel.
+            seeds = inputs.seeds if seeded else None
+            pos = inputs.kv_lens if seeded else None
             if filtered:
                 # Separate compiled variant: requests without top-k/top-p
                 # never pay for the lax.top_k window.
                 tokens = sample_topk_topp(
                     logits, inputs.temperatures, key, inputs.top_ks,
-                    inputs.top_ps,
+                    inputs.top_ps, seeds, pos,
                 )
             else:
-                tokens = sample(logits, inputs.temperatures, key)
+                tokens = sample(logits, inputs.temperatures, key, seeds, pos)
             last_buf = last_buf.at[inputs.slot_ids].set(tokens)
             ring = jax.lax.dynamic_update_slice(
                 ring, tokens[None], (inputs.ring_pos[0], jnp.int32(0))
@@ -624,10 +628,11 @@ class ModelRunner:
             inputs_spec = StepInputs(*([P()] * len(StepInputs._fields)))
 
             def step(params, kv, tstate, rope, inputs, is_prefill, filtered,
-                     want_lp, biased):
+                     want_lp, biased, seeded):
                 return _shard_map(
                     lambda p, k, t, r, i: local_step(p, k, t, r, i, is_prefill,
-                                                     filtered, want_lp, biased),
+                                                     filtered, want_lp, biased,
+                                                     seeded),
                     mesh=self.mesh,
                     in_specs=(self._param_pspecs(), kv_spec, tstate_spec,
                               (P(), P()), inputs_spec),
@@ -639,7 +644,7 @@ class ModelRunner:
         # analogue of the reference's CUDA-graph set (model_runner.py:222-257).
         self._step_fn = step  # raw (un-jitted) for AOT/lowering consumers
         self._step = jax.jit(
-            step, donate_argnums=(1, 2), static_argnums=(5, 6, 7, 8)
+            step, donate_argnums=(1, 2), static_argnums=(5, 6, 7, 8, 9)
         )
         # AOT executables per (t_bucket, s_bucket, is_prefill); filled by
         # warmup(). Misses fall back to the jit path (compile on first hit).
@@ -694,10 +699,10 @@ class ModelRunner:
             t0 = perf_counter()
             inputs = self._dummy_inputs(t_bucket, s_bucket, is_prefill, p_bucket)
             key = (t_bucket, s_bucket, p_bucket, is_prefill,
-                   False, False, False)
+                   False, False, False, False)
             self._compiled[key] = self._step.lower(
                 self.params, self.kv, self.token_state, self.rope, inputs,
-                is_prefill, False, False, False,
+                is_prefill, False, False, False, False,
             ).compile()
             mode = "prefill" if is_prefill else "decode"
             if jax.process_index() == 0:
@@ -719,6 +724,7 @@ class ModelRunner:
         filtered = any(seq.uses_filtering for seq in seqs)
         want_lp = any(seq.logprobs for seq in seqs)
         biased = any(seq.logit_bias for seq in seqs)
+        seeded = any(seq.seed is not None for seq in seqs)
         reqs = []
         for seq in seqs:
             if is_prefill:
@@ -740,6 +746,7 @@ class ModelRunner:
                     top_k=seq.top_k,
                     top_p=seq.top_p,
                     logit_bias=seq.logit_bias,
+                    seed=seq.seed,
                 )
             )
         q_tile = self.q_tile if (is_prefill and self.use_pallas) else None
@@ -807,7 +814,7 @@ class ModelRunner:
                 inputs,
             )
         key = (t_bucket, s_bucket, p_bucket, is_prefill, filtered, want_lp,
-               biased)
+               biased, seeded)
         compiled = self._compiled.get(key)
         if compiled is not None:
             self.kv, self.token_state = compiled(
@@ -816,7 +823,7 @@ class ModelRunner:
         else:
             self.kv, self.token_state = self._step(
                 self.params, self.kv, self.token_state, self.rope, inputs,
-                is_prefill, filtered, want_lp, biased,
+                is_prefill, filtered, want_lp, biased, seeded,
             )
 
     def fetch_ring(self) -> np.ndarray:

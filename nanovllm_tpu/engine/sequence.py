@@ -57,6 +57,7 @@ class Sequence:
         self.stop_token_ids = frozenset(sampling_params.stop_token_ids)
         self.logprobs = sampling_params.logprobs
         self.logit_bias = sampling_params.logit_bias
+        self.seed = sampling_params.seed
         # Chosen-token log-probabilities, parallel to completion tokens up to
         # the valued watermark (filled as ring drains apply values).
         self.logprob_values: list[float] = []

@@ -272,6 +272,8 @@ def _make_handler(serving: ServingEngine):
                         int(k): float(v)
                         for k, v in (req.get("logit_bias") or {}).items()
                     },
+                    seed=(None if req.get("seed") is None
+                          else int(req["seed"])),
                 )
             except (KeyError, ValueError, TypeError, AssertionError,
                     json.JSONDecodeError) as e:
@@ -358,6 +360,8 @@ def _make_handler(serving: ServingEngine):
                         int(k): float(v)
                         for k, v in (req.get("logit_bias") or {}).items()
                     },
+                    seed=(None if req.get("seed") is None
+                          else int(req["seed"])),
                 )
                 n_choices = int(req.get("n", 1))
                 if not 1 <= n_choices <= 16:

@@ -19,12 +19,34 @@ import jax.numpy as jnp
 TOPK_WINDOW = 64
 
 
-def sample(logits: jax.Array, temperatures: jax.Array, key: jax.Array) -> jax.Array:
+def _row_gumbel(key, shape, seeds, positions):
+    """Per-row Gumbel noise honoring per-request seeds (beyond the reference;
+    vLLM ``seed`` semantics, made batch-independent): rows with seed >= 0
+    draw from fold_in(fold_in(seed_key, seed), position) — a function of the
+    request's seed and the sampled token's position only, so a seeded request
+    reproduces its trace regardless of batch composition, preemption, or
+    engine restarts. Rows with seed < 0 keep the step-key stream."""
+    step = jax.random.gumbel(key, shape, dtype=jnp.float32)
+    if seeds is None:
+        return step
+    base = jax.random.key(0)
+    keys = jax.vmap(
+        lambda s, p: jax.random.fold_in(jax.random.fold_in(base, s), p)
+    )(jnp.maximum(seeds, 0).astype(jnp.uint32), positions.astype(jnp.uint32))
+    seeded = jax.vmap(
+        lambda k: jax.random.gumbel(k, shape[1:], dtype=jnp.float32)
+    )(keys)
+    return jnp.where((seeds >= 0)[:, None], seeded, step)
+
+
+def sample(logits: jax.Array, temperatures: jax.Array, key: jax.Array,
+           seeds: jax.Array | None = None,
+           positions: jax.Array | None = None) -> jax.Array:
     """logits: f[S, V]; temperatures: f32[S]; returns i32[S] token ids."""
     logits = logits.astype(jnp.float32)
     temps = temperatures[:, None]
     scaled = logits / jnp.maximum(temps, 1e-6)
-    gumbel = jax.random.gumbel(key, logits.shape, dtype=jnp.float32)
+    gumbel = _row_gumbel(key, logits.shape, seeds, positions)
     noisy = scaled + jnp.where(temps > 0.0, gumbel, 0.0)
     return jnp.argmax(noisy, axis=-1).astype(jnp.int32)
 
@@ -35,6 +57,8 @@ def sample_topk_topp(
     key: jax.Array,
     top_ks: jax.Array,        # i32[S]; <= 0 means "no k limit"
     top_ps: jax.Array,        # f32[S]; 1.0 means "no nucleus limit"
+    seeds: jax.Array | None = None,      # i32[S]; < 0 = unseeded row
+    positions: jax.Array | None = None,  # i32[S] sampled-token positions
 ) -> jax.Array:
     """Gumbel sampling restricted to each row's top-k / top-p candidate set.
 
@@ -59,7 +83,7 @@ def sample_topk_topp(
     keep &= cum_before < top_ps[:, None]
 
     masked = jnp.where(keep, scaled, -jnp.inf)
-    gumbel = jax.random.gumbel(key, masked.shape, dtype=jnp.float32)
+    gumbel = _row_gumbel(key, masked.shape, seeds, positions)
     noisy = jnp.where(temps > 0.0, masked + gumbel, vals)
     choice = jnp.argmax(noisy, axis=-1)               # window-local
     return jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0].astype(

@@ -51,6 +51,11 @@ class SamplingParams:
     # temperature/filtering/logprobs; biased requests run their own compiled
     # step variant.
     logit_bias: dict | tuple = ()
+    # Reproducible sampling for this request (vLLM/OpenAI ``seed``): the
+    # noise stream is a function of (seed, token position) only, so the same
+    # seeded request replays identically regardless of batch composition,
+    # preemption, or engine restarts. None = the engine's per-step stream.
+    seed: int | None = None
 
     def __post_init__(self):
         assert self.temperature >= 0.0, "temperature must be non-negative"
@@ -75,6 +80,8 @@ class SamplingParams:
         assert all(t >= 0 for t, _ in self.logit_bias), (
             "logit_bias token ids must be non-negative"
         )
+        assert self.seed is None or self.seed >= 0, "seed must be >= 0"
+
 
     @property
     def uses_filtering(self) -> bool:

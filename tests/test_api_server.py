@@ -318,3 +318,14 @@ def test_logit_bias_param(server):
     # token 9 maps to a real word in the tiny tokenizer; just check shape +
     # determinism of the forced choice via usage.
     assert out["usage"]["completion_tokens"] >= 1
+
+
+def test_seed_param(server):
+    port, prompt, _ = server
+    body = dict(prompt=prompt, temperature=1.0, max_tokens=6, ignore_eos=True,
+                seed=7)
+    a = json.loads(_post(port, body).read())["token_ids"]
+    b = json.loads(_post(port, body).read())["token_ids"]
+    assert a == b
+    c = json.loads(_post(port, dict(body, seed=8)).read())["token_ids"]
+    assert c != a

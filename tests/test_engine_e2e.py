@@ -392,3 +392,29 @@ def test_logit_bias(llm, tiny_qwen3_dir):
     )
     assert out[0]["token_ids"] == [forced] * 3
     assert all(abs(lp) < 1e-3 for lp in out[0]["logprobs"])
+
+
+def test_seeded_sampling_batch_independent(llm):
+    """A seeded request reproduces its trace regardless of batch composition
+    (the noise stream is keyed by (seed, position), not step/row); different
+    seeds diverge; seeded requests also compose with top-k filtering."""
+    rng = np.random.default_rng(17)
+    prompt = rng.integers(2, 500, size=10).tolist()
+    others = [rng.integers(2, 500, size=8).tolist() for _ in range(3)]
+    sp = lambda seed, **kw: SamplingParams(
+        temperature=1.0, max_tokens=6, ignore_eos=True, seed=seed, **kw)
+
+    alone = llm.generate([prompt], sp(42), use_tqdm=False)[0]
+    batched = llm.generate(
+        [prompt] + others, [sp(42)] + [sp(None)] * 3, use_tqdm=False
+    )[0]
+    assert alone["token_ids"] == batched["token_ids"]
+    again = llm.generate([prompt], sp(42), use_tqdm=False)[0]
+    assert again["token_ids"] == alone["token_ids"]
+
+    other_seed = llm.generate([prompt], sp(43), use_tqdm=False)[0]
+    assert other_seed["token_ids"] != alone["token_ids"]
+
+    filt = llm.generate([prompt], sp(42, top_k=50), use_tqdm=False)[0]
+    filt2 = llm.generate([prompt], sp(42, top_k=50), use_tqdm=False)[0]
+    assert filt["token_ids"] == filt2["token_ids"]
