@@ -226,9 +226,17 @@ class ModelRunner:
             "qkv_proj": col,
             "o_proj": row,
             "post_norm": rep_l,
-            "gate_up_proj": col,
-            "down_proj": row,
         }
+        if getattr(self.spec, "num_experts", 0):
+            # MoE: each expert's FFN width shards like the dense MLP
+            # (rank-blocked [gate_r|up_r] columns, row-parallel down); the
+            # router is replicated.
+            layers["router"] = P(None, None, None)
+            layers["expert_gate_up"] = P(None, None, None, "tp")
+            layers["expert_down"] = P(None, None, "tp", None)
+        else:
+            layers["gate_up_proj"] = col
+            layers["down_proj"] = row
         if self.spec.has_qkv_bias:
             layers["qkv_bias"] = P(None, "tp")
         if self.spec.has_qk_norm:

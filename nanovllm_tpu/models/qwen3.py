@@ -45,7 +45,13 @@ class Qwen3Spec(NamedTuple):
     tie_embeddings: bool
     max_position: int
     has_qkv_bias: bool = False   # True for Qwen2
-    has_qk_norm: bool = True     # True for Qwen3 only
+    has_qk_norm: bool = True     # True for Qwen3 / Qwen3-MoE
+    # Sparse MoE FFN (Qwen3-MoE: Qwen3-30B-A3B / 235B-A22B). num_experts == 0
+    # means the dense SwiGLU MLP. The reference has no MoE support at all.
+    num_experts: int = 0
+    num_experts_per_tok: int = 0
+    moe_intermediate_size: int = 0
+    norm_topk_prob: bool = False
 
 
 def spec_from_hf(hf_config) -> Qwen3Spec:
@@ -53,6 +59,14 @@ def spec_from_hf(hf_config) -> Qwen3Spec:
     head_dim = getattr(hf_config, "head_dim", None) or (
         hf_config.hidden_size // hf_config.num_attention_heads
     )
+    moe = model_type == "qwen3_moe"
+    if moe:
+        # v1 restriction: every layer sparse (true for the released Qwen3-MoE
+        # checkpoints; per-layer dense/sparse mixes would need ragged layer
+        # pytrees under the scan).
+        assert getattr(hf_config, "decoder_sparse_step", 1) == 1 and not getattr(
+            hf_config, "mlp_only_layers", []
+        ), "mixed dense/sparse MoE layers are not supported"
     return Qwen3Spec(
         vocab_size=hf_config.vocab_size,
         hidden_size=hf_config.hidden_size,
@@ -66,7 +80,15 @@ def spec_from_hf(hf_config) -> Qwen3Spec:
         tie_embeddings=getattr(hf_config, "tie_word_embeddings", False),
         max_position=hf_config.max_position_embeddings,
         has_qkv_bias=(model_type == "qwen2"),
-        has_qk_norm=(model_type == "qwen3"),
+        has_qk_norm=(model_type in ("qwen3", "qwen3_moe")),
+        num_experts=getattr(hf_config, "num_experts", 0) if moe else 0,
+        num_experts_per_tok=(
+            getattr(hf_config, "num_experts_per_tok", 0) if moe else 0
+        ),
+        moe_intermediate_size=(
+            getattr(hf_config, "moe_intermediate_size", 0) if moe else 0
+        ),
+        norm_topk_prob=getattr(hf_config, "norm_topk_prob", False),
     )
 
 
@@ -99,6 +121,45 @@ def apply_rope(x, cos_t, sin_t):
     s = sin_t[:, None, :]
     out = jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
     return out.astype(x.dtype)
+
+
+def _moe_ffn(spec: Qwen3Spec, lp, x, axis):
+    """Qwen3-MoE sparse FFN (HF Qwen3MoeSparseMoeBlock math: f32 softmax
+    router over all experts, top-k routing weights, optional renormalization).
+
+    TPU-first dispatch: token-expert pairs are sorted by expert and the
+    expert SwiGLU runs as two grouped matmuls (``lax.ragged_dot`` — one MXU
+    pass per expert over its contiguous row block), instead of a per-expert
+    Python loop (torch reference) or a dense all-experts einsum (k/E of the
+    FLOPs). Under TP each expert's FFN width is sharded exactly like the
+    dense MLP (rank-blocked [gate_r|up_r] columns, row-parallel down) and the
+    combined output rides the layer's existing psum; expert-parallel
+    placement over a separate mesh axis is a planned extension."""
+    t, d = x.shape
+    k = spec.num_experts_per_tok
+    logits = x.astype(jnp.float32) @ lp["router"].astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)                    # [T, E] f32
+    w, idx = lax.top_k(probs, k)                               # [T, K]
+    if spec.norm_topk_prob:
+        w = w / jnp.sum(w, axis=-1, keepdims=True)
+    flat_e = idx.reshape(-1)                                   # [T*K]
+    order = jnp.argsort(flat_e)                                # expert-sorted
+    tok = order // k
+    group_sizes = jnp.zeros((spec.num_experts,), jnp.int32).at[flat_e].add(1)
+    xs = x[tok]                                                # [T*K, d]
+    gu = lax.ragged_dot(
+        xs, lp["expert_gate_up"], group_sizes,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    g, u = jnp.split(gu, 2, axis=-1)
+    mid = jax.nn.silu(g) * u
+    out = lax.ragged_dot(
+        mid, lp["expert_down"], group_sizes,
+        preferred_element_type=jnp.float32,
+    )                                                          # [T*K, d] f32
+    out = out * w.reshape(-1)[order][:, None]
+    y = jnp.zeros((t, d), jnp.float32).at[tok].add(out)
+    return y.astype(x.dtype)
 
 
 def _embed_lookup(embed, ids, axis, dtype):
@@ -189,9 +250,12 @@ def forward(
         h = resid + o
         resid = h
         h = rms_norm(h, lp["post_norm"], spec.rms_eps)
-        gu = quant.matmul(h, lp["gate_up_proj"])
-        g, u = jnp.split(gu, 2, axis=-1)
-        h = quant.matmul(jax.nn.silu(g) * u, lp["down_proj"])
+        if spec.num_experts:
+            h = _moe_ffn(spec, lp, h, axis)
+        else:
+            gu = quant.matmul(h, lp["gate_up_proj"])
+            g, u = jnp.split(gu, 2, axis=-1)
+            h = quant.matmul(jax.nn.silu(g) * u, lp["down_proj"])
         if axis is not None:
             h = lax.psum(h, axis)
         h = resid + h
@@ -271,9 +335,15 @@ def _param_shapes(spec: Qwen3Spec) -> dict:
         "qkv_proj": (l, d, qo + 2 * kvo),
         "o_proj": (l, qo, d),
         "post_norm": (l, d),
-        "gate_up_proj": (l, d, 2 * i),
-        "down_proj": (l, i, d),
     }
+    if spec.num_experts:
+        e, mi = spec.num_experts, spec.moe_intermediate_size
+        layers["router"] = (l, d, e)
+        layers["expert_gate_up"] = (l, e, d, 2 * mi)
+        layers["expert_down"] = (l, e, mi, d)
+    else:
+        layers["gate_up_proj"] = (l, d, 2 * i)
+        layers["down_proj"] = (l, i, d)
     if spec.has_qkv_bias:
         layers["qkv_bias"] = (l, qo + 2 * kvo)
     if spec.has_qk_norm:
@@ -446,9 +516,24 @@ def hf_param_plan(spec: Qwen3Spec, tp: int) -> dict:
         ),
         ("layers", "qkv_proj"): ("fused_col", q_parts),
         ("layers", "o_proj"): ("row", "model.layers.{i}.self_attn.o_proj.weight"),
-        ("layers", "gate_up_proj"): ("fused_col", mlp_parts),
-        ("layers", "down_proj"): ("row", "model.layers.{i}.mlp.down_proj.weight"),
     }
+    if spec.num_experts:
+        ex = "model.layers.{i}.mlp.experts.{e}"
+        plan[("layers", "router")] = ("row", "model.layers.{i}.mlp.gate.weight")
+        plan[("layers", "expert_gate_up")] = (
+            "experts_fused_col",
+            [(ex + ".gate_proj", spec.moe_intermediate_size),
+             (ex + ".up_proj", spec.moe_intermediate_size)],
+            spec.num_experts,
+        )
+        plan[("layers", "expert_down")] = (
+            "experts_row", ex + ".down_proj.weight", spec.num_experts,
+        )
+    else:
+        plan[("layers", "gate_up_proj")] = ("fused_col", mlp_parts)
+        plan[("layers", "down_proj")] = (
+            "row", "model.layers.{i}.mlp.down_proj.weight",
+        )
     if spec.has_qk_norm:
         plan[("layers", "q_norm")] = ("stack", "model.layers.{i}.self_attn.q_norm.weight")
         plan[("layers", "k_norm")] = ("stack", "model.layers.{i}.self_attn.k_norm.weight")

@@ -153,6 +153,30 @@ def load_params(spec, plan: dict, model_dir: str, tp: int = 1) -> dict:
                 fused = _rank_block_fuse(mats, tp, axis=0)
                 stacked.append(fused.T if kind == "fused_col" else fused)
             put(path, np.stack([np.ascontiguousarray(a) for a in stacked]))
+        elif kind == "experts_fused_col":
+            # MoE expert weights: [L, E, in, fused_out] (per-expert
+            # rank-blocked fuse, same layout rules as "fused_col").
+            num_experts = rule[2]
+            layers = []
+            for i in range(num_layers):
+                per_e = []
+                for e in range(num_experts):
+                    mats = [
+                        np.asarray(reader.tensor(t.format(i=i, e=e) + ".weight"))
+                        for t, _ in src
+                    ]
+                    per_e.append(_rank_block_fuse(mats, tp, axis=0).T)
+                layers.append(np.stack([np.ascontiguousarray(a) for a in per_e]))
+            put(path, np.stack(layers))
+        elif kind == "experts_row":
+            num_experts = rule[2]
+            put(path, np.stack([
+                np.stack([
+                    np.ascontiguousarray(reader.tensor(src.format(i=i, e=e)).T)
+                    for e in range(num_experts)
+                ])
+                for i in range(num_layers)
+            ]))
         else:
             raise ValueError(f"unknown plan kind {kind!r}")
     return params
@@ -403,6 +427,55 @@ def stream_params_to_device(
             acc_q = pack_int4(acc_q, sh.q)
         assign(path, QuantWeight(q=acc_q, scale=acc_s, mode=qmode))
 
+    def stream_experts(path, rule, kind):
+        """MoE expert stacks [L, E, ...]: streamed one (layer, expert) slice
+        at a time through a single jitted update program (host peak = one
+        expert's raw tensors). Expert weights are not in the quant plan."""
+        assert path not in quant_plan, "quantized MoE experts unsupported"
+        sh = lookup_sharding(path)
+        rep = rep_sharding(sh)
+        num_experts = rule[2]
+        if kind == "experts_fused_col":
+            srcs = lambda i, e: [
+                t.format(i=i, e=e) + ".weight" for t, _ in rule[1]
+            ]
+        else:
+            srcs = lambda i, e: [rule[1].format(i=i, e=e)]
+        shapes0 = [reader.tensor(n).shape for n in srcs(0, 0)]
+        in0 = shapes0[0][1]
+        if kind == "experts_fused_col":
+            slice_shape = (in0, sum(s[0] for s in shapes0))
+        else:
+            slice_shape = (in0, shapes0[0][0])
+        acc = jax.jit(
+            lambda: jnp.zeros((L, num_experts, *slice_shape), dtype),
+            out_shardings=sh,
+        )()
+
+        def update(acc, i, e, *mats):
+            if kind == "experts_fused_col":
+                per_rank = []
+                for r in range(tp):
+                    for m in mats:
+                        chunk = m.shape[0] // tp
+                        per_rank.append(
+                            jax.lax.dynamic_slice_in_dim(m, r * chunk, chunk, 0)
+                        )
+                upd = jnp.concatenate(per_rank, axis=0).T
+            else:
+                upd = mats[0].T
+            return jax.lax.dynamic_update_slice(
+                acc, upd[None, None].astype(dtype),
+                (i, e) + (jnp.int32(0),) * len(slice_shape),
+            )
+
+        step = jax.jit(update, donate_argnums=(0,), out_shardings=sh)
+        for i in range(L):
+            for e in range(num_experts):
+                mats = [put(reader.tensor(n), rep) for n in srcs(i, e)]
+                acc = step(acc, jnp.int32(i), jnp.int32(e), *mats)
+        assign(path, acc)
+
     for path, rule in plan.items():
         kind = rule[0]
         if kind == "single":
@@ -456,6 +529,8 @@ def stream_params_to_device(
             stream_stacked(path, rule, "col")
         elif kind == "fused_col_bias":
             stream_stacked(path, rule, "bias")
+        elif kind in ("experts_fused_col", "experts_row"):
+            stream_experts(path, rule, kind)
         else:
             raise ValueError(f"unknown plan kind {kind!r}")
     return params

@@ -70,6 +70,52 @@ QWEN2_72B = dict(
     _family="qwen2",
 )
 
+# Qwen3-30B-A3B architecture (sparse MoE: 128 experts, 8 active; the MoE
+# serving config — 3B active params per token, bf16 experts need multi-chip).
+QWEN3_30B_A3B = dict(
+    vocab_size=151936,
+    hidden_size=2048,
+    intermediate_size=6144,
+    moe_intermediate_size=768,
+    num_experts=128,
+    num_experts_per_tok=8,
+    norm_topk_prob=True,
+    decoder_sparse_step=1,
+    mlp_only_layers=[],
+    num_hidden_layers=48,
+    num_attention_heads=32,
+    num_key_value_heads=4,
+    head_dim=128,
+    max_position_embeddings=40960,
+    rope_theta=1000000.0,
+    rms_norm_eps=1e-6,
+    tie_word_embeddings=False,
+    _family="qwen3_moe",
+)
+
+# A ~1.3B-active MoE that fits ONE v5e chip (bf16 experts): the 1-chip MoE
+# throughput config for bench.py (BENCH_ARCH=moe-mini).
+QWEN3_MOE_MINI = dict(
+    vocab_size=151936,
+    hidden_size=1024,
+    intermediate_size=3072,
+    moe_intermediate_size=512,
+    num_experts=32,
+    num_experts_per_tok=4,
+    norm_topk_prob=True,
+    decoder_sparse_step=1,
+    mlp_only_layers=[],
+    num_hidden_layers=16,
+    num_attention_heads=16,
+    num_key_value_heads=8,
+    head_dim=128,
+    max_position_embeddings=40960,
+    rope_theta=1000000.0,
+    rms_norm_eps=1e-6,
+    tie_word_embeddings=True,
+    _family="qwen3_moe",
+)
+
 # Tiny config for dryruns / CI (all dims divisible by 8 for TP tests).
 QWEN3_TINY = dict(
     vocab_size=512,
@@ -88,10 +134,11 @@ QWEN3_TINY = dict(
 
 def make_qwen3_dir(path: str, arch: dict) -> str:
     """Write config.json + a tiny offline tokenizer; no weights."""
-    from transformers import Qwen2Config, Qwen3Config
+    from transformers import Qwen2Config, Qwen3Config, Qwen3MoeConfig
 
     arch = dict(arch)
-    cfg_cls = {"qwen2": Qwen2Config, "qwen3": Qwen3Config}[
+    cfg_cls = {"qwen2": Qwen2Config, "qwen3": Qwen3Config,
+               "qwen3_moe": Qwen3MoeConfig}[
         arch.pop("_family", "qwen3")
     ]
     os.makedirs(path, exist_ok=True)

@@ -1,0 +1,111 @@
+"""Qwen3-MoE family: HF greedy/logits parity, TP sharding parity, engine e2e.
+
+The reference (nano-vllm) has no MoE support; this covers our sparse-FFN
+extension (models/qwen3.py `_moe_ffn`: f32 softmax router, top-k routing,
+sorted-dispatch grouped matmuls via lax.ragged_dot).
+"""
+
+import numpy as np
+import pytest
+
+from nanovllm_tpu import LLM, SamplingParams
+
+ENGINE_KW = dict(
+    max_num_batched_tokens=128,
+    max_num_seqs=8,
+    max_model_len=128,
+    kvcache_block_size=16,
+    num_kvcache_blocks=64,
+    decode_buckets=(4, 8),
+    prefill_buckets=(64, 128),
+    dtype="float32",
+    use_pallas_attention=False,
+    enforce_eager=True,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_moe_dir(tmp_path_factory):
+    import torch
+    from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
+
+    path = str(tmp_path_factory.mktemp("tiny_qwen3_moe"))
+    cfg = Qwen3MoeConfig(
+        vocab_size=512,
+        hidden_size=64,
+        intermediate_size=128,       # unused (every layer sparse)
+        moe_intermediate_size=32,
+        num_experts=8,
+        num_experts_per_tok=3,
+        norm_topk_prob=True,         # Qwen3-30B-A3B setting
+        decoder_sparse_step=1,
+        mlp_only_layers=[],
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        max_position_embeddings=1024,
+        rope_theta=10000.0,
+        tie_word_embeddings=True,
+        torch_dtype="float32",
+    )
+    torch.manual_seed(3)
+    model = Qwen3MoeForCausalLM(cfg)
+    # Router logits on an untrained model are near-uniform; spread them so
+    # top-k selections are decisive (parity would otherwise flake on fp
+    # tie-breaks between ranks 3 and 4).
+    with torch.no_grad():
+        for layer in model.model.layers:
+            layer.mlp.gate.weight.mul_(8.0)
+    model.save_pretrained(path, safe_serialization=True)
+    from nanovllm_tpu.utils.testing import _write_tiny_tokenizer
+
+    _write_tiny_tokenizer(path)
+    return path
+
+
+def hf_greedy(model_dir, token_ids, n_new):
+    import torch
+    from transformers import Qwen3MoeForCausalLM
+
+    model = Qwen3MoeForCausalLM.from_pretrained(model_dir, dtype=torch.float32)
+    model.eval()
+    ids = list(token_ids)
+    with torch.no_grad():
+        for _ in range(n_new):
+            logits = model(torch.tensor([ids])).logits[0, -1]
+            ids.append(int(logits.argmax()))
+    return ids[len(token_ids):]
+
+
+def test_moe_greedy_matches_hf(tiny_moe_dir):
+    llm = LLM(tiny_moe_dir, **ENGINE_KW)
+    rng = np.random.default_rng(2)
+    prompts = [rng.integers(2, 500, size=n).tolist() for n in (9, 27, 40)]
+    n_new = 10
+    sp = SamplingParams(temperature=0.0, max_tokens=n_new, ignore_eos=True)
+    outs = llm.generate(prompts, sp, use_tqdm=False)
+    for prompt, out in zip(prompts, outs):
+        assert out["token_ids"] == hf_greedy(tiny_moe_dir, prompt, n_new)
+    # Prefix-cached second pass stays correct (paged KV + MoE interaction).
+    outs2 = llm.generate(prompts, sp, use_tqdm=False)
+    assert [o["token_ids"] for o in outs2] == [o["token_ids"] for o in outs]
+
+
+def test_moe_tp2_matches_tp1(tiny_moe_dir):
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    rng = np.random.default_rng(4)
+    prompts = [rng.integers(2, 500, size=n).tolist() for n in (11, 23)]
+    tok1 = [
+        o["token_ids"]
+        for o in LLM(tiny_moe_dir, **ENGINE_KW).generate(
+            prompts, sp, use_tqdm=False
+        )
+    ]
+    tok2 = [
+        o["token_ids"]
+        for o in LLM(
+            tiny_moe_dir, tensor_parallel_size=2, **ENGINE_KW
+        ).generate(prompts, sp, use_tqdm=False)
+    ]
+    assert tok1 == tok2
