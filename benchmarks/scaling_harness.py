@@ -65,16 +65,19 @@ def main():
 
     from nanovllm_tpu import LLM, SamplingParams
     from nanovllm_tpu.utils.testing import (
-        QWEN2_72B, QWEN3_0_6B, QWEN3_32B, QWEN3_8B, make_qwen3_dir)
+        QWEN2_72B, QWEN3_0_6B, QWEN3_30B_A3B, QWEN3_32B, QWEN3_8B,
+        make_qwen3_dir)
 
     archs = {"0.6b": QWEN3_0_6B, "8b": QWEN3_8B, "32b": QWEN3_32B,
-             "72b": QWEN2_72B}
+             "72b": QWEN2_72B, "30b-a3b": QWEN3_30B_A3B}
     arch_name = os.environ.get("BENCH_ARCH", "32b" if not args.cpu else "0.6b")
     arch = dict(archs[arch_name])
     if args.cpu:  # shrink for the self-test
         arch.update(num_hidden_layers=2, vocab_size=2048, hidden_size=256,
                     intermediate_size=512, num_attention_heads=8,
                     num_key_value_heads=8, head_dim=32)
+        if arch.get("num_experts"):
+            arch.update(num_experts=8, moe_intermediate_size=64)
     model_dir = make_qwen3_dir(f"/tmp/qwen3-{arch_name}-scaling", arch)
 
     n_chips = len(jax.devices())
@@ -88,6 +91,10 @@ def main():
         max_num_batched_tokens=16384 if not args.cpu else 256,
         kvcache_block_size=256 if not args.cpu else 16,
         quantization=quant,
+        # MoE placement: BENCH_EP=1 puts num_experts/n full-width experts on
+        # each chip (the intended 30b-a3b pod layout) instead of sharding
+        # every expert's FFN width.
+        enable_expert_parallel=os.environ.get("BENCH_EP", "0") == "1",
         kv_cache_dtype="int8" if not args.cpu else "auto",
         num_kvcache_blocks=-1 if not args.cpu else 64,
         **({} if not args.cpu else dict(

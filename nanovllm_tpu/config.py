@@ -22,6 +22,10 @@ class Config:
     max_model_len: int = 4096
     hbm_utilization: float = 0.9
     tensor_parallel_size: int = 1
+    # MoE placement over the TP mesh axis: False shards each expert's FFN
+    # width (load-balanced); True gives each rank num_experts/tp full-width
+    # experts (expert parallelism — better MXU aspect ratios at high tp).
+    enable_expert_parallel: bool = False
     data_parallel_size: int = 1
     enforce_eager: bool = False
     hf_config: Any = None

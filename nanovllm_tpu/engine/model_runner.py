@@ -228,12 +228,21 @@ class ModelRunner:
             "post_norm": rep_l,
         }
         if getattr(self.spec, "num_experts", 0):
-            # MoE: each expert's FFN width shards like the dense MLP
-            # (rank-blocked [gate_r|up_r] columns, row-parallel down); the
-            # router is replicated.
+            # MoE placements (router always replicated): TP shards each
+            # expert's FFN width like the dense MLP; EP
+            # (config.enable_expert_parallel) gives each rank E/tp
+            # full-width experts (better MXU aspect ratios at high tp).
             layers["router"] = P(None, None, None)
-            layers["expert_gate_up"] = P(None, None, None, "tp")
-            layers["expert_down"] = P(None, None, "tp", None)
+            if self.config.enable_expert_parallel:
+                assert self.spec.num_experts % self.tp == 0, (
+                    f"num_experts={self.spec.num_experts} must divide over "
+                    f"tp={self.tp} for expert parallelism"
+                )
+                layers["expert_gate_up"] = P(None, "tp", None, None)
+                layers["expert_down"] = P(None, "tp", None, None)
+            else:
+                layers["expert_gate_up"] = P(None, None, None, "tp")
+                layers["expert_down"] = P(None, None, "tp", None)
         else:
             layers["gate_up_proj"] = col
             layers["down_proj"] = row
@@ -576,6 +585,7 @@ class ModelRunner:
                 attn_impl=prefill_impl if is_prefill else decode_impl,
                 scan_layers=cfg.scan_layers,
                 rope=rope,
+                moe_ep=cfg.enable_expert_parallel,
             )
             # Last-token-only before the LM-head matmul (embed_head.py:56-60).
             last_h = hidden[inputs.last_token_idx]  # [S, D]

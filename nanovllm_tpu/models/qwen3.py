@@ -123,7 +123,7 @@ def apply_rope(x, cos_t, sin_t):
     return out.astype(x.dtype)
 
 
-def _moe_ffn(spec: Qwen3Spec, lp, x, axis):
+def _moe_ffn(spec: Qwen3Spec, lp, x, axis, ep: bool = False):
     """Qwen3-MoE sparse FFN (HF Qwen3MoeSparseMoeBlock math: f32 softmax
     router over all experts, top-k routing weights, optional renormalization).
 
@@ -131,21 +131,36 @@ def _moe_ffn(spec: Qwen3Spec, lp, x, axis):
     expert SwiGLU runs as two grouped matmuls (``lax.ragged_dot`` — one MXU
     pass per expert over its contiguous row block), instead of a per-expert
     Python loop (torch reference) or a dense all-experts einsum (k/E of the
-    FLOPs). Under TP each expert's FFN width is sharded exactly like the
-    dense MLP (rank-blocked [gate_r|up_r] columns, row-parallel down) and the
-    combined output rides the layer's existing psum; expert-parallel
-    placement over a separate mesh axis is a planned extension."""
+    FLOPs).
+
+    Two mesh placements (both ride the layer's existing psum):
+    - TP (default): each expert's FFN width shards like the dense MLP
+      (rank-blocked [gate_r|up_r] columns, row-parallel down) — perfectly
+      load-balanced, but per-rank matmul width shrinks with tp.
+    - EP (``ep=True``, config.enable_expert_parallel): each rank owns
+      E/tp FULL-WIDTH experts. Pairs sort by ``(expert - first_local) % E``
+      so the rank's experts occupy the leading rows; ragged_dot zero-fills
+      rows beyond its local group coverage, so non-local pairs contribute
+      exact zeros through SwiGLU and the combine, and the psum assembles the
+      full result with no masking and no extra collectives."""
     t, d = x.shape
-    k = spec.num_experts_per_tok
+    e, k = spec.num_experts, spec.num_experts_per_tok
     logits = x.astype(jnp.float32) @ lp["router"].astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)                    # [T, E] f32
     w, idx = lax.top_k(probs, k)                               # [T, K]
     if spec.norm_topk_prob:
         w = w / jnp.sum(w, axis=-1, keepdims=True)
     flat_e = idx.reshape(-1)                                   # [T*K]
-    order = jnp.argsort(flat_e)                                # expert-sorted
+    counts = jnp.zeros((e,), jnp.int32).at[flat_e].add(1)
+    if ep and axis is not None:
+        e_local = quant.shape_of(lp["expert_gate_up"])[0]
+        lo = lax.axis_index(axis) * e_local
+        order = jnp.argsort((flat_e - lo) % e)                 # local-first
+        group_sizes = lax.dynamic_slice_in_dim(counts, lo, e_local)
+    else:
+        order = jnp.argsort(flat_e)                            # expert-sorted
+        group_sizes = counts
     tok = order // k
-    group_sizes = jnp.zeros((spec.num_experts,), jnp.int32).at[flat_e].add(1)
     xs = x[tok]                                                # [T*K, d]
     gu = lax.ragged_dot(
         xs, lp["expert_gate_up"], group_sizes,
@@ -191,6 +206,7 @@ def forward(
                                 # through the jit as arguments; computed
                                 # in-trace they bloat every bucket executable
                                 # with a [max_position, hd/2] x2 constant
+    moe_ep: bool = False,       # expert-parallel MoE placement (see _moe_ffn)
 ):
     """One forward pass over a ragged packed batch; returns (hidden [T, D],
     updated kv). Runs unsharded (tp=1) or as the per-device program inside
@@ -251,7 +267,7 @@ def forward(
         resid = h
         h = rms_norm(h, lp["post_norm"], spec.rms_eps)
         if spec.num_experts:
-            h = _moe_ffn(spec, lp, h, axis)
+            h = _moe_ffn(spec, lp, h, axis, ep=moe_ep)
         else:
             gu = quant.matmul(h, lp["gate_up_proj"])
             g, u = jnp.split(gu, 2, axis=-1)

@@ -109,3 +109,25 @@ def test_moe_tp2_matches_tp1(tiny_moe_dir):
         ).generate(prompts, sp, use_tqdm=False)
     ]
     assert tok1 == tok2
+
+
+def test_moe_ep2_matches_tp1(tiny_moe_dir):
+    """Expert-parallel placement (each rank owns E/tp full-width experts;
+    ragged_dot zero-fills non-local rows) reproduces single-device tokens."""
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    rng = np.random.default_rng(6)
+    prompts = [rng.integers(2, 500, size=n).tolist() for n in (13, 29)]
+    tok1 = [
+        o["token_ids"]
+        for o in LLM(tiny_moe_dir, **ENGINE_KW).generate(
+            prompts, sp, use_tqdm=False
+        )
+    ]
+    tok_ep = [
+        o["token_ids"]
+        for o in LLM(
+            tiny_moe_dir, tensor_parallel_size=2, enable_expert_parallel=True,
+            **ENGINE_KW
+        ).generate(prompts, sp, use_tqdm=False)
+    ]
+    assert tok1 == tok_ep
