@@ -26,6 +26,10 @@ class Config:
     # width (load-balanced); True gives each rank num_experts/tp full-width
     # experts (expert parallelism — better MXU aspect ratios at high tp).
     enable_expert_parallel: bool = False
+    # First device of this engine's mesh (data-parallel serving: replica r
+    # of the api_server's --data-parallel pool runs on devices
+    # [r*tp, (r+1)*tp) of the same process).
+    device_offset: int = 0
     data_parallel_size: int = 1
     enforce_eager: bool = False
     hf_config: Any = None

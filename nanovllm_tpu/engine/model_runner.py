@@ -92,8 +92,10 @@ class ModelRunner:
         self.tp = config.tensor_parallel_size
 
         devices = jax.devices()
-        assert self.tp <= len(devices), (
-            f"tensor_parallel_size={self.tp} but only {len(devices)} devices"
+        off = config.device_offset
+        assert off + self.tp <= len(devices), (
+            f"device_offset={off} + tensor_parallel_size={self.tp} exceeds "
+            f"{len(devices)} devices"
         )
         # Multi-host (DCN): every host runs this same program (multi-controller
         # SPMD, SURVEY.md §5/§7: the deterministic scheduler + a shared rng
@@ -103,11 +105,13 @@ class ModelRunner:
         # process's devices so all hosts participate in each jitted step.
         self.n_proc = jax.process_count()
         if self.n_proc > 1:
-            assert self.tp == len(devices), (
+            assert self.tp == len(devices) and off == 0, (
                 f"multi-host runs require tensor_parallel_size == global device "
-                f"count ({len(devices)}), got {self.tp}"
+                f"count ({len(devices)}) and device_offset == 0, got {self.tp}"
             )
-        self.mesh = Mesh(np.asarray(devices[: self.tp]).reshape(self.tp), ("tp",))
+        self.mesh = Mesh(
+            np.asarray(devices[off: off + self.tp]).reshape(self.tp), ("tp",)
+        )
         self.is_tpu = devices[0].platform in ("tpu", "axon")
 
         # Persistent compilation cache: recompiling a bucket costs 20-40s on

@@ -163,6 +163,56 @@ class ServingEngine:
             self.engine._emitted.pop(seq_id, None)
 
 
+class ServingPool:
+    """Data-parallel serving: N independent engine replicas (each on its own
+    device subset via ``Config.device_offset``) behind one submit() surface.
+    Requests go to the replica with the fewest active streams — each replica
+    runs its own continuous batch, scheduler, and KV pool, so small models
+    scale across chips without sharding (SURVEY §2 parallelism table: DP is
+    the reference's explicitly-absent "optional v2")."""
+
+    def __init__(self, engines):
+        self.servings = [ServingEngine(e) for e in engines]
+        self.engine = engines[0]  # tokenizer/config surface (identical)
+
+    def submit(self, prompt, sampling_params: SamplingParams):
+        se = min(self.servings, key=lambda s: len(s.active) + s.intake.qsize())
+        out, handle = se.submit(prompt, sampling_params)
+        handle["_serving"] = se
+        return out, handle
+
+    def cancel(self, handle: dict):
+        handle.get("_serving", self.servings[0]).cancel(handle)
+
+    @property
+    def active(self):
+        return {
+            (i, k): v
+            for i, s in enumerate(self.servings)
+            for k, v in s.active.items()
+        }
+
+    def metrics(self) -> dict:
+        per = []
+        for s in self.servings:
+            m = dict(s.engine.metrics.summary())
+            m["num_waiting"] = len(s.engine.scheduler.waiting)
+            m["num_running"] = len(s.engine.scheduler.running)
+            m["num_streams"] = len(s.active)
+            per.append(m)
+        agg = {
+            "num_waiting": sum(m["num_waiting"] for m in per),
+            "num_running": sum(m["num_running"] for m in per),
+            "num_streams": sum(m["num_streams"] for m in per),
+            "replicas": per,
+        }
+        return agg
+
+    def shutdown(self):
+        for s in self.servings:
+            s.shutdown()
+
+
 class _IncrementalDetok:
     """Streaming detokenizer: decodes the completion so far and emits only
     the stable new suffix (a trailing U+FFFD means a token straddles a UTF-8
@@ -217,14 +267,23 @@ def _make_handler(serving: ServingEngine):
             elif self.path == "/metrics":
                 # Engine observability: TTFT p50/p99, per-phase tok/s, e2e
                 # latency (utils/metrics.py) plus live queue depths.
-                m = dict(serving.engine.metrics.summary())
-                m["num_waiting"] = len(serving.engine.scheduler.waiting)
-                m["num_running"] = len(serving.engine.scheduler.running)
-                m["num_streams"] = len(serving.active)
-                # NaN (empty percentiles) is not valid JSON; emit null.
-                m = {k: (None if isinstance(v, float) and v != v else v)
-                     for k, v in m.items()}
-                body = json.dumps(m).encode()
+                if isinstance(serving, ServingPool):
+                    m = serving.metrics()
+                else:
+                    m = dict(serving.engine.metrics.summary())
+                    m["num_waiting"] = len(serving.engine.scheduler.waiting)
+                    m["num_running"] = len(serving.engine.scheduler.running)
+                    m["num_streams"] = len(serving.active)
+
+                def scrub(v):
+                    # NaN (empty percentiles) is not valid JSON; emit null.
+                    if isinstance(v, dict):
+                        return {k: scrub(x) for k, x in v.items()}
+                    if isinstance(v, list):
+                        return [scrub(x) for x in v]
+                    return None if isinstance(v, float) and v != v else v
+
+                body = json.dumps(scrub(m)).encode()
             else:
                 self.send_error(404)
                 return
@@ -535,9 +594,13 @@ def _make_handler(serving: ServingEngine):
 
 
 def serve(llm, host: str = "0.0.0.0", port: int = 8000):
-    """Serve an existing LLM/LLMEngine; returns (server, serving_engine).
+    """Serve an existing LLM/LLMEngine — or a LIST of engine replicas
+    (data-parallel pool; see ServingPool) — returns (server, serving).
     Call ``server.serve_forever()`` (blocking) or drive it from a thread."""
-    serving = ServingEngine(llm)
+    if isinstance(llm, (list, tuple)):
+        serving = ServingPool(list(llm))
+    else:
+        serving = ServingEngine(llm)
     server = ThreadingHTTPServer((host, port), _make_handler(serving))
     return server, serving
 
@@ -560,6 +623,11 @@ def main(argv=None):
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument(
+        "--data-parallel", type=int, default=1,
+        help="engine replicas, each on its own tp-sized device subset "
+             "(device_offset = replica * tensor_parallel_size)",
+    )
+    ap.add_argument(
         "--config", nargs="*", default=[],
         help="LLM config overrides as key=value (ints/floats auto-cast)",
     )
@@ -574,7 +642,15 @@ def main(argv=None):
             except ValueError:
                 continue
         kwargs[k] = v
-    llm = LLM(args.model, **kwargs)
+    if args.data_parallel > 1:
+        tp = int(kwargs.get("tensor_parallel_size", 1))
+        llm = [
+            LLM(args.model, device_offset=r * tp,
+                data_parallel_size=args.data_parallel, **kwargs)
+            for r in range(args.data_parallel)
+        ]
+    else:
+        llm = LLM(args.model, **kwargs)
     server, serving = serve(llm, args.host, args.port)
     print(f"serving {args.model} on {args.host}:{args.port}")
     try:

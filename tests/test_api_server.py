@@ -329,3 +329,50 @@ def test_seed_param(server):
     assert a == b
     c = json.loads(_post(port, dict(body, seed=8)).read())["token_ids"]
     assert c != a
+
+
+def test_data_parallel_pool(tiny_qwen3_dir):
+    """Two engine replicas on disjoint device subsets behind one server:
+    concurrent requests spread across replicas and all return the offline
+    tokens (greedy)."""
+    from nanovllm_tpu.entrypoints.api_server import ServingPool
+
+    engines = [
+        LLM(tiny_qwen3_dir, device_offset=r, **ENGINE_KW) for r in range(2)
+    ]
+    rng = np.random.default_rng(23)
+    prompt = rng.integers(2, 500, size=12).tolist()
+    sp = SamplingParams(temperature=0.0, max_tokens=10, ignore_eos=True)
+    expected = engines[0].generate([prompt], sp, use_tqdm=False)[0]
+
+    srv, serving = serve(engines, host="127.0.0.1", port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        assert isinstance(serving, ServingPool)
+        port = srv.server_address[1]
+        results = {}
+
+        def hit(i):
+            r = _post(port, dict(prompt=prompt, temperature=0.0,
+                                 max_tokens=10, ignore_eos=True))
+            results[i] = json.loads(r.read())["token_ids"]
+
+        threads = [threading.Thread(target=hit, args=(i,)) for i in range(4)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=120)
+        assert results == {i: expected["token_ids"] for i in range(4)}
+        # Both replicas actually served work.
+        served = [len(e.metrics.e2e_latencies) for e in engines]
+        assert all(n >= 1 for n in served), served
+
+        # Aggregated /metrics exposes per-replica stats.
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET", "/metrics")
+        m = json.loads(conn.getresponse().read())
+        assert len(m["replicas"]) == 2
+    finally:
+        srv.shutdown()
+        serving.shutdown()
