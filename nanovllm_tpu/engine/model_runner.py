@@ -342,7 +342,8 @@ class ModelRunner:
         finally:
             cfg.num_kvcache_blocks = saved
         compiled = self._step.lower(
-            self.params, kv, self.token_state, self.rope, inputs, True, False
+            self.params, kv, self.token_state, self.rope, inputs,
+            True, False, False, False, False,
         ).compile()
         ma = compiled.memory_analysis()
         summed = (

@@ -418,3 +418,11 @@ def test_seeded_sampling_batch_independent(llm):
     filt = llm.generate([prompt], sp(42, top_k=50), use_tqdm=False)[0]
     filt2 = llm.generate([prompt], sp(42, top_k=50), use_tqdm=False)[0]
     assert filt["token_ids"] == filt2["token_ids"]
+
+
+def test_kv_sizing_probe_runs(llm):
+    """The compiler-measured KV-sizing probe must track the step function's
+    signature (it crashed on TPU startup when static args were added — the
+    CPU suite never reached it because _auto_num_blocks early-returns off
+    TPU; call it directly)."""
+    assert llm.model_runner._probe_step_peak_bytes(2) > 0
