@@ -192,7 +192,9 @@ class ModelRunner:
         # in checkpoint dtype; fuse/transpose/cast/quantize all run on-device
         # (reference loader.py:12-28 streams tensor-by-tensor; on this host a
         # whole-checkpoint f32 materialization would take tens of minutes).
-        plan = self.family.hf_param_plan(spec, tp=self.tp)
+        plan = self.family.hf_param_plan(
+            spec, tp=self.tp, ep=self.config.enable_expert_parallel
+        )
         self.params = stream_params_to_device(
             spec,
             plan,

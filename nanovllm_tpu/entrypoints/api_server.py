@@ -81,7 +81,7 @@ class ServingEngine:
         """Returns (event queue, cancel handle). Pass the handle to
         ``cancel`` if the client goes away."""
         out: queue.Queue = queue.Queue()
-        handle: dict = {}
+        handle: dict = {"_serving": self}  # cancel routing (incl. via a pool)
         self.intake.put(("submit", prompt, sampling_params, out, handle))
         return out, handle
 
@@ -436,7 +436,23 @@ def _make_handler(serving: ServingEngine):
             # n > 1: fan out into n sequences sharing the prompt — the
             # prefix cache makes the duplicate prefills nearly free, and
             # per-row Gumbel noise diversifies them at temperature > 0.
-            subs = [serving.submit(prompt, sp) for _ in range(n_choices)]
+            # A seeded request offsets the seed per choice (identical seeds
+            # would sample n identical traces), and under a data-parallel
+            # pool all choices go to ONE replica so the shared prompt
+            # actually hits that replica's prefix cache.
+            import dataclasses
+
+            def _choice_sp(i):
+                if sp.seed is None or i == 0:
+                    return sp
+                return dataclasses.replace(sp, seed=(sp.seed + i) % 2**31)
+
+            first = serving.submit(prompt, _choice_sp(0))
+            target = first[1].get("_serving", serving)
+            subs = [first] + [
+                target.submit(prompt, _choice_sp(i))
+                for i in range(1, n_choices)
+            ]
             tok = serving.engine.tokenizer
 
             def _lp_field(token_ids, lps):
@@ -545,9 +561,14 @@ def _make_handler(serving: ServingEngine):
                     self._openai_error(400, error)
                     return
                 seq = handle["seq"]
-                usage["prompt_tokens"] += seq.num_prompt_tokens
+                if i == 0:
+                    # OpenAI counts the prompt once per request (and the
+                    # prefix cache really does prefill it once).
+                    usage["prompt_tokens"] = seq.num_prompt_tokens
                 usage["completion_tokens"] += seq.num_completion_tokens
-                usage["total_tokens"] += seq.num_tokens
+                usage["total_tokens"] = (
+                    usage["prompt_tokens"] + usage["completion_tokens"]
+                )
                 lp_field = None
                 if sp.logprobs:
                     toks = seq.completion_token_ids

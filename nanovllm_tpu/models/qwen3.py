@@ -500,7 +500,7 @@ def _device_quant_leaf(shape: tuple, mode: str, key, *, kind: str, tp: int,
 # ------------------------------------------------------------ HF loading
 
 
-def hf_param_plan(spec: Qwen3Spec, tp: int) -> dict:
+def hf_param_plan(spec: Qwen3Spec, tp: int, ep: bool = False) -> dict:
     """Describe how HF checkpoint tensors map onto our parameter tree.
 
     Each entry: target path -> (kind, [list of per-layer HF name templates or
@@ -536,11 +536,16 @@ def hf_param_plan(spec: Qwen3Spec, tp: int) -> dict:
     if spec.num_experts:
         ex = "model.layers.{i}.mlp.experts.{e}"
         plan[("layers", "router")] = ("row", "model.layers.{i}.mlp.gate.weight")
+        # Expert-parallel placement leaves each expert's width UNSHARDED
+        # (the expert dim shards instead), so the gate|up fuse must use the
+        # natural tp=1 layout — a rank-blocked fuse would make the in-model
+        # split(gu, 2) pair gate halves with gate halves.
         plan[("layers", "expert_gate_up")] = (
             "experts_fused_col",
             [(ex + ".gate_proj", spec.moe_intermediate_size),
              (ex + ".up_proj", spec.moe_intermediate_size)],
             spec.num_experts,
+            1 if ep else tp,
         )
         plan[("layers", "expert_down")] = (
             "experts_row", ex + ".down_proj.weight", spec.num_experts,

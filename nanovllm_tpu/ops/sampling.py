@@ -25,18 +25,31 @@ def _row_gumbel(key, shape, seeds, positions):
     draw from fold_in(fold_in(seed_key, seed), position) — a function of the
     request's seed and the sampled token's position only, so a seeded request
     reproduces its trace regardless of batch composition, preemption, or
-    engine restarts. Rows with seed < 0 keep the step-key stream."""
-    step = jax.random.gumbel(key, shape, dtype=jnp.float32)
+    engine restarts. Rows with seed < 0 draw from the per-step key (folded by
+    row). One per-row key select + ONE noise generation — not two full
+    [S, V] streams with a whole-buffer select."""
     if seeds is None:
-        return step
+        return jax.random.gumbel(key, shape, dtype=jnp.float32)
     base = jax.random.key(0)
-    keys = jax.vmap(
-        lambda s, p: jax.random.fold_in(jax.random.fold_in(base, s), p)
-    )(jnp.maximum(seeds, 0).astype(jnp.uint32), positions.astype(jnp.uint32))
-    seeded = jax.vmap(
+
+    def row_key(i, s, p):
+        seeded = jax.random.fold_in(jax.random.fold_in(base, s), p)
+        unseeded = jax.random.fold_in(key, i)
+        return jnp.where(
+            s >= 0,
+            jax.random.key_data(seeded),
+            jax.random.key_data(unseeded),
+        )
+
+    data = jax.vmap(row_key)(
+        jnp.arange(seeds.shape[0], dtype=jnp.uint32),
+        jnp.maximum(seeds, 0).astype(jnp.uint32),
+        positions.astype(jnp.uint32),
+    )
+    keys = jax.random.wrap_key_data(data)
+    return jax.vmap(
         lambda k: jax.random.gumbel(k, shape[1:], dtype=jnp.float32)
     )(keys)
-    return jnp.where((seeds >= 0)[:, None], seeded, step)
 
 
 def sample(logits: jax.Array, temperatures: jax.Array, key: jax.Array,

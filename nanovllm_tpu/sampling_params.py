@@ -77,10 +77,13 @@ class SamplingParams:
         assert len(self.logit_bias) <= LOGIT_BIAS_K, (
             f"logit_bias supports at most {LOGIT_BIAS_K} entries"
         )
-        assert all(t >= 0 for t, _ in self.logit_bias), (
-            "logit_bias token ids must be non-negative"
+        assert all(0 <= t < 2**31 for t, _ in self.logit_bias), (
+            "logit_bias token ids must fit int32 (the device batch is int32;"
+            " out-of-vocab ids are dropped by the scatter)"
         )
-        assert self.seed is None or self.seed >= 0, "seed must be >= 0"
+        assert self.seed is None or 0 <= self.seed < 2**31, (
+            "seed must be in [0, 2**31)"
+        )
 
 
     @property

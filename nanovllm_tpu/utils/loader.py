@@ -154,9 +154,10 @@ def load_params(spec, plan: dict, model_dir: str, tp: int = 1) -> dict:
                 stacked.append(fused.T if kind == "fused_col" else fused)
             put(path, np.stack([np.ascontiguousarray(a) for a in stacked]))
         elif kind == "experts_fused_col":
-            # MoE expert weights: [L, E, in, fused_out] (per-expert
-            # rank-blocked fuse, same layout rules as "fused_col").
-            num_experts = rule[2]
+            # MoE expert weights: [L, E, in, fused_out]. The fuse layout tp
+            # comes from the plan (rule[3]): rank-blocked when TP shards the
+            # expert width, natural tp=1 layout under expert parallelism.
+            num_experts, fuse_tp = rule[2], rule[3]
             layers = []
             for i in range(num_layers):
                 per_e = []
@@ -165,7 +166,7 @@ def load_params(spec, plan: dict, model_dir: str, tp: int = 1) -> dict:
                         np.asarray(reader.tensor(t.format(i=i, e=e) + ".weight"))
                         for t, _ in src
                     ]
-                    per_e.append(_rank_block_fuse(mats, tp, axis=0).T)
+                    per_e.append(_rank_block_fuse(mats, fuse_tp, axis=0).T)
                 layers.append(np.stack([np.ascontiguousarray(a) for a in per_e]))
             put(path, np.stack(layers))
         elif kind == "experts_row":
@@ -435,6 +436,7 @@ def stream_params_to_device(
         sh = lookup_sharding(path)
         rep = rep_sharding(sh)
         num_experts = rule[2]
+        fuse_tp = rule[3] if kind == "experts_fused_col" else 1
         if kind == "experts_fused_col":
             srcs = lambda i, e: [
                 t.format(i=i, e=e) + ".weight" for t, _ in rule[1]
@@ -455,9 +457,9 @@ def stream_params_to_device(
         def update(acc, i, e, *mats):
             if kind == "experts_fused_col":
                 per_rank = []
-                for r in range(tp):
+                for r in range(fuse_tp):
                     for m in mats:
-                        chunk = m.shape[0] // tp
+                        chunk = m.shape[0] // fuse_tp
                         per_rank.append(
                             jax.lax.dynamic_slice_in_dim(m, r * chunk, chunk, 0)
                         )

@@ -240,7 +240,7 @@ def test_openai_n_choices(server):
     assert [c["index"] for c in out["choices"]] == [0, 1, 2]
     # Greedy: all fan-out choices must agree (and match the offline trace).
     assert len({c["text"] for c in out["choices"]}) == 1
-    assert out["usage"]["prompt_tokens"] == 3 * len(prompt)
+    assert out["usage"]["prompt_tokens"] == len(prompt)  # counted once (OpenAI)
 
     # Streaming n>1: chunks interleave with per-choice indices; every choice
     # reaches a finish_reason.
@@ -376,3 +376,25 @@ def test_data_parallel_pool(tiny_qwen3_dir):
     finally:
         srv.shutdown()
         serving.shutdown()
+
+
+def test_seeded_n_choices_distinct(server):
+    """n>1 with a seed must return n DISTINCT choices (per-choice seed
+    offset), each individually reproducible."""
+    port, prompt, _ = server
+    # Compare logprob traces, not text: the tiny test tokenizer decodes most
+    # sampled ids to the same <unk> text, which would mask distinctness.
+    body = dict(prompt=prompt, temperature=1.0, max_tokens=8, n=3, seed=5,
+                logprobs=1)
+    out1 = json.loads(_post_path(port, "/v1/completions", body).read())
+    traces1 = [tuple(c["logprobs"]["token_logprobs"]) for c in out1["choices"]]
+    assert len(set(traces1)) == 3, "seeded n>1 collapsed to identical choices"
+    out2 = json.loads(_post_path(port, "/v1/completions", body).read())
+    traces2 = [tuple(c["logprobs"]["token_logprobs"]) for c in out2["choices"]]
+    assert traces2 == traces1  # reproducible per choice
+    # seed/logit_bias values outside int32 are rejected, not a server crash.
+    r = _post(port, dict(prompt=prompt, max_tokens=4, seed=2**40))
+    assert r.status == 400
+    r = _post(port, dict(prompt=prompt, max_tokens=4,
+                         logit_bias={str(2**40): 1.0}))
+    assert r.status == 400

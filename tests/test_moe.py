@@ -53,10 +53,15 @@ def tiny_moe_dir(tmp_path_factory):
     model = Qwen3MoeForCausalLM(cfg)
     # Router logits on an untrained model are near-uniform; spread them so
     # top-k selections are decisive (parity would otherwise flake on fp
-    # tie-breaks between ranks 3 and 4).
+    # tie-breaks between ranks 3 and 4). Amplify the expert outputs too:
+    # untrained expert contributions (~1e-3) are otherwise too small to flip
+    # greedy tokens, making the parity oracle blind to expert-weight layout
+    # bugs (r2 review found an EP fuse-layout bug these tests had missed).
     with torch.no_grad():
         for layer in model.model.layers:
             layer.mlp.gate.weight.mul_(8.0)
+            for ex in layer.mlp.experts:
+                ex.down_proj.weight.mul_(40.0)
     model.save_pretrained(path, safe_serialization=True)
     from nanovllm_tpu.utils.testing import _write_tiny_tokenizer
 
