@@ -30,6 +30,7 @@ from jax import lax
 
 from nanovllm_tpu.ops import quant
 from nanovllm_tpu.ops.attention import AttentionMeta
+from nanovllm_tpu.ops.moe import grouped_matmul
 
 
 class Qwen3Spec(NamedTuple):
@@ -162,16 +163,17 @@ def _moe_ffn(spec: Qwen3Spec, lp, x, axis, ep: bool = False):
         group_sizes = counts
     tok = order // k
     xs = x[tok]                                                # [T*K, d]
-    gu = lax.ragged_dot(
-        xs, lp["expert_gate_up"], group_sizes,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    gu = grouped_matmul(xs, lp["expert_gate_up"], group_sizes).astype(x.dtype)
     g, u = jnp.split(gu, 2, axis=-1)
     mid = jax.nn.silu(g) * u
-    out = lax.ragged_dot(
-        mid, lp["expert_down"], group_sizes,
-        preferred_element_type=jnp.float32,
-    )                                                          # [T*K, d] f32
+    out = grouped_matmul(mid, lp["expert_down"], group_sizes)  # [T*K, d] f32
+    if ep and axis is not None:
+        # Partial coverage: rows past this rank's local pairs are zero under
+        # ragged_dot but UNINITIALIZED under the megablox Pallas kernel —
+        # mask before the weighted combine either way.
+        cov = jnp.sum(group_sizes)
+        valid = jnp.arange(out.shape[0], dtype=jnp.int32) < cov
+        out = jnp.where(valid[:, None], out, 0.0)
     out = out * w.reshape(-1)[order][:, None]
     y = jnp.zeros((t, d), jnp.float32).at[tok].add(out)
     return y.astype(x.dtype)

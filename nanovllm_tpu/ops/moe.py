@@ -1,0 +1,63 @@
+"""Grouped (per-expert) matmul dispatch for the sparse-MoE FFN.
+
+Two backends behind one call:
+- ``lax.ragged_dot`` — XLA's native grouped dot (CPU tests, fallback; also
+  zero-fills rows beyond ``sum(group_sizes)``, which the EP placement's
+  maskless combine exploited before this wrapper existed);
+- megablox ``gmm`` (jax.experimental.pallas.ops.tpu.megablox) — the tuned
+  Pallas TPU grouped-matmul kernel (tiled MXU passes with group-boundary
+  handling). Its uncovered rows are UNINITIALIZED (NaN), so callers that can
+  under-cover rows (expert parallelism) must mask with ``row < cov`` — see
+  ``models/qwen3._moe_ffn``.
+
+NANOVLLM_MOE_GMM ∈ {auto, megablox, ragged} overrides (auto = megablox on
+TPU backends, ragged elsewhere). No reference analogue: nano-vllm has no MoE
+(vLLM's equivalent is its fused-MoE Triton kernel).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_MODE = os.environ.get("NANOVLLM_MOE_GMM", "auto")
+assert _MODE in ("auto", "megablox", "ragged"), _MODE
+
+
+def _use_megablox() -> bool:
+    if _MODE != "auto":
+        return _MODE == "megablox"
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def _tile(dim: int, want: int = 128) -> int | None:
+    """Largest divisor of ``dim`` that is <= ``want`` and a multiple of 8
+    (megablox requires tile sizes to divide their dims exactly)."""
+    for t in range(min(want, dim), 7, -8):
+        if dim % t == 0 and t % 8 == 0:
+            return t
+    return None
+
+
+def grouped_matmul(lhs, rhs, group_sizes, *, interpret: bool = False):
+    """[m, k] x [E, k, n] with expert-sorted lhs rows -> f32 [m, n].
+
+    Rows at index >= sum(group_sizes) are NOT guaranteed zero (backend
+    dependent); mask them if coverage can be partial."""
+    if _use_megablox() or interpret:
+        m, k = lhs.shape
+        n = rhs.shape[-1]
+        tiling = (_tile(m), _tile(k), _tile(n))
+        if all(tiling):
+            from jax.experimental.pallas.ops.tpu.megablox import gmm
+
+            return gmm(
+                lhs, rhs, group_sizes, tiling=tiling,
+                preferred_element_type=jnp.float32, interpret=interpret,
+            )
+        # Off-size dims (tiny test models): the XLA grouped dot handles any
+        # shape.
+    return lax.ragged_dot(
+        lhs, rhs, group_sizes, preferred_element_type=jnp.float32
+    )
