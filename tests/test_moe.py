@@ -136,3 +136,29 @@ def test_moe_ep2_matches_tp1(tiny_moe_dir):
         ).generate(prompts, sp, use_tqdm=False)
     ]
     assert tok1 == tok_ep
+
+
+def test_moe_offline_quantized_checkpoint(tiny_moe_dir, tmp_path):
+    """tools/quantize_checkpoint on a MoE checkpoint: attention/embed tensors
+    quantize, expert tensors pass through, and the reloaded engine matches
+    load-time quantization token-for-token."""
+    import os
+    import subprocess
+    import sys
+
+    out_dir = str(tmp_path / "moe-int8")
+    r = subprocess.run(
+        [sys.executable, "tools/quantize_checkpoint.py", tiny_moe_dir,
+         out_dir, "--mode", "int8"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=dict(os.environ, NANOVLLM_PLATFORM="cpu"),
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    prompt = np.random.default_rng(55).integers(2, 500, size=14).tolist()
+    sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+    a = LLM(out_dir, **ENGINE_KW).generate([prompt], sp, use_tqdm=False)
+    b = LLM(tiny_moe_dir, quantization="int8", **ENGINE_KW).generate(
+        [prompt], sp, use_tqdm=False
+    )
+    assert a[0]["token_ids"] == b[0]["token_ids"]
