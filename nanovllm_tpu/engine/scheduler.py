@@ -52,7 +52,29 @@ class Scheduler:
         return not self.waiting and not self.running
 
     def add(self, seq: Sequence):
-        self.waiting.append(seq)
+        # Priority admission (beyond the reference's pure FCFS): insert
+        # before the first lower-priority waiter, FCFS within a level —
+        # SamplingParams.priority defaults to 0, so all-default traffic is
+        # plain FCFS (reference semantics). Never displace the head when it
+        # is a chunk-in-progress prefill (the scheduler requires its
+        # continuation at waiting[0]) or a preempted sequence (its re-prefill
+        # must drain pending token values first).
+        if not self.waiting or self.waiting[-1].priority >= seq.priority:
+            self.waiting.append(seq)
+            return
+        start = 0
+        if self.waiting[0].block_table or (
+            self.waiting[0].num_valued_tokens < self.waiting[0].num_tokens
+        ):
+            start = 1
+        items = list(self.waiting)
+        pos = len(items)
+        for i in range(start, len(items)):
+            if items[i].priority < seq.priority:
+                pos = i
+                break
+        items.insert(pos, seq)
+        self.waiting = deque(items)
 
     # ---------------------------------------------------------------- sched
 

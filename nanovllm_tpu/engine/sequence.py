@@ -58,6 +58,7 @@ class Sequence:
         self.logprobs = sampling_params.logprobs
         self.logit_bias = sampling_params.logit_bias
         self.seed = sampling_params.seed
+        self.priority = sampling_params.priority
         # Chosen-token log-probabilities, parallel to completion tokens up to
         # the valued watermark (filled as ring drains apply values).
         self.logprob_values: list[float] = []

@@ -333,6 +333,7 @@ def _make_handler(serving: ServingEngine):
                     },
                     seed=(None if req.get("seed") is None
                           else int(req["seed"])),
+                    priority=int(req.get("priority", 0)),
                 )
             except (KeyError, ValueError, TypeError, AssertionError,
                     json.JSONDecodeError) as e:
@@ -421,6 +422,7 @@ def _make_handler(serving: ServingEngine):
                     },
                     seed=(None if req.get("seed") is None
                           else int(req["seed"])),
+                    priority=int(req.get("priority", 0)),
                 )
                 n_choices = int(req.get("n", 1))
                 if not 1 <= n_choices <= 16:

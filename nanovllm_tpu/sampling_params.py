@@ -56,6 +56,10 @@ class SamplingParams:
     # seeded request replays identically regardless of batch composition,
     # preemption, or engine restarts. None = the engine's per-step stream.
     seed: int | None = None
+    # Admission priority (vLLM-style): higher-priority requests are admitted
+    # from the waiting queue first (FCFS within a priority level). Does not
+    # change preemption order.
+    priority: int = 0
 
     def __post_init__(self):
         assert self.temperature >= 0.0, "temperature must be non-negative"

@@ -171,3 +171,34 @@ def test_admission_bounded_by_device_slots():
     out, is_prefill = sched.schedule()
     assert not is_prefill
     assert all(s.device_slot >= 0 for s in out)
+
+
+def test_priority_admission():
+    """Higher SamplingParams.priority is admitted first (FCFS within a
+    level); default-0 traffic keeps pure reference FCFS; a chunk-in-progress
+    head is never displaced."""
+    sched = make_scheduler(max_tokens=8)
+    a = make_seq([1, 2, 3], max_tokens=4)
+    b = make_seq([4, 5, 6], max_tokens=4)
+    lo = make_seq([7, 8], max_tokens=4, priority=-1)
+    hi = make_seq([9, 10], max_tokens=4, priority=5)
+    for q in (a, b, lo, hi):
+        sched.add(q)
+    assert [q.seq_id for q in sched.waiting] == [
+        hi.seq_id, a.seq_id, b.seq_id, lo.seq_id
+    ]
+    hi2 = make_seq([11], max_tokens=4, priority=5)
+    sched.add(hi2)
+    assert [q.seq_id for q in sched.waiting][:2] == [hi.seq_id, hi2.seq_id]
+
+    # A chunk-in-progress head (non-empty block_table, still WAITING) stays
+    # at the front even when a higher-priority request arrives.
+    sched2 = make_scheduler(max_tokens=8)
+    big = make_seq(list(range(1, 14)), max_tokens=4)  # 13 > 8-token budget
+    sched2.add(big)
+    seqs, is_prefill = sched2.schedule()
+    assert is_prefill and seqs == [big] and sched2.waiting[0] is big
+    sched2.postprocess_lengths(seqs)
+    urgent = make_seq([2, 3], max_tokens=4, priority=9)
+    sched2.add(urgent)
+    assert sched2.waiting[0] is big and sched2.waiting[1] is urgent
