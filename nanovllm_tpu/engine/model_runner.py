@@ -201,7 +201,9 @@ class ModelRunner:
             cfg.model,
             tp=self.tp,
             dtype=self.dtype,
-            quant_plan=dict(self.family.QUANT_PLAN) if cfg.quantization else {},
+            quant_plan=dict(
+                self.family.effective_quant_plan(cfg.quantization)
+            ),
             quant_mode=cfg.quantization,
             shardings=self._param_shardings(),
             put=self._global_put,
@@ -276,7 +278,25 @@ class ModelRunner:
                 "row": qw(row, P(None, "tp", None) if grouped else P(None, None)),
                 "vocab": qw(vocab, P("tp", None) if grouped else P("tp")),
             }
-            for path, kind in self.family.QUANT_PLAN.items():
+            if getattr(self.spec, "num_experts", 0):
+                # Expert stacks [L, E, in, out] + scales [L, E, out]. Under
+                # EP the expert dim shards (scales follow). Under width-TP,
+                # gate_up shards its out dim (scales follow) while down
+                # shards its contraction dim (per-out-channel scales stay
+                # replicated; partial dots sum exactly, and the scale
+                # multiply commutes with the psum).
+                if self.config.enable_expert_parallel:
+                    ep_q, ep_s = P(None, "tp", None, None), P(None, "tp", None)
+                    kinds["expert_col"] = qw(ep_q, ep_s)
+                    kinds["expert_row"] = qw(ep_q, ep_s)
+                else:
+                    kinds["expert_col"] = qw(
+                        P(None, None, None, "tp"), P(None, None, "tp")
+                    )
+                    kinds["expert_row"] = qw(
+                        P(None, None, "tp", None), P(None, None, None)
+                    )
+            for path, kind in self.family.effective_quant_plan(mode).items():
                 node = pspecs
                 for key in path[:-1]:
                     node = node.get(key, {})

@@ -30,7 +30,7 @@ from jax import lax
 
 from nanovllm_tpu.ops import quant
 from nanovllm_tpu.ops.attention import AttentionMeta
-from nanovllm_tpu.ops.moe import grouped_matmul
+from nanovllm_tpu.ops.moe import grouped_matmul, grouped_matmul_quant
 
 
 class Qwen3Spec(NamedTuple):
@@ -163,10 +163,16 @@ def _moe_ffn(spec: Qwen3Spec, lp, x, axis, ep: bool = False):
         group_sizes = counts
     tok = order // k
     xs = x[tok]                                                # [T*K, d]
-    gu = grouped_matmul(xs, lp["expert_gate_up"], group_sizes).astype(x.dtype)
+
+    def expert_mm(inp, w):
+        if isinstance(w, quant.QuantWeight):
+            return grouped_matmul_quant(inp, w.q, w.scale, group_sizes)
+        return grouped_matmul(inp, w, group_sizes)
+
+    gu = expert_mm(xs, lp["expert_gate_up"]).astype(x.dtype)
     g, u = jnp.split(gu, 2, axis=-1)
     mid = jax.nn.silu(g) * u
-    out = grouped_matmul(mid, lp["expert_down"], group_sizes)  # [T*K, d] f32
+    out = expert_mm(mid, lp["expert_down"])                    # [T*K, d] f32
     if ep and axis is not None:
         # Partial coverage: rows past this rank's local pairs are zero under
         # ragged_dot but UNINITIALIZED under the megablox Pallas kernel —
@@ -312,9 +318,27 @@ QUANT_PLAN = {
     ("layers", "gate_up_proj"): "col",
     ("layers", "o_proj"): "row",
     ("layers", "down_proj"): "row",
+    # MoE expert stacks [L, E, in, out]: per-(expert, out-channel) scales
+    # commute with the grouped matmul, so dequantization is a row-gathered
+    # multiply AFTER the int8-rhs gmm kernel (ops/moe.grouped_matmul_quant).
+    ("layers", "expert_gate_up"): "expert_col",
+    ("layers", "expert_down"): "expert_row",
     ("embed",): "vocab",
     ("lm_head",): "vocab",
 }
+
+
+def effective_quant_plan(mode: str | None) -> dict:
+    """QUANT_PLAN filtered by mode. Expert weights quantize only under int8:
+    int4's group-wise-k scales do NOT commute with the grouped matmul (they
+    would need in-kernel dequant), and fp8 converts are software-emulated on
+    v5e. Absent entries load as bf16."""
+    if mode is None:
+        return {}
+    return {
+        p: k for p, k in QUANT_PLAN.items()
+        if not k.startswith("expert") or mode == "int8"
+    }
 
 
 def quantize_params(spec: Qwen3Spec, params: dict, mode: str, tp: int = 1) -> dict:
@@ -323,7 +347,7 @@ def quantize_params(spec: Qwen3Spec, params: dict, mode: str, tp: int = 1) -> di
     the int4 group count must divide evenly over TP ranks (the scale's group
     dim shards with the contraction dim)."""
     assert mode in quant.WEIGHT_QUANT_MODES, mode
-    for path, kind in QUANT_PLAN.items():
+    for path, kind in effective_quant_plan(mode).items():
         node = params
         for key in path[:-1]:
             node = node.get(key, {})
@@ -336,7 +360,8 @@ def quantize_params(spec: Qwen3Spec, params: dict, mode: str, tp: int = 1) -> di
             group = quant.INT4_GROUP
             while in_dim % group or (in_dim // group) % tp:
                 group //= 2
-        node[path[-1]] = quant.quantize_array(leaf, mode, axis=1, group=group)
+        axis = 2 if kind.startswith("expert") else 1  # experts: [L,E,in,out]
+        node[path[-1]] = quant.quantize_array(leaf, mode, axis=axis, group=group)
     return params
 
 
@@ -423,7 +448,7 @@ def device_init_params(spec: Qwen3Spec, seed: int = 0, dtype=jnp.bfloat16, *,
     materializes a full-precision copy.
     """
     shapes = _param_shapes(spec)
-    quant_paths = set(QUANT_PLAN) if quant else set()
+    quant_paths = set(effective_quant_plan(quant))
     root = jax.random.PRNGKey(seed)
     norm_names = ("input_norm", "post_norm", "q_norm", "k_norm", "final_norm")
     counter = [0]
@@ -466,8 +491,25 @@ def device_init_params(spec: Qwen3Spec, seed: int = 0, dtype=jnp.bfloat16, *,
 def _device_quant_leaf(shape: tuple, mode: str, key, *, kind: str, tp: int,
                        sharding):
     """A random QuantWeight in storage format, matching
-    ``quantize_array(..., axis=1)``'s layouts exactly (scale shapes, int4
-    group shrinking for off-size / TP-split contraction dims)."""
+    ``quantize_array``'s layouts exactly (scale shapes, int4 group shrinking
+    for off-size / TP-split contraction dims). Matmul weights are [L, in,
+    out] (axis=1); expert stacks are [L, E, in, out] (axis=2, int8-only —
+    see effective_quant_plan)."""
+    if kind.startswith("expert"):
+        assert mode == "int8", "expert weights quantize under int8 only"
+        in_dim = shape[2]
+        q = jax.jit(
+            lambda: jax.random.randint(key, shape, -127, 128, jnp.int8),
+            **({"out_shardings": sharding.q} if sharding is not None else {}),
+        )()
+        sshape = shape[:2] + shape[3:]
+        sfn = lambda: jnp.full(sshape, in_dim ** -0.5 / 127.0, jnp.float32)
+        scale = jax.jit(
+            sfn,
+            **({"out_shardings": sharding.scale}
+               if sharding is not None else {}),
+        )()
+        return quant.QuantWeight(q=q, scale=scale, mode=mode)
     in_dim = shape[1]
     qsh = ssh = None
     if sharding is not None:

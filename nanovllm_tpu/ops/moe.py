@@ -61,3 +61,42 @@ def grouped_matmul(lhs, rhs, group_sizes, *, interpret: bool = False):
     return lax.ragged_dot(
         lhs, rhs, group_sizes, preferred_element_type=jnp.float32
     )
+
+
+def grouped_matmul_quant(lhs, q, scale, group_sizes, *, interpret: bool = False):
+    """Weight-only-int8 grouped matmul: [m, k] x int8 [E, k, n] with
+    per-(expert, out-channel) f32 scales [E, n] -> f32 [m, n].
+
+    The scales commute with the matmul (each output row belongs to exactly
+    one expert), so the vendored int8-rhs megablox kernel
+    (ops/pallas/megablox_gmm) runs the raw int8 dot at the bf16 MXU rate and
+    the dequantization is a row-gathered multiply on the f32 output. The
+    portable fallback dequantizes the whole rhs (tests/CPU; costs the bf16
+    bytes the quantization saved)."""
+    e = q.shape[0]
+    m = lhs.shape[0]
+    if _use_megablox() or interpret:
+        mm, k = lhs.shape
+        n = q.shape[-1]
+        tiling = (_tile(mm), _tile(k), _tile(n))
+        if all(tiling):
+            from nanovllm_tpu.ops.pallas.megablox_gmm import gmm
+
+            out = gmm(
+                lhs, q, group_sizes, tiling=tiling,
+                preferred_element_type=jnp.float32, interpret=interpret,
+            )
+        else:
+            out = lax.ragged_dot(
+                lhs, q.astype(lhs.dtype), group_sizes,
+                preferred_element_type=jnp.float32,
+            )
+    else:
+        out = lax.ragged_dot(
+            lhs, q.astype(lhs.dtype), group_sizes,
+            preferred_element_type=jnp.float32,
+        )
+    expert_of_row = jnp.repeat(
+        jnp.arange(e, dtype=jnp.int32), group_sizes, total_repeat_length=m
+    )
+    return out * scale[expert_of_row]

@@ -431,8 +431,12 @@ def stream_params_to_device(
     def stream_experts(path, rule, kind):
         """MoE expert stacks [L, E, ...]: streamed one (layer, expert) slice
         at a time through a single jitted update program (host peak = one
-        expert's raw tensors). Expert weights are not in the quant plan."""
-        assert path not in quant_plan, "quantized MoE experts unsupported"
+        expert's raw tensors). Quantized entries (int8 only — per-(expert,
+        out-channel) scales commute with the grouped matmul) quantize each
+        slice on-device; offline checkpoints keep experts in checkpoint
+        dtype, so this same path serves them too."""
+        qmode = quant_mode if path in quant_plan else None
+        assert qmode in (None, "int8"), "expert weights quantize under int8 only"
         sh = lookup_sharding(path)
         rep = rep_sharding(sh)
         num_experts = rule[2]
@@ -449,12 +453,8 @@ def stream_params_to_device(
             slice_shape = (in0, sum(s[0] for s in shapes0))
         else:
             slice_shape = (in0, shapes0[0][0])
-        acc = jax.jit(
-            lambda: jnp.zeros((L, num_experts, *slice_shape), dtype),
-            out_shardings=sh,
-        )()
 
-        def update(acc, i, e, *mats):
+        def layer_transform(mats):
             if kind == "experts_fused_col":
                 per_rank = []
                 for r in range(fuse_tp):
@@ -463,20 +463,58 @@ def stream_params_to_device(
                         per_rank.append(
                             jax.lax.dynamic_slice_in_dim(m, r * chunk, chunk, 0)
                         )
-                upd = jnp.concatenate(per_rank, axis=0).T
-            else:
-                upd = mats[0].T
-            return jax.lax.dynamic_update_slice(
-                acc, upd[None, None].astype(dtype),
-                (i, e) + (jnp.int32(0),) * len(slice_shape),
+                return jnp.concatenate(per_rank, axis=0).T
+            return mats[0].T
+
+        if qmode is None:
+            acc = jax.jit(
+                lambda: jnp.zeros((L, num_experts, *slice_shape), dtype),
+                out_shardings=sh,
+            )()
+
+            def update(acc, i, e, *mats):
+                upd = layer_transform(list(mats)).astype(dtype)
+                return jax.lax.dynamic_update_slice(
+                    acc, upd[None, None],
+                    (i, e) + (jnp.int32(0),) * len(slice_shape),
+                )
+
+            step = jax.jit(update, donate_argnums=(0,), out_shardings=sh)
+            for i in range(L):
+                for e in range(num_experts):
+                    mats = [put(reader.tensor(n), rep) for n in srcs(i, e)]
+                    acc = step(acc, jnp.int32(i), jnp.int32(e), *mats)
+            assign(path, acc)
+            return
+
+        acc_q = jax.jit(
+            lambda: jnp.zeros((L, num_experts, *slice_shape), jnp.int8),
+            out_shardings=sh.q,
+        )()
+        acc_s = jax.jit(
+            lambda: jnp.zeros((L, num_experts, slice_shape[1]), jnp.float32),
+            out_shardings=sh.scale,
+        )()
+
+        def update_q(acc_q, acc_s, i, e, *mats):
+            q, s = quantize_slice(layer_transform(list(mats)), 0, qmode, None)
+            zeros = (jnp.int32(0),) * len(slice_shape)
+            return (
+                jax.lax.dynamic_update_slice(acc_q, q[None, None], (i, e) + zeros),
+                jax.lax.dynamic_update_slice(
+                    acc_s, s[None, None], (i, e, jnp.int32(0))
+                ),
             )
 
-        step = jax.jit(update, donate_argnums=(0,), out_shardings=sh)
+        step = jax.jit(
+            update_q, donate_argnums=(0, 1), out_shardings=(sh.q, sh.scale)
+        )
         for i in range(L):
             for e in range(num_experts):
                 mats = [put(reader.tensor(n), rep) for n in srcs(i, e)]
-                acc = step(acc, jnp.int32(i), jnp.int32(e), *mats)
-        assign(path, acc)
+                acc_q, acc_s = step(acc_q, acc_s, jnp.int32(i), jnp.int32(e),
+                                    *mats)
+        assign(path, QuantWeight(q=acc_q, scale=acc_s, mode=qmode))
 
     for path, rule in plan.items():
         kind = rule[0]

@@ -77,6 +77,11 @@ def quantized_hf_tensors(family, spec, plan: dict) -> dict[str, str]:
     tensor belonging to a QUANT_PLAN leaf of this model family."""
     out: dict[str, str] = {}
     for path, kind in family.QUANT_PLAN.items():
+        if kind.startswith("expert"):
+            # Expert stacks quantize at LOAD time (int8 only) — the offline
+            # writer keeps them in checkpoint dtype so one artifact serves
+            # every mode.
+            continue
         rule = plan.get(path)
         if rule is None:
             continue  # e.g. lm_head absent under tied embeddings

@@ -162,3 +162,29 @@ def test_moe_offline_quantized_checkpoint(tiny_moe_dir, tmp_path):
         [prompt], sp, use_tqdm=False
     )
     assert a[0]["token_ids"] == b[0]["token_ids"]
+
+
+def test_moe_int8_experts(tiny_moe_dir):
+    """int8 expert weights (per-(expert, out-channel) scales applied after
+    the grouped matmul): TP=1, width-sharded TP=2, and EP=2 produce identical
+    tokens (per-column quantization commutes with the rank-block fuse), and
+    stay close to the bf16 run."""
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    rng = np.random.default_rng(8)
+    prompts = [rng.integers(2, 500, size=n).tolist() for n in (10, 26)]
+
+    def toks(**kw):
+        return [
+            o["token_ids"]
+            for o in LLM(tiny_moe_dir, **ENGINE_KW, **kw).generate(
+                prompts, sp, use_tqdm=False
+            )
+        ]
+
+    t1 = toks(quantization="int8")
+    assert t1 == toks(quantization="int8", tensor_parallel_size=2)
+    assert t1 == toks(quantization="int8", tensor_parallel_size=2,
+                      enable_expert_parallel=True)
+    bf16 = toks()
+    agree = sum(a == b for a, b in zip(t1, bf16))
+    assert agree >= 1, (t1, bf16)  # int8 drift may flip a borderline token
