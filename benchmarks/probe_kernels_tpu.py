@@ -162,3 +162,43 @@ d = np.abs(np.asarray(out[:3], np.float32) - np.asarray(ref[:3], np.float32)).ma
 print("decode int4-kv max diff vs oracle:", d)
 assert d < 0.1, d
 print("INT4-KV TPU PROBE PASS")
+
+
+# ------------------------------------------------- grouped matmul (MoE gmm)
+# The megablox Pallas kernels (stock bf16 + vendored int8-rhs) on the real
+# chip vs a per-group jnp dot reference — interpret-mode tests cannot catch
+# Mosaic layout/alignment errors (CLAUDE.md).
+from nanovllm_tpu.ops.moe import grouped_matmul, grouped_matmul_quant
+
+rng = np.random.default_rng(7)
+M, K, N, G = 512, 256, 384, 8
+lhs = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+gs_np = np.asarray([64, 0, 128, 32, 96, 0, 64, 128], np.int32)
+gs = jnp.asarray(gs_np)
+
+def group_ref(lhs_f, rhs_f):
+    outs, row = [], 0
+    for e in range(G):
+        n_rows = int(gs_np[e])
+        outs.append(np.asarray(lhs_f[row: row + n_rows]) @ np.asarray(rhs_f[e]))
+        row += n_rows
+    return np.concatenate(outs) if outs else np.zeros((0, N), np.float32)
+
+rhs = jnp.asarray(rng.standard_normal((G, K, N)), jnp.bfloat16)
+out = np.asarray(jax.jit(grouped_matmul)(lhs, rhs, gs), np.float32)
+ref = group_ref(lhs.astype(jnp.float32), rhs.astype(jnp.float32))
+d = np.abs(out[: ref.shape[0]] - ref).max() / max(np.abs(ref).max(), 1e-6)
+print("gmm bf16 rel diff vs per-group dot:", d)
+assert d < 2e-2, d
+
+q8 = jnp.asarray(rng.integers(-127, 128, (G, K, N)), jnp.int8)
+scale = jnp.asarray(rng.uniform(0.001, 0.02, (G, N)), jnp.float32)
+outq = np.asarray(jax.jit(grouped_matmul_quant)(lhs, q8, scale, gs), np.float32)
+refq = group_ref(
+    lhs.astype(jnp.float32),
+    q8.astype(jnp.float32) * scale[:, None, :],
+)
+dq = np.abs(outq[: refq.shape[0]] - refq).max() / max(np.abs(refq).max(), 1e-6)
+print("gmm int8-rhs rel diff vs dequant per-group dot:", dq)
+assert dq < 2e-2, dq
+print("GMM TPU PROBE PASS")

@@ -62,12 +62,15 @@ class Scheduler:
         if not self.waiting or self.waiting[-1].priority >= seq.priority:
             self.waiting.append(seq)
             return
-        start = 0
-        if self.waiting[0].block_table or (
-            self.waiting[0].num_valued_tokens < self.waiting[0].num_tokens
-        ):
-            start = 1
         items = list(self.waiting)
+        # Protected prefix: chunk-in-progress and preempted sequences hold
+        # the front regardless of priority (preemptions appendleft, so they
+        # form a leading run); the remainder is the insertion-sorted region.
+        start = 0
+        while start < len(items) and (
+            items[start].block_table or items[start].was_preempted
+        ):
+            start += 1
         pos = len(items)
         for i in range(start, len(items)):
             if items[i].priority < seq.priority:
@@ -122,6 +125,7 @@ class Scheduler:
             scheduled.append(seq)
             if chunk == remaining:
                 seq.status = SequenceStatus.RUNNING
+                seq.was_preempted = False
                 self.waiting.popleft()
                 self.running.append(seq)
             else:
@@ -150,6 +154,7 @@ class Scheduler:
 
     def preempt(self, seq: Sequence):
         seq.status = SequenceStatus.WAITING
+        seq.was_preempted = True
         self.block_manager.deallocate(seq)
         self._free_slot(seq)
         self.waiting.appendleft(seq)

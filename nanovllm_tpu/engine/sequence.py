@@ -47,6 +47,9 @@ class Sequence:
         self.num_valued_tokens = len(token_ids)
         # Device slot for last-sampled-token feedback (assigned by scheduler).
         self.device_slot = -1
+        # Set while a preempted sequence waits for re-prefill: it keeps
+        # front-of-queue precedence over any arrival, whatever its priority.
+        self.was_preempted = False
         self.temperature = sampling_params.temperature
         self.max_tokens = sampling_params.max_tokens
         self.ignore_eos = sampling_params.ignore_eos

@@ -140,10 +140,11 @@ def _moe_ffn(spec: Qwen3Spec, lp, x, axis, ep: bool = False):
       load-balanced, but per-rank matmul width shrinks with tp.
     - EP (``ep=True``, config.enable_expert_parallel): each rank owns
       E/tp FULL-WIDTH experts. Pairs sort by ``(expert - first_local) % E``
-      so the rank's experts occupy the leading rows; ragged_dot zero-fills
-      rows beyond its local group coverage, so non-local pairs contribute
-      exact zeros through SwiGLU and the combine, and the psum assembles the
-      full result with no masking and no extra collectives."""
+      so the rank's experts occupy the leading rows; rows beyond the local
+      group coverage are masked to zero before the weighted combine (they
+      are UNINITIALIZED under the megablox backend; ragged_dot happens to
+      zero-fill, but the mask is load-bearing either way), and the layer's
+      existing psum assembles the full result — no extra collectives."""
     t, d = x.shape
     e, k = spec.num_experts, spec.num_experts_per_tok
     logits = x.astype(jnp.float32) @ lp["router"].astype(jnp.float32)

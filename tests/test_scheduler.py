@@ -202,3 +202,25 @@ def test_priority_admission():
     urgent = make_seq([2, 3], max_tokens=4, priority=9)
     sched2.add(urgent)
     assert sched2.waiting[0] is big and sched2.waiting[1] is urgent
+
+
+def test_priority_respects_preempted_prefix():
+    """Preempted sequences hold the queue front regardless of priority, and
+    an arrival must not be inserted ahead of a HIGHER-priority waiter sitting
+    behind them (r2 review: the insertion scan assumed a sorted queue, but
+    preemption appendlefts arbitrary priorities)."""
+    sched = make_scheduler(max_tokens=8)
+    hi = make_seq([1, 2], max_tokens=4, priority=5)
+    x = make_seq([3, 4], max_tokens=4, priority=3)
+    sched.add(hi)
+    sched.add(x)
+    p1 = make_seq([5, 6], max_tokens=4)
+    p2 = make_seq([7, 8], max_tokens=4)
+    p1.was_preempted = p2.was_preempted = True  # as Scheduler.preempt sets
+    sched.waiting.appendleft(p1)
+    sched.waiting.appendleft(p2)
+    y = make_seq([9, 10], max_tokens=4, priority=4)
+    sched.add(y)
+    assert [q.seq_id for q in sched.waiting] == [
+        p2.seq_id, p1.seq_id, hi.seq_id, y.seq_id, x.seq_id
+    ]
