@@ -202,3 +202,34 @@ dq = np.abs(outq[: refq.shape[0]] - refq).max() / max(np.abs(refq).max(), 1e-6)
 print("gmm int8-rhs rel diff vs dequant per-group dot:", dq)
 assert dq < 2e-2, dq
 print("GMM TPU PROBE PASS")
+
+
+# ------------------------------------------ sliding-window attention (SWA)
+# window=W is a static kernel branch (window=None is byte-identical to the
+# unwindowed program); probe both kernels' masks on the chip.
+kc_w, vc_w = None, None  # fresh bf16 cache for the window probe
+kc_w = jnp.asarray(rng.standard_normal((1, HKV, 24, BLOCK, HD)), jnp.bfloat16)
+vc_w = jnp.asarray(rng.standard_normal((1, HKV, 24, BLOCK, HD)), jnp.bfloat16)
+kv_lens_w = [3, 16, 33, 48, 7, 1, 1, 1]
+tables_w = [[0, 1, 2, 3], [4, 5, 0, 0], [6, 7, 8, 9], [10, 11, 12, 0],
+            [13, 0, 0, 0], [14, 0, 0, 0], [15, 0, 0, 0], [16, 0, 0, 0]]
+reqs = [dict(token_ids=[1], start=n - 1, kv_len=n,
+             block_table=t[: -(-n // BLOCK)], temperature=1.0)
+        for n, t in zip(kv_lens_w, tables_w)]
+inputs = build_step_inputs(reqs, block_size=BLOCK, num_tokens_bucket=8,
+                           num_seqs_bucket=8, max_blocks_per_seq=4,
+                           rng=np.zeros(2, np.uint32), group_pairs=GRP)
+meta = meta_of(inputs)
+qw = jnp.asarray(rng.standard_normal((8, HQ, HD)), jnp.bfloat16)
+knw = jnp.asarray(rng.standard_normal((8, HKV, HD)), jnp.bfloat16)
+vnw = jnp.asarray(rng.standard_normal((8, HKV, HD)), jnp.bfloat16)
+WIN = 6
+ref, _, _ = ragged_paged_attention_ref(
+    qw, knw, vnw, kc_w, vc_w, 0, meta, sm_scale=SM, window=WIN)
+out, _, _ = jax.jit(
+    lambda *a: paged_decode_attention(*a, 0, meta, sm_scale=SM, window=WIN)
+)(qw, knw, vnw, kc_w, vc_w)
+d = np.abs(np.asarray(out[:5], np.float32) - np.asarray(ref[:5], np.float32)).max()
+print("decode SWA max diff vs oracle:", d)
+assert d < 0.1, d
+print("SWA TPU PROBE PASS")

@@ -536,6 +536,7 @@ class ModelRunner:
         (q, k_new, v_new, k_all, v_all, layer, meta) -> (out, k_all, v_all);
         the impl also appends the new K/V rows to the paged cache."""
         sm_scale = self.spec.head_dim ** -0.5
+        window = getattr(self.spec, "sliding_window", None)
         if self.use_pallas:
             from nanovllm_tpu.ops.pallas.ragged_attention import (
                 paged_decode_attention,
@@ -565,18 +566,20 @@ class ModelRunner:
             prefill = padded(
                 lambda q, kn, vn, kc, vc, layer, meta: ragged_prefill_attention(
                     q, kn, vn, kc, vc, layer, meta,
-                    sm_scale=sm_scale, q_tile=self.q_tile,
+                    sm_scale=sm_scale, q_tile=self.q_tile, window=window,
                 )
             )
             decode = padded(
                 lambda q, kn, vn, kc, vc, layer, meta: paged_decode_attention(
-                    q, kn, vn, kc, vc, layer, meta, sm_scale=sm_scale
+                    q, kn, vn, kc, vc, layer, meta, sm_scale=sm_scale,
+                    window=window,
                 )
             )
             return prefill, decode
         ref = lambda q, kn, vn, kc, vc, layer, meta: (
             attn_ops.ragged_paged_attention_ref(
-                q, kn, vn, kc, vc, layer, meta, sm_scale=sm_scale
+                q, kn, vn, kc, vc, layer, meta, sm_scale=sm_scale,
+                window=window,
             )
         )
         return ref, ref

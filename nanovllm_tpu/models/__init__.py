@@ -16,6 +16,7 @@ _REGISTRY = {
     "qwen2": qwen3,   # same decoder family: qkv bias, no qk-norm (spec flags)
     "llama": qwen3,   # same decoder family: no bias, no qk-norm (spec flags)
     "qwen3_moe": qwen3,  # sparse-MoE FFN via spec flags (ragged_dot dispatch)
+    "mistral": qwen3,  # llama-style decoder + sliding-window attention
 }
 
 

@@ -53,6 +53,10 @@ class Qwen3Spec(NamedTuple):
     num_experts_per_tok: int = 0
     moe_intermediate_size: int = 0
     norm_topk_prob: bool = False
+    # Sliding-window attention (Mistral family): each token attends to the
+    # last `sliding_window` positions only (mask-only v1 — KV pages are kept
+    # and fetched; window-aware page skipping is roadmap item 1).
+    sliding_window: int | None = None
 
 
 def spec_from_hf(hf_config) -> Qwen3Spec:
@@ -82,6 +86,12 @@ def spec_from_hf(hf_config) -> Qwen3Spec:
         max_position=hf_config.max_position_embeddings,
         has_qkv_bias=(model_type == "qwen2"),
         has_qk_norm=(model_type in ("qwen3", "qwen3_moe")),
+        sliding_window=(
+            getattr(hf_config, "sliding_window", None)
+            if model_type == "mistral"
+            or getattr(hf_config, "use_sliding_window", False)
+            else None
+        ),
         num_experts=getattr(hf_config, "num_experts", 0) if moe else 0,
         num_experts_per_tok=(
             getattr(hf_config, "num_experts_per_tok", 0) if moe else 0

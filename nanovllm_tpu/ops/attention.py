@@ -111,12 +111,15 @@ def ragged_paged_attention_ref(
     meta: AttentionMeta,
     *,
     sm_scale: float,
+    window: int | None = None,
 ):
     """Gather-based jnp oracle: scatter new KV, then attend over the paged
     cache. Returns (out, k_all, v_all). O(T * W*block_size) memory — tests
     only."""
     k_all, v_all = write_kv(k_all, v_all, layer, k_new, v_new, meta.slot_mapping)
-    out = _paged_attention_ref(q, k_all, v_all, layer, meta, sm_scale=sm_scale)
+    out = _paged_attention_ref(
+        q, k_all, v_all, layer, meta, sm_scale=sm_scale, window=window
+    )
     return out, k_all, v_all
 
 
@@ -128,6 +131,7 @@ def _paged_attention_ref(
     meta: AttentionMeta,
     *,
     sm_scale: float,
+    window: int | None = None,
 ) -> jax.Array:
     def layer_of(cache):
         if isinstance(cache, tuple):
@@ -174,6 +178,9 @@ def _paged_attention_ref(
     mask = (kv_idx <= meta.positions[:, None, None, None]) & (
         kv_idx < tok_kv_len[:, None, None, None]
     )
+    if window is not None:
+        # Sliding window (HF semantics): keys in (q_pos - window, q_pos].
+        mask &= kv_idx > meta.positions[:, None, None, None] - window
     scores = jnp.where(mask, scores, MASK_VALUE)
     w = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("thgk,htkd->thgd", w, v.astype(jnp.float32))

@@ -204,6 +204,7 @@ def _decode_kernel(
     quantized: bool,
     kv_bits: int,
     wb_tile: int,
+    window: int | None,
     interpret: bool,
 ):
     # The grid is a flat worklist of live (group, page) pairs (group-major,
@@ -447,6 +448,11 @@ def _decode_kernel(
         )
         pos2 = j * block_size + col2 % block_size
         hist = pos2 < kvc2 - 1
+        if window is not None:
+            # Sliding window: the (single) query sits at position kv_len-1;
+            # history keys in (kv_len-1 - window, kv_len-1). Static branch —
+            # window=None compiles to exactly the unwindowed kernel.
+            hist &= pos2 > kvc2 - 1 - window
         col_bias = jnp.where(hist, 0.0, MASK_VALUE)   # [Hkv, n_cols]
         if quantized:
             # Scale vectors zero outside history: those buffer strips may
@@ -610,12 +616,14 @@ def paged_decode_attention(
     meta,
     *,
     sm_scale: float,
+    window: int | None = None,
     interpret: bool = False,
 ):
     """Returns (out [S, Hq, hd], k_cache, v_cache) — caches updated in place.
     Quantized caches are (values, f32 per-token scales) pairs: int8 values
     full-head, or uint8 nibble-packed int4 ([Hkv/2] bytes per head pair,
-    see quantize_kv_rows_int4)."""
+    see quantize_kv_rows_int4). ``window``: sliding-window attention (keys
+    in (q_pos - window, q_pos]; mask-only — pages are still fetched)."""
     quantized = _is_quantized(k_cache)
     if quantized:
         kc, ks = k_cache
@@ -720,7 +728,7 @@ def paged_decode_attention(
     kernel = functools.partial(
         _decode_kernel, block_size=block_size, sm_scale=sm_scale,
         quantized=quantized, kv_bits=kv_bits, wb_tile=wb_tile,
-        interpret=interpret,
+        window=window, interpret=interpret,
     )
     # Inputs count from the start of the scalar-prefetch operands: 6 scalars,
     # then q(6) k_new(7) v_new(8) k_store(9) v_store(10) ks_new(11)
@@ -801,6 +809,7 @@ def _prefill_kernel(
     sm_scale: float,
     quantized: bool,
     kv_bits: int,
+    window: int | None,
 ):
     # The grid is a flat worklist of active (tile, page) pairs: a dense
     # (tiles x pages) grid is ~75% skipped steps whose per-step scalar work
@@ -1075,6 +1084,8 @@ def _prefill_kernel(
             jnp.int32, scores.shape, 1
         ) // groups
         mask = (kv_pos <= q_pos) & (kv_pos < kv_len)
+        if window is not None:
+            mask &= kv_pos > q_pos - window
         scores = jnp.where(mask, scores, MASK_VALUE)
 
         m_prev = m_scr[:, :, 0]                          # [Hkv, BQ*G]
@@ -1116,11 +1127,13 @@ def ragged_prefill_attention(
     *,
     sm_scale: float,
     q_tile: int = 128,
+    window: int | None = None,
     interpret: bool = False,
 ):
     """Returns (out [T, Hq, hd], k_cache, v_cache) — caches updated in place.
     Quantized caches are (values, f32 per-token scales) pairs: int8 values
-    full-head, or uint8 nibble-packed int4 (see quantize_kv_rows_int4)."""
+    full-head, or uint8 nibble-packed int4 (see quantize_kv_rows_int4).
+    ``window``: sliding-window attention mask (see paged_decode_attention)."""
     quantized = _is_quantized(k_cache)
     if quantized:
         kc, ks = k_cache
@@ -1213,6 +1226,7 @@ def ragged_prefill_attention(
         sm_scale=sm_scale,
         quantized=quantized,
         kv_bits=kv_bits,
+        window=window,
     )
     # Inputs count from the start of the scalar-prefetch operands: 8 scalars,
     # then q(8) k_store(9) v_store(10) ks_new(11) vs_new(12) k_hbm(13)

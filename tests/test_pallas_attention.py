@@ -612,3 +612,64 @@ def test_prefill_partial_page_rungs(quantized):
     np.testing.assert_allclose(
         np.asarray(out)[live], np.asarray(ref)[live], rtol=2e-2, atol=2e-2
     )
+
+
+def test_decode_sliding_window_matches_oracle():
+    """window=W masks history to (kv_len-1-W, kv_len-1) in the decode kernel
+    (static branch; window=None compiles to the unwindowed kernel)."""
+    rng = np.random.default_rng(4)
+    kc, vc = make_cache(rng, num_blocks=24)
+    kv_lens = [3, 16, 33, 48, 7]
+    tables = [[0, 1, 2, 3], [4, 5, 0, 0], [6, 7, 8, 9], [10, 11, 12, 0],
+              [13, 0, 0, 0]]
+    reqs = [
+        dict(token_ids=[1], start=n - 1, kv_len=n,
+             block_table=t[: -(-n // BLOCK)], temperature=1.0)
+        for n, t in zip(kv_lens, tables)
+    ]
+    inputs, meta = build(reqs, t_bucket=8, s_bucket=8, w=4)
+    q = jnp.asarray(rng.standard_normal((8, HQ, HD), np.float32))
+    kn, vn = new_kv(rng, 8)
+    W = 6  # smaller than several kv lengths -> mask bites
+    ref, _, _ = ragged_paged_attention_ref(
+        q, kn, vn, kc, vc, 0, meta, sm_scale=SM, window=W
+    )
+    out, _, _ = paged_decode_attention(
+        q, kn, vn, kc, vc, 0, meta, sm_scale=SM, window=W, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out)[:5], np.asarray(ref)[:5], rtol=2e-2, atol=2e-2
+    )
+    # the window must change the result vs unwindowed
+    ref_nw, _, _ = ragged_paged_attention_ref(
+        q, kn, vn, kc, vc, 0, meta, sm_scale=SM
+    )
+    assert np.abs(np.asarray(ref)[:5] - np.asarray(ref_nw)[:5]).max() > 1e-3
+
+
+def test_prefill_sliding_window_matches_oracle():
+    rng = np.random.default_rng(5)
+    kc, vc = make_cache(rng, num_blocks=24)
+    q_tile = 8
+    lens = [5, 19, 8]
+    tables = [[0, 1], [2, 3, 4], [5]]
+    reqs = [
+        dict(token_ids=list(range(n)), start=0, kv_len=n,
+             block_table=t, temperature=1.0)
+        for n, t in zip(lens, tables)
+    ]
+    inputs, meta = build(reqs, t_bucket=48, s_bucket=4, w=3, q_tile=q_tile)
+    q = jnp.asarray(rng.standard_normal((48, HQ, HD), np.float32))
+    kn, vn = new_kv(rng, 48)
+    W = 6
+    ref, _, _ = ragged_paged_attention_ref(
+        q, kn, vn, kc, vc, 0, meta, sm_scale=SM, window=W
+    )
+    out, _, _ = ragged_prefill_attention(
+        q, kn, vn, kc, vc, 0, meta, sm_scale=SM, q_tile=q_tile, window=W,
+        interpret=True,
+    )
+    live = np.asarray(inputs.seq_ids) < 4
+    np.testing.assert_allclose(
+        np.asarray(out)[live], np.asarray(ref)[live], rtol=2e-2, atol=2e-2
+    )
