@@ -83,3 +83,48 @@ def tiny_qwen3_4kv_dir(tmp_path_factory):
 
     _write_tiny_tokenizer(str(path))
     return str(path)
+
+
+@pytest.fixture(scope="session")
+def tiny_moe_dir(tmp_path_factory):
+    import torch
+    from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
+
+    path = str(tmp_path_factory.mktemp("tiny_qwen3_moe"))
+    cfg = Qwen3MoeConfig(
+        vocab_size=512,
+        hidden_size=64,
+        intermediate_size=128,       # unused (every layer sparse)
+        moe_intermediate_size=32,
+        num_experts=8,
+        num_experts_per_tok=3,
+        norm_topk_prob=True,         # Qwen3-30B-A3B setting
+        decoder_sparse_step=1,
+        mlp_only_layers=[],
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        max_position_embeddings=1024,
+        rope_theta=10000.0,
+        tie_word_embeddings=True,
+        torch_dtype="float32",
+    )
+    torch.manual_seed(3)
+    model = Qwen3MoeForCausalLM(cfg)
+    # Router logits on an untrained model are near-uniform; spread them so
+    # top-k selections are decisive (parity would otherwise flake on fp
+    # tie-breaks between ranks 3 and 4). Amplify the expert outputs too:
+    # untrained expert contributions (~1e-3) are otherwise too small to flip
+    # greedy tokens, making the parity oracle blind to expert-weight layout
+    # bugs (r2 review found an EP fuse-layout bug these tests had missed).
+    with torch.no_grad():
+        for layer in model.model.layers:
+            layer.mlp.gate.weight.mul_(8.0)
+            for ex in layer.mlp.experts:
+                ex.down_proj.weight.mul_(40.0)
+    model.save_pretrained(path, safe_serialization=True)
+    from nanovllm_tpu.utils.testing import _write_tiny_tokenizer
+
+    _write_tiny_tokenizer(path)
+    return path

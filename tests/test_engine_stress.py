@@ -133,3 +133,38 @@ def test_stress_aborts_preemption_prefix_sharing(llm, tiny_qwen3_dir):
     # An abort on an already-finished sequence is a safe no-op.
     llm.abort_request(live[0])
     assert bm.used_block_ids == set()
+
+
+def test_stress_moe(tiny_moe_dir):
+    """The abort/preemption/prefix stress scenario over the MoE family
+    (ragged expert dispatch under churn), on a tight pool."""
+    llm = LLM(tiny_moe_dir, **ENGINE_KW)
+    rng = np.random.default_rng(71)
+    prompts = [rng.integers(2, 500, size=int(rng.integers(6, 40))).tolist()
+               for _ in range(10)]
+    sps = [SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+           for _ in prompts]
+    ref = llm.generate(prompts, sps, use_tqdm=False)
+    live = {}
+    abort_at = {1: 2, 6: 7}
+    next_admit, t = 0, 0
+    while next_admit < len(prompts) or not llm.is_finished():
+        if next_admit < len(prompts) and t % 2 == 0:
+            live[next_admit] = llm.add_request(prompts[next_admit],
+                                               sps[next_admit])
+            next_admit += 1
+        llm.step()
+        for idx, at in abort_at.items():
+            if t == at and idx in live:
+                llm.abort_request(live[idx])
+        _assert_block_invariants(llm.scheduler)
+        t += 1
+        assert t < 2000
+    for i, seq in live.items():
+        if i in abort_at:
+            continue
+        got = seq.completion_token_ids[
+            : seq.num_valued_tokens - seq.num_prompt_tokens]
+        assert got == ref[i]["token_ids"], f"survivor {i} diverged"
+    bm = llm.scheduler.block_manager
+    assert bm.used_block_ids == set()

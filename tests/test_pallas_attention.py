@@ -673,3 +673,39 @@ def test_prefill_sliding_window_matches_oracle():
     np.testing.assert_allclose(
         np.asarray(out)[live], np.asarray(ref)[live], rtol=2e-2, atol=2e-2
     )
+
+
+def test_decode_sliding_window_int8_kv():
+    """Window mask composes with the int8-KV scale folds (scales zero
+    outside the narrowed history; masked columns die in the select)."""
+    block = 32
+    rng = np.random.default_rng(6)
+    kq = np.clip(rng.standard_normal((1, HKV, 16, block, HD)) * 40, -127, 127)
+    vq = np.clip(rng.standard_normal((1, HKV, 16, block, HD)) * 40, -127, 127)
+    kc = (jnp.asarray(kq, jnp.int8), jnp.asarray(
+        rng.uniform(0.005, 0.02, (1, 16, HKV, block)), jnp.float32))
+    vc = (jnp.asarray(vq, jnp.int8), jnp.asarray(
+        rng.uniform(0.005, 0.02, (1, 16, HKV, block)), jnp.float32))
+    kv_lens = [3, 32, 65, 90]
+    tables = [[0, 1, 2], [3, 4, 5], [6, 7, 8], [9, 10, 11]]
+    reqs = [
+        dict(token_ids=[1], start=n - 1, kv_len=n,
+             block_table=t[: -(-n // block)], temperature=1.0)
+        for n, t in zip(kv_lens, tables)
+    ]
+    inputs = build_step_inputs(
+        reqs, block_size=block, num_tokens_bucket=8, num_seqs_bucket=8,
+        max_blocks_per_seq=3, rng=np.zeros(2, np.uint32), group_pairs=GRP)
+    meta = meta_from_inputs(inputs)
+    q = jnp.asarray(rng.standard_normal((8, HQ, HD)), jnp.float32)
+    kn, vn = new_kv(rng, 8)
+    W = 20  # < several kv lengths -> the window bites
+    ref, _, _ = ragged_paged_attention_ref(
+        q, kn, vn, kc, vc, 0, meta, sm_scale=SM, window=W
+    )
+    out, _, _ = paged_decode_attention(
+        q, kn, vn, kc, vc, 0, meta, sm_scale=SM, window=W, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out)[:4], np.asarray(ref)[:4], rtol=2e-2, atol=2e-2
+    )
