@@ -116,6 +116,23 @@ QWEN3_MOE_MINI = dict(
     _family="qwen3_moe",
 )
 
+# Mistral-7B-v0.3 architecture (sliding-window attention family).
+MISTRAL_7B = dict(
+    vocab_size=32768,
+    hidden_size=4096,
+    intermediate_size=14336,
+    num_hidden_layers=32,
+    num_attention_heads=32,
+    num_key_value_heads=8,
+    head_dim=128,
+    max_position_embeddings=32768,
+    rope_theta=1000000.0,
+    rms_norm_eps=1e-5,
+    sliding_window=4096,
+    tie_word_embeddings=False,
+    _family="mistral",
+)
+
 # Tiny config for dryruns / CI (all dims divisible by 8 for TP tests).
 QWEN3_TINY = dict(
     vocab_size=512,
@@ -137,8 +154,10 @@ def make_qwen3_dir(path: str, arch: dict) -> str:
     from transformers import Qwen2Config, Qwen3Config, Qwen3MoeConfig
 
     arch = dict(arch)
+    from transformers import MistralConfig
+
     cfg_cls = {"qwen2": Qwen2Config, "qwen3": Qwen3Config,
-               "qwen3_moe": Qwen3MoeConfig}[
+               "qwen3_moe": Qwen3MoeConfig, "mistral": MistralConfig}[
         arch.pop("_family", "qwen3")
     ]
     os.makedirs(path, exist_ok=True)
