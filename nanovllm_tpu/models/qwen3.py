@@ -89,7 +89,15 @@ def spec_from_hf(hf_config) -> Qwen3Spec:
         sliding_window=(
             getattr(hf_config, "sliding_window", None)
             if model_type == "mistral"
-            or getattr(hf_config, "use_sliding_window", False)
+            # Qwen2-style opt-in SWA applies per-layer in HF: the FIRST
+            # max_window_layers layers use full attention, the rest slide.
+            # We support the uniform all-sliding case only
+            # (max_window_layers == 0) — a partial-coverage config would
+            # silently diverge from HF.
+            or (
+                getattr(hf_config, "use_sliding_window", False)
+                and getattr(hf_config, "max_window_layers", 1) <= 0
+            )
             else None
         ),
         num_experts=getattr(hf_config, "num_experts", 0) if moe else 0,
