@@ -207,7 +207,7 @@ print("GMM TPU PROBE PASS")
 # ------------------------------------------ sliding-window attention (SWA)
 # window=W is a static kernel branch (window=None is byte-identical to the
 # unwindowed program); probe both kernels' masks on the chip.
-kc_w, vc_w = None, None  # fresh bf16 cache for the window probe
+# fresh bf16 cache for the window probe
 kc_w = jnp.asarray(rng.standard_normal((1, HKV, 24, BLOCK, HD)), jnp.bfloat16)
 vc_w = jnp.asarray(rng.standard_normal((1, HKV, 24, BLOCK, HD)), jnp.bfloat16)
 kv_lens_w = [3, 16, 33, 48, 7, 1, 1, 1]
@@ -233,3 +233,52 @@ d = np.abs(np.asarray(out[:5], np.float32) - np.asarray(ref[:5], np.float32)).ma
 print("decode SWA max diff vs oracle:", d)
 assert d < 0.1, d
 print("SWA TPU PROBE PASS")
+
+
+# SWA prefill branch + a multi-page windowed decode (window crossing page
+# boundaries — the single-page case above never exercises the cross-page
+# combine under a fully-masked page).
+reqs = [dict(token_ids=list(range(20)), start=0, kv_len=20,
+             block_table=[17], temperature=1.0),
+        dict(token_ids=list(range(48)), start=0, kv_len=48,
+             block_table=[18], temperature=1.0)]
+inputs = build_step_inputs(reqs, block_size=BLOCK, num_tokens_bucket=256,
+                           num_seqs_bucket=4, max_blocks_per_seq=2,
+                           rng=np.zeros(2, np.uint32), q_tile=128)
+meta = meta_of(inputs)
+qp = jnp.asarray(rng.standard_normal((256, HQ, HD)), jnp.bfloat16)
+knp = jnp.asarray(rng.standard_normal((256, HKV, HD)), jnp.bfloat16)
+vnp = jnp.asarray(rng.standard_normal((256, HKV, HD)), jnp.bfloat16)
+kc_p = jnp.zeros((1, HKV, 24, BLOCK, HD), jnp.bfloat16)
+vc_p = jnp.zeros((1, HKV, 24, BLOCK, HD), jnp.bfloat16)
+ref, _, _ = ragged_paged_attention_ref(
+    qp, knp, vnp, kc_p, vc_p, 0, meta, sm_scale=SM, window=WIN)
+out, _, _ = jax.jit(
+    lambda *a: ragged_prefill_attention(*a, 0, meta, sm_scale=SM,
+                                        q_tile=128, window=WIN)
+)(qp, knp, vnp, kc_p, vc_p)
+live = np.asarray(inputs.seq_ids) < 4
+d = np.abs(np.asarray(out, np.float32)[live] - np.asarray(ref, np.float32)[live]).max()
+print("prefill SWA max diff vs oracle:", d)
+assert d < 0.1, d
+
+# multi-page decode: kv_len spans 2 pages, window smaller than one page, so
+# page 0 is fully masked for some lanes and page 1 partially.
+kv_lens_mp = [300, 460, 280, 320, 1, 1, 1, 1]
+tables_mp = [[0, 1], [2, 3], [4, 5], [6, 7], [8, 0], [9, 0], [10, 0], [11, 0]]
+reqs = [dict(token_ids=[1], start=n - 1, kv_len=n,
+             block_table=t[: -(-n // BLOCK)], temperature=1.0)
+        for n, t in zip(kv_lens_mp, tables_mp)]
+inputs = build_step_inputs(reqs, block_size=BLOCK, num_tokens_bucket=8,
+                           num_seqs_bucket=8, max_blocks_per_seq=2,
+                           rng=np.zeros(2, np.uint32), group_pairs=GRP)
+meta = meta_of(inputs)
+ref, _, _ = ragged_paged_attention_ref(
+    qw, knw, vnw, kc_w, vc_w, 0, meta, sm_scale=SM, window=64)
+out, _, _ = jax.jit(
+    lambda *a: paged_decode_attention(*a, 0, meta, sm_scale=SM, window=64)
+)(qw, knw, vnw, kc_w, vc_w)
+d = np.abs(np.asarray(out[:4], np.float32) - np.asarray(ref[:4], np.float32)).max()
+print("decode SWA multi-page max diff vs oracle:", d)
+assert d < 0.1, d
+print("SWA FULL TPU PROBE PASS")

@@ -65,6 +65,14 @@ def spec_from_hf(hf_config) -> Qwen3Spec:
         hf_config.hidden_size // hf_config.num_attention_heads
     )
     moe = model_type == "qwen3_moe"
+    if getattr(hf_config, "use_sliding_window", False):
+        # HF slides layers >= max_window_layers and keeps the first ones
+        # global; per-layer mixes need window plumbing under the scan, and
+        # serving them globally would silently diverge from HF.
+        assert getattr(hf_config, "max_window_layers", 1) <= 0, (
+            "partial sliding-window coverage (max_window_layers > 0) is not "
+            "supported; only uniform all-sliding configs are"
+        )
     if moe:
         # v1 restriction: every layer sparse (true for the released Qwen3-MoE
         # checkpoints; per-layer dense/sparse mixes would need ragged layer
@@ -89,15 +97,9 @@ def spec_from_hf(hf_config) -> Qwen3Spec:
         sliding_window=(
             getattr(hf_config, "sliding_window", None)
             if model_type == "mistral"
-            # Qwen2-style opt-in SWA applies per-layer in HF: the FIRST
-            # max_window_layers layers use full attention, the rest slide.
-            # We support the uniform all-sliding case only
-            # (max_window_layers == 0) — a partial-coverage config would
-            # silently diverge from HF.
-            or (
-                getattr(hf_config, "use_sliding_window", False)
-                and getattr(hf_config, "max_window_layers", 1) <= 0
-            )
+            # Qwen2-style opt-in SWA (uniform all-sliding only; partial
+            # coverage asserts above).
+            or getattr(hf_config, "use_sliding_window", False)
             else None
         ),
         num_experts=getattr(hf_config, "num_experts", 0) if moe else 0,

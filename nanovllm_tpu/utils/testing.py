@@ -151,11 +151,10 @@ QWEN3_TINY = dict(
 
 def make_qwen3_dir(path: str, arch: dict) -> str:
     """Write config.json + a tiny offline tokenizer; no weights."""
-    from transformers import Qwen2Config, Qwen3Config, Qwen3MoeConfig
+    from transformers import (MistralConfig, Qwen2Config, Qwen3Config,
+                              Qwen3MoeConfig)
 
     arch = dict(arch)
-    from transformers import MistralConfig
-
     cfg_cls = {"qwen2": Qwen2Config, "qwen3": Qwen3Config,
                "qwen3_moe": Qwen3MoeConfig, "mistral": MistralConfig}[
         arch.pop("_family", "qwen3")
@@ -183,3 +182,22 @@ def _write_tiny_tokenizer(path: str):
     PreTrainedTokenizerFast(
         tokenizer_object=tok, unk_token="<unk>", eos_token="<eos>"
     ).save_pretrained(path)
+
+
+def hf_greedy(model_dir: str, token_ids, n_new: int, **from_pretrained_kw):
+    """Manual HF greedy-decode oracle (avoids generate() EOS quirks); shared
+    by the family parity tests. Pass e.g. attn_implementation="eager" for
+    sliding-window models."""
+    import torch
+    from transformers import AutoModelForCausalLM
+
+    model = AutoModelForCausalLM.from_pretrained(
+        model_dir, dtype=torch.float32, **from_pretrained_kw
+    )
+    model.eval()
+    ids = list(token_ids)
+    with torch.no_grad():
+        for _ in range(n_new):
+            logits = model(torch.tensor([ids])).logits[0, -1]
+            ids.append(int(logits.argmax()))
+    return ids[len(token_ids):]

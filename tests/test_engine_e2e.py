@@ -29,19 +29,11 @@ def llm(tiny_qwen3_dir):
     return LLM(tiny_qwen3_dir, **ENGINE_KW)
 
 
-def hf_greedy(model_dir, token_ids, n_new):
-    """Manual greedy loop with the HF model (avoids generate() EOS quirks)."""
-    import torch
-    from transformers import Qwen3ForCausalLM
+from nanovllm_tpu.utils.testing import hf_greedy as _hf_greedy
 
-    model = Qwen3ForCausalLM.from_pretrained(model_dir, dtype=torch.float32)
-    model.eval()
-    ids = list(token_ids)
-    with torch.no_grad():
-        for _ in range(n_new):
-            logits = model(torch.tensor([ids])).logits[0, -1]
-            ids.append(int(logits.argmax()))
-    return ids[len(token_ids):]
+
+def hf_greedy(model_dir, token_ids, n_new):
+    return _hf_greedy(model_dir, token_ids, n_new)
 
 
 def test_greedy_matches_hf_batched(llm, tiny_qwen3_dir):

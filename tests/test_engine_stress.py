@@ -146,7 +146,9 @@ def test_stress_moe(tiny_moe_dir):
            for _ in prompts]
     ref = llm.generate(prompts, sps, use_tqdm=False)
     live = {}
-    abort_at = {1: 2, 6: 7}
+    # One admission per even step: request 6 exists from t=12, so its abort
+    # must fire later (t=13) — an earlier step would silently never abort it.
+    abort_at = {1: 2, 6: 13}
     next_admit, t = 0, 0
     while next_admit < len(prompts) or not llm.is_finished():
         if next_admit < len(prompts) and t % 2 == 0:
@@ -162,6 +164,7 @@ def test_stress_moe(tiny_moe_dir):
         assert t < 2000
     for i, seq in live.items():
         if i in abort_at:
+            assert seq.is_finished, f"abort {i} never fired"
             continue
         got = seq.completion_token_ids[
             : seq.num_valued_tokens - seq.num_prompt_tokens]

@@ -51,20 +51,11 @@ def tiny_mistral_dir(tmp_path_factory):
     return path
 
 
-def hf_greedy(model_dir, token_ids, n_new):
-    import torch
-    from transformers import MistralForCausalLM
+from nanovllm_tpu.utils.testing import hf_greedy as _hf_greedy
 
-    model = MistralForCausalLM.from_pretrained(
-        model_dir, dtype=torch.float32, attn_implementation="eager"
-    )
-    model.eval()
-    ids = list(token_ids)
-    with torch.no_grad():
-        for _ in range(n_new):
-            logits = model(torch.tensor([ids])).logits[0, -1]
-            ids.append(int(logits.argmax()))
-    return ids[len(token_ids):]
+
+def hf_greedy(model_dir, token_ids, n_new):
+    return _hf_greedy(model_dir, token_ids, n_new, attn_implementation="eager")
 
 
 def test_mistral_swa_matches_hf(tiny_mistral_dir):

@@ -24,18 +24,11 @@ ENGINE_KW = dict(
 )
 
 
-def hf_greedy(model_dir, token_ids, n_new):
-    import torch
-    from transformers import Qwen3MoeForCausalLM
+from nanovllm_tpu.utils.testing import hf_greedy as _hf_greedy
 
-    model = Qwen3MoeForCausalLM.from_pretrained(model_dir, dtype=torch.float32)
-    model.eval()
-    ids = list(token_ids)
-    with torch.no_grad():
-        for _ in range(n_new):
-            logits = model(torch.tensor([ids])).logits[0, -1]
-            ids.append(int(logits.argmax()))
-    return ids[len(token_ids):]
+
+def hf_greedy(model_dir, token_ids, n_new):
+    return _hf_greedy(model_dir, token_ids, n_new)
 
 
 def test_moe_greedy_matches_hf(tiny_moe_dir):
