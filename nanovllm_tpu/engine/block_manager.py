@@ -60,6 +60,10 @@ class BlockManager:
         self.free_block_ids: deque[int] = deque(range(num_blocks))
         self.used_block_ids: set[int] = set()
         self.hash_to_block_id: dict[int, int] = {}
+        # Prefix-cache observability: prompt tokens served from cached
+        # blocks vs freshly prefilled (reported via EngineMetrics//metrics).
+        self.cached_prompt_tokens = 0
+        self.new_prompt_tokens = 0
 
     # ------------------------------------------------------------------ util
 
@@ -134,6 +138,10 @@ class BlockManager:
             seq.block_table.append(block_id)
         seq.num_cached_tokens = num_cached * self.block_size
         seq.num_hashed_blocks = num_cached
+        self.cached_prompt_tokens += seq.num_cached_tokens
+        self.new_prompt_tokens += seq.num_prompt_tokens - min(
+            seq.num_cached_tokens, seq.num_prompt_tokens
+        )
 
     def deallocate(self, seq: Sequence):
         for block_id in reversed(seq.block_table):

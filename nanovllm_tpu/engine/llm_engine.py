@@ -124,6 +124,11 @@ class LLMEngine:
         # metrics interval now (device-true phase timing) and get per-row
         # estimated completion timestamps for TTFT / e2e latency.
         row_times = self.metrics.record_drain()
+        bm = self.scheduler.block_manager
+        self.metrics.extra = {
+            "prefix_cached_prompt_tokens": bm.cached_prompt_tokens,
+            "new_prompt_tokens": bm.new_prompt_tokens,
+        }
         outputs = []
         for row, (seqs, appended) in enumerate(self.pending):
             done_t = row_times[row] if row < len(row_times) else perf_counter()

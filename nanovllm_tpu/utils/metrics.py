@@ -42,6 +42,9 @@ class EngineMetrics:
     decode_time: float = 0.0    # s of drained (device-true) decode work
     num_prefill_steps: int = 0
     num_decode_steps: int = 0
+    # Free-form gauges merged into summary() (e.g. prefix-cache hit counts,
+    # refreshed by the engine before reporting).
+    extra: dict = field(default_factory=dict)
     start_time: float = field(default_factory=perf_counter)
     # Open measurement interval: signed token counts of dispatched,
     # not-yet-drained steps (+prefill tokens / -decode batch size), and the
@@ -110,4 +113,5 @@ class EngineMetrics:
             "e2e_p50_s": round(_percentile(self.e2e_latencies, 50), 4),
             "num_prefill_steps": self.num_prefill_steps,
             "num_decode_steps": self.num_decode_steps,
+            **self.extra,
         }
