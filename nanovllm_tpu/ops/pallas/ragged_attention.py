@@ -105,8 +105,11 @@ def unpack_int4_heads(b: jax.Array) -> jax.Array:
     """f32 nibble-packed bytes [Hs, ...] -> unbiased f32 values [2*Hs, ...]
     (head h from the low nibble, head h + Hs from the high). Pure f32
     arithmetic (exact for 0..255) — no narrow-int shifts, which would force
-    whole-buffer relayouts in Mosaic."""
-    bf = b.astype(jnp.float32)
+    whole-buffer relayouts in Mosaic. Mosaic has no uint8->f32 cast (measured
+    on chip r2): bitcast to int8 (same bits, same tiling), cast through the
+    proven int8->f32 path, and undo two's complement in f32."""
+    bi = jax.lax.bitcast_convert_type(b, jnp.int8).astype(jnp.float32)
+    bf = jnp.where(bi < 0.0, bi + 256.0, bi)
     hi = jnp.floor(bf * (1.0 / 16.0))
     lo = bf - hi * 16.0
     return jnp.concatenate([lo, hi], axis=0) - 8.0
