@@ -72,6 +72,7 @@ def build_step_inputs(
     ring_pos: int = 0,
     num_pairs_bucket: int | None = None,
     group_pairs: int | None = None,
+    window: int | None = None,
     _slow: bool = False,
 ) -> StepInputs:
     """Build a padded StepInputs batch on host.
@@ -90,6 +91,14 @@ def build_step_inputs(
     (group, page) for every page depth a group of ``group_pairs`` sequences
     is live at (a dense groups x max_pages grid is mostly skipped steps whose
     per-step overhead still costs real time). Sentinel group = S/GRP.
+
+    ``window``: sliding-window attention width shared by ALL layers. Pages
+    wholly below every group member's window (decode: valid history is
+    [kv_len - window, kv_len - 2], plus the last page for the fused append)
+    or every tile row's window (prefill: keys in (q_pos - window, q_pos])
+    are dropped from the worklist — the kernels additionally skip per-lane
+    DMAs inside a visited pair (see _decode_kernel). window=None emits the
+    exact pre-window worklist.
 
     Decode batches (every chunk exactly one token, no q_tile) take a fully
     vectorized path: the general per-sequence loop costs ~3.6 ms of host time
@@ -187,9 +196,12 @@ def build_step_inputs(
                 tile_seq[t] = i
                 pos0 = start + (t - t0) * q_tile
                 tile_pos0[t] = pos0
-                # Pages this tile reads: up to its causal frontier.
+                # Pages this tile reads: up to its causal frontier, starting
+                # at the sliding window's first live page (lowest key any row
+                # of the tile can attend to is pos0 - window + 1).
                 kv_limit = min(r["kv_len"], pos0 + q_tile)
-                pairs += [(t, j) for j in range(-(-kv_limit // block_size))]
+                lo = 0 if window is None else max(0, pos0 - window + 1) // block_size
+                pairs += [(t, j) for j in range(lo, -(-kv_limit // block_size))]
         token_ids[offset: offset + n] = chunk
         pos = np.arange(start, start + n, dtype=np.int32)
         positions[offset: offset + n] = pos
@@ -215,11 +227,22 @@ def build_step_inputs(
     if group_pairs:
         assert q_tile is None, "group_pairs is the decode worklist mode"
         nt = s_pad // group_pairs  # sentinel = total group count
+
+        def _lane_lo(kv_len):
+            # First page the sliding window still touches: the kernel needs
+            # page j iff (j+1)*block > kv_len-1-window (history positions
+            # [kv_len-window, kv_len-2]; the last page always qualifies, so
+            # the fused append stays covered).
+            if window is None or kv_len <= 0:
+                return 0
+            return max(0, kv_len - 1 - window) // block_size
+
         if _slow:
             for g in range(-(-len(reqs) // group_pairs)):
                 members = reqs[g * group_pairs: (g + 1) * group_pairs]
                 gmax = max(-(-r["kv_len"] // block_size) for r in members)
-                pairs += [(g, j) for j in range(gmax)]
+                glo = min(_lane_lo(r["kv_len"]) for r in members)
+                pairs += [(g, j) for j in range(glo, gmax)]
             n_pairs = len(pairs)
         else:
             assert not pairs
@@ -228,7 +251,18 @@ def build_step_inputs(
             padded_pages = np.zeros(ng * group_pairs, np.int32)
             padded_pages[: len(reqs)] = -(kv_lens[: len(reqs)] // -block_size)
             gmax = padded_pages.reshape(ng, group_pairs).max(axis=1)
-            n_pairs = int(gmax.sum())
+            if window is None:
+                glo = np.zeros(ng, np.int32)
+            else:
+                lanes_lo = np.full(ng * group_pairs, 2**30, np.int32)
+                lanes_lo[: len(reqs)] = (
+                    np.maximum(kv_lens[: len(reqs)] - 1 - window, 0)
+                    // block_size
+                )
+                glo = lanes_lo.reshape(ng, group_pairs).min(axis=1)
+                glo = np.minimum(glo, gmax)  # all-padding group -> 0 pairs
+            gcnt = gmax - glo
+            n_pairs = int(gcnt.sum())
     if num_pairs_bucket is None:
         num_pairs_bucket = n_pairs  # unpadded (tests / ad-hoc callers)
     assert n_pairs <= num_pairs_bucket, (
@@ -238,10 +272,12 @@ def build_step_inputs(
     pair_page = np.zeros(max(num_pairs_bucket, 1), np.int32)
     if vector_pairs and n_pairs:
         pair_tile[:n_pairs] = np.repeat(
-            np.arange(ng, dtype=np.int32), gmax
+            np.arange(ng, dtype=np.int32), gcnt
         )
-        pair_page[:n_pairs] = np.arange(n_pairs, dtype=np.int32) - np.repeat(
-            np.cumsum(gmax, dtype=np.int32) - gmax, gmax
+        pair_page[:n_pairs] = (
+            np.arange(n_pairs, dtype=np.int32)
+            - np.repeat(np.cumsum(gcnt, dtype=np.int32) - gcnt, gcnt)
+            + np.repeat(glo, gcnt)
         )
     elif pairs:
         arr = np.asarray(pairs, np.int32)

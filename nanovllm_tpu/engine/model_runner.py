@@ -798,18 +798,25 @@ class ModelRunner:
                 )
             )
         q_tile = self.q_tile if (is_prefill and self.use_pallas) else None
+        window = getattr(self.spec, "sliding_window", None)
         p_bucket = 1
         if is_prefill:
             if q_tile:
                 # Exact packed length under per-seq q-tile alignment, plus
-                # the active (tile, page) pair count for the worklist grid.
+                # the active (tile, page) pair count for the worklist grid
+                # (window-skipped leading pages excluded, mirroring
+                # build_step_inputs).
                 off, npairs = 0, 0
                 bsz = cfg.kvcache_block_size
                 for r in reqs:
                     off = -(-off // q_tile) * q_tile
                     for pos0 in range(r["start"], r["kv_len"], q_tile):
                         lim = min(r["kv_len"], pos0 + q_tile)
-                        npairs += -(-lim // bsz)
+                        lo = (
+                            0 if window is None
+                            else max(0, pos0 - window + 1) // bsz
+                        )
+                        npairs += -(-lim // bsz) - lo
                     off += len(r["token_ids"])
                 num_tokens = -(-off // q_tile) * q_tile
             else:
@@ -825,13 +832,19 @@ class ModelRunner:
             t_bucket = s_bucket
             if self.use_pallas:
                 # Decode worklist length: one pair per (group of 8, live page
-                # depth). The engine sorts decode batches by kv length, so
-                # groups have near-uniform depth.
+                # depth), minus pages a sliding window has wholly rolled past
+                # (mirrors build_step_inputs). The engine sorts decode batches
+                # by kv length, so groups have near-uniform depth.
                 bsz = cfg.kvcache_block_size
-                npairs = sum(
-                    max(-(-r["kv_len"] // bsz) for r in reqs[g0: g0 + GRP])
-                    for g0 in range(0, len(reqs), GRP)
-                )
+                npairs = 0
+                for g0 in range(0, len(reqs), GRP):
+                    members = reqs[g0: g0 + GRP]
+                    hi = max(-(-r["kv_len"] // bsz) for r in members)
+                    lo = 0 if window is None else min(
+                        max(0, r["kv_len"] - 1 - window) // bsz
+                        for r in members
+                    )
+                    npairs += hi - lo
                 p_bucket = _pick_bucket(
                     self.decode_pair_buckets[s_bucket], npairs
                 )
@@ -849,6 +862,7 @@ class ModelRunner:
             ring_pos=ring_pos,
             num_pairs_bucket=p_bucket if (q_tile or group_pairs) else None,
             group_pairs=group_pairs,
+            window=window if self.use_pallas else None,
         )
         if self.n_proc > 1:
             # Multi-host: every host builds identical StepInputs (deterministic

@@ -248,6 +248,18 @@ def _decode_kernel(
             conds.append((c, r * rung))
         return conds
 
+    def lane_rows(seq, page):
+        """Rows of ``page`` this lane must fetch: valid rows under kv_len,
+        zero when a sliding window has rolled past the whole page (need page
+        j iff (j+1)*block > kv_len-1-window; the last page always qualifies,
+        keeping the fused write-back covered). Start/wait/zero predicates all
+        derive from this one value, so every start has a matching wait."""
+        rows = kv_lens_ref[seq] - page * block_size
+        if window is not None:
+            need = (page + 1) * block_size > kv_lens_ref[seq] - 1 - window
+            rows = jnp.where(need, rows, 0)
+        return rows
+
     def read_group_page(grp, page, slot):
         # One page per live-at-this-depth sequence of the group, landing in
         # that sequence's [block] strip of the buffer — fetched only up to
@@ -256,7 +268,7 @@ def _decode_kernel(
         # and in interpret mode (separate arrays) reads then observe appends.
         for i in range(GRP):
             seq = grp * GRP + i
-            rows = kv_lens_ref[seq] - page * block_size
+            rows = lane_rows(seq, page)
 
             for cond, hi in rung_conds(rows):
 
@@ -315,7 +327,7 @@ def _decode_kernel(
     def wait_group_page(grp, page, slot):
         for i in range(GRP):
             seq = grp * GRP + i
-            rows = kv_lens_ref[seq] - page * block_size
+            rows = lane_rows(seq, page)
 
             for cond, hi in rung_conds(rows):
 
@@ -405,7 +417,11 @@ def _decode_kernel(
 
         hkv, grp, groups, hd = q_ref.shape
 
-        @pl.when(j == 0)
+        # First pair of this group (== j == 0 unless a sliding window dropped
+        # the group's leading pages from the worklist).
+        group_start = (i == 0) | (pair_grp_ref[jnp.maximum(i - 1, 0)] != g_raw)
+
+        @pl.when(group_start)
         def _init_group():
             # Fold the new token's self-attention into the accumulator init:
             # each row's running max starts at its own (scaled) self-score,
@@ -626,7 +642,10 @@ def paged_decode_attention(
     Quantized caches are (values, f32 per-token scales) pairs: int8 values
     full-head, or uint8 nibble-packed int4 ([Hkv/2] bytes per head pair,
     see quantize_kv_rows_int4). ``window``: sliding-window attention (keys
-    in (q_pos - window, q_pos]; mask-only — pages are still fetched)."""
+    in (q_pos - window, q_pos]); pages the window has wholly rolled past are
+    skipped — dropped from the worklist when every lane of a group is past
+    them (build_step_inputs) and per-lane DMA-skipped inside visited pairs
+    (lane_rows)."""
     quantized = _is_quantized(k_cache)
     if quantized:
         kc, ks = k_cache
@@ -951,7 +970,18 @@ def _prefill_kernel(
     def _work():
         slot = buf_idx_ref[0]
 
-        @pl.when(j == 0)
+        # First pair of this tile (== j == 0 unless a sliding window dropped
+        # the tile's leading pages from the worklist); ordinal_lt2 marks the
+        # tile's first TWO pairs — the ones whose reads were prefetched
+        # before this tile's own j-start appends (pairs of a tile are
+        # contiguous in the worklist, so neighbor comparisons recover the
+        # tile-relative ordinal).
+        prev1 = jnp.maximum(i - 1, 0)
+        prev2 = jnp.maximum(i - 2, 0)
+        tile_start = (i == 0) | (pair_tile_ref[prev1] != pair_tile_ref[i])
+        ordinal_lt2 = (i < 2) | (pair_tile_ref[prev2] != pair_tile_ref[i])
+
+        @pl.when(tile_start)
         def _append_kv():
             # Store this tile's new K/V rows (and scales) into the aliased
             # cache. Chunk starts are page-aligned, so the tile's rows are one
@@ -1019,7 +1049,7 @@ def _prefill_kernel(
         wait_page(rows_here, slot)
         buf_idx_ref[0] = jnp.where(slot == 2, 0, slot + 1)
 
-        @pl.when(j == 0)
+        @pl.when(tile_start)
         def _init_tile():
             m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
             l_scr[...] = jnp.zeros_like(l_scr)
@@ -1027,23 +1057,25 @@ def _prefill_kernel(
 
         # Refetch pages whose prefetch (issued two pairs earlier) predates
         # appends that land in them. Two hazards:
-        # (a) same tile: pairs j < 2 were prefetched before this tile's own
-        #     j==0 appends — stale if the page is one this tile writes
-        #     (pages [pos0/block, pos0/block + n_writes));
+        # (a) same tile: the tile's first two pairs were prefetched before
+        #     its own start-of-tile appends — stale if the page is one this
+        #     tile writes (pages [pos0/block, pos0/block + n_writes));
         # (b) previous tile: a read issued at pair i-2 misses appends from a
         #     single-pair tile whose only pair is i-1 — stale if that tile is
         #     a different tile of the SAME sequence writing the page we read.
+        #     (A tile starting at i-2 or earlier appends before our read is
+        #     issued — _append_kv runs before _prefetch in its _work.)
         w0 = pos0 // block_size
         n_wr = max(1, q_tile // block_size)
-        same_tile = (j < 2) & (j >= w0) & (j < w0 + n_wr)
-        prev = jnp.maximum(i - 1, 0)
-        pt_raw = pair_tile_ref[prev]
+        same_tile = ordinal_lt2 & (j >= w0) & (j < w0 + n_wr)
+        pt_raw = pair_tile_ref[prev1]
         pt = jnp.minimum(pt_raw, nt - 1)
         prev_w0 = tile_pos0_ref[pt] // block_size
+        prev_first = (i <= 1) | (pair_tile_ref[prev2] != pt_raw)
         prev_tile = (
             (i > 0)
             & (pt_raw != pair_tile_ref[i])
-            & (pair_page_ref[prev] == 0)
+            & prev_first
             & (tile_seq_ref[pt] == seq)
             & (j >= prev_w0)
             & (j < prev_w0 + n_wr)

@@ -709,3 +709,180 @@ def test_decode_sliding_window_int8_kv():
     np.testing.assert_allclose(
         np.asarray(out)[:4], np.asarray(ref)[:4], rtol=2e-2, atol=2e-2
     )
+
+
+def test_decode_window_worklist_skipping():
+    """window passed to build_step_inputs drops pages every group lane has
+    rolled past (glo > 0); the kernel's group-start init moves off j==0 and
+    per-lane DMAs skip pages outside (kv_len-1-W, kv_len-1]."""
+    rng = np.random.default_rng(7)
+    kc, vc = make_cache(rng, num_blocks=64)
+    W = 10  # well under one page (BLOCK=16): leading pages all skippable
+    kv_lens = [40, 45, 33, 100, 60, 50, 70, 80]   # full group, all long
+    reqs = []
+    nb = 0
+    for n in kv_lens:
+        t = list(range(nb, nb + -(-n // BLOCK)))
+        nb += len(t)
+        reqs.append(dict(token_ids=[1], start=n - 1, kv_len=n,
+                         block_table=t, temperature=1.0))
+    kw = dict(block_size=BLOCK, num_tokens_bucket=8, num_seqs_bucket=8,
+              max_blocks_per_seq=7, rng=np.zeros(2, np.uint32),
+              group_pairs=GRP)
+    inputs = build_step_inputs(reqs, window=W, **kw)
+    full = build_step_inputs(reqs, **kw)
+    # every lane is past page 0: glo = min lane lo = (33-1-10)//16 = 1
+    n_live = int((np.asarray(inputs.pair_tile) < 1).sum())
+    n_full = int((np.asarray(full.pair_tile) < 1).sum())
+    assert n_live < n_full and np.asarray(inputs.pair_page)[0] == 1
+    # fast path == slow path with a window
+    slow = build_step_inputs(reqs, window=W, _slow=True, **kw)
+    for name, a, b in zip(inputs._fields, inputs, slow):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+    meta = meta_from_inputs(inputs)
+    q = jnp.asarray(rng.standard_normal((8, HQ, HD), np.float32))
+    kn, vn = new_kv(rng, 8)
+    ref, _, _ = ragged_paged_attention_ref(
+        q, kn, vn, kc, vc, 0, meta, sm_scale=SM, window=W
+    )
+    out, ko, vo = paged_decode_attention(
+        q, kn, vn, kc, vc, 0, meta, sm_scale=SM, window=W, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+    assert_written(ko, vo, kn, vn, inputs)
+
+
+def test_decode_window_worklist_mixed_groups():
+    """Two groups with heterogeneous lengths: a short lane pins its group's
+    first page at 0 (glo = min over lanes) while the uniform long group
+    skips; lanes inside a visited pair still skip their own dead pages."""
+    rng = np.random.default_rng(8)
+    kc, vc = make_cache(rng, num_blocks=96)
+    W = 12
+    kv_lens = [3, 90, 100, 80, 75, 95, 88, 70,       # group 0: glo = 0
+               64, 66, 70, 72, 74, 76, 78, 81]       # group 1: glo > 0
+    reqs = []
+    nb = 0
+    for n in kv_lens:
+        t = list(range(nb, nb + -(-n // BLOCK)))
+        nb += len(t)
+        reqs.append(dict(token_ids=[1], start=n - 1, kv_len=n,
+                         block_table=t, temperature=1.0))
+    kw = dict(block_size=BLOCK, num_tokens_bucket=16, num_seqs_bucket=16,
+              max_blocks_per_seq=7, rng=np.zeros(2, np.uint32),
+              group_pairs=GRP)
+    inputs = build_step_inputs(reqs, window=W, **kw)
+    slow = build_step_inputs(reqs, window=W, _slow=True, **kw)
+    for name, a, b in zip(inputs._fields, inputs, slow):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+    pt, pp = np.asarray(inputs.pair_tile), np.asarray(inputs.pair_page)
+    assert pp[pt == 0].min() == 0          # short lane keeps page 0
+    assert pp[pt == 1].min() > 0           # uniform long group skips
+    meta = meta_from_inputs(inputs)
+    q = jnp.asarray(rng.standard_normal((16, HQ, HD), np.float32))
+    kn, vn = new_kv(rng, 16)
+    ref, _, _ = ragged_paged_attention_ref(
+        q, kn, vn, kc, vc, 0, meta, sm_scale=SM, window=W
+    )
+    out, ko, vo = paged_decode_attention(
+        q, kn, vn, kc, vc, 0, meta, sm_scale=SM, window=W, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+    assert_written(ko, vo, kn, vn, inputs)
+
+
+def test_decode_window_worklist_int8_kv():
+    """Worklist skipping composes with the quantized cache (scale DMAs are
+    gated on the same lane_rows predicate as the page DMAs)."""
+    block = 32
+    nb_pool = 48  # the tables below use 44 distinct pages
+    rng = np.random.default_rng(9)
+    kq = np.clip(
+        rng.standard_normal((1, HKV, nb_pool, block, HD)) * 40, -127, 127
+    )
+    vq = np.clip(
+        rng.standard_normal((1, HKV, nb_pool, block, HD)) * 40, -127, 127
+    )
+    kc = (jnp.asarray(kq, jnp.int8), jnp.asarray(
+        rng.uniform(0.005, 0.02, (1, nb_pool, HKV, block)), jnp.float32))
+    vc = (jnp.asarray(vq, jnp.int8), jnp.asarray(
+        rng.uniform(0.005, 0.02, (1, nb_pool, HKV, block)), jnp.float32))
+    W = 30
+    kv_lens = [120, 150, 180, 200, 130, 140, 165, 190]
+    reqs = []
+    nb = 0
+    for n in kv_lens:
+        t = list(range(nb, nb + -(-n // block)))
+        nb += len(t)
+        reqs.append(dict(token_ids=[1], start=n - 1, kv_len=n,
+                         block_table=t, temperature=1.0))
+    inputs = build_step_inputs(
+        reqs, block_size=block, num_tokens_bucket=8, num_seqs_bucket=8,
+        max_blocks_per_seq=7, rng=np.zeros(2, np.uint32), group_pairs=GRP,
+        window=W)
+    assert np.asarray(inputs.pair_page)[0] > 0   # leading pages skipped
+    meta = meta_from_inputs(inputs)
+    q = jnp.asarray(rng.standard_normal((8, HQ, HD)), jnp.float32)
+    kn, vn = new_kv(rng, 8)
+    ref, _, _ = ragged_paged_attention_ref(
+        q, kn, vn, kc, vc, 0, meta, sm_scale=SM, window=W
+    )
+    out, _, _ = paged_decode_attention(
+        q, kn, vn, kc, vc, 0, meta, sm_scale=SM, window=W, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_prefill_window_worklist_skipping():
+    """Prefill worklist drops pages below each tile's window reach
+    (lo = (pos0 - W + 1) // block); start-of-tile appends/init/refetch keys
+    move from j==0 to the tile's first worklist pair."""
+    rng = np.random.default_rng(10)
+    kc, vc = make_cache(rng, num_blocks=64)
+    q_tile = 8
+    W = 10
+    # Chunked continuations far past the window: tiles must skip leading
+    # pages; one fresh short seq keeps a j==0 tile in the mix; seq 1 spans
+    # two chunks of the same sequence (prev-tile refetch hazard).
+    reqs_spec = [
+        (48, 64),   # start=48, kv_len=64: 2 tiles, lo = 39//16 = 2
+        (0, 13),    # fresh short: tiles at j==0
+        (80, 96),   # deep continuation: lo = 71//16 = 4
+    ]
+    reqs = []
+    nb = 0
+    for start, kv in reqs_spec:
+        t = list(range(nb, nb + -(-kv // BLOCK)))
+        nb += len(t)
+        reqs.append(dict(token_ids=list(range(kv - start)), start=start,
+                         kv_len=kv, block_table=t, temperature=1.0))
+    inputs = build_step_inputs(
+        reqs, block_size=BLOCK, num_tokens_bucket=48, num_seqs_bucket=4,
+        max_blocks_per_seq=6, rng=np.zeros(2, np.uint32), q_tile=q_tile,
+        window=W)
+    full = build_step_inputs(
+        reqs, block_size=BLOCK, num_tokens_bucket=48, num_seqs_bucket=4,
+        max_blocks_per_seq=6, rng=np.zeros(2, np.uint32), q_tile=q_tile)
+    nt = inputs.tile_seq.shape[0]
+    assert (np.asarray(inputs.pair_tile) < nt).sum() < (
+        np.asarray(full.pair_tile) < nt).sum()
+    meta = meta_from_inputs(inputs)
+    q = jnp.asarray(rng.standard_normal((48, HQ, HD), np.float32))
+    kn, vn = new_kv(rng, 48)
+    ref, kr, vr = ragged_paged_attention_ref(
+        q, kn, vn, kc, vc, 0, meta, sm_scale=SM, window=W
+    )
+    out, ko, vo = ragged_prefill_attention(
+        q, kn, vn, kc, vc, 0, meta, sm_scale=SM, q_tile=q_tile, window=W,
+        interpret=True,
+    )
+    live = np.asarray(inputs.seq_ids) < 4
+    np.testing.assert_allclose(
+        np.asarray(out)[live], np.asarray(ref)[live], rtol=2e-2, atol=2e-2
+    )
+    assert_written(ko, vo, kn, vn, inputs)
