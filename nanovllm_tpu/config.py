@@ -58,6 +58,11 @@ class Config:
     # budget so q-tile padding can never push a packed bucket past the largest
     # compiled bucket. Set by the ModelRunner (q_tile on the Pallas path).
     schedule_token_align: int = 1
+    # Sliding-window width when EVERY layer slides (set by the ModelRunner
+    # from the model spec; None otherwise). The scheduler uses it for rolling
+    # KV eviction: leading blocks the window can never touch again are
+    # released while the sequence keeps running.
+    attention_window: int | None = None
     # Async pipeline depth: sampled tokens stay on-device (fed back into the
     # next decode step from a slot buffer) and are fetched to host in one
     # batched transfer every `fetch_interval` steps. EOS stops can lag by up

@@ -144,7 +144,9 @@ class BlockManager:
         )
 
     def deallocate(self, seq: Sequence):
-        for block_id in reversed(seq.block_table):
+        # Entries below the eviction watermark were already released by
+        # evict_prefix (sliding-window rolling eviction) — skip them.
+        for block_id in reversed(seq.block_table[seq.num_evicted_blocks:]):
             block = self.blocks[block_id]
             assert block.ref_count > 0
             block.ref_count -= 1
@@ -153,6 +155,25 @@ class BlockManager:
         seq.block_table.clear()
         seq.num_cached_tokens = 0
         seq.num_hashed_blocks = 0
+        seq.num_evicted_blocks = 0
+
+    # ----------------------------------------------- sliding-window eviction
+
+    def evict_prefix(self, seq: Sequence, upto: int):
+        """Release the sequence's leading blocks [num_evicted_blocks, upto):
+        a sliding-window model can never attend into them again (the decode
+        worklist and the kernels' per-lane need-predicate skip pages below
+        (kv_len-1-window)//block — see ops/pallas/ragged_attention.lane_rows).
+        The table entries stay in place as stale ids (page indexing is
+        positional); shared prefix blocks just drop one reference and remain
+        resurrectable for other sequences."""
+        for i in range(seq.num_evicted_blocks, upto):
+            block = self.blocks[seq.block_table[i]]
+            assert block.ref_count > 0
+            block.ref_count -= 1
+            if block.ref_count == 0:
+                self._deallocate_block(block.block_id)
+        seq.num_evicted_blocks = max(seq.num_evicted_blocks, upto)
 
     # -------------------------------------------------------------- decode
 
@@ -175,6 +196,13 @@ class BlockManager:
         chaining from the previous block's hash. Only fully *valued* blocks
         are hashable — completion tokens may still be placeholders while
         their sampled values sit on-device (async pipeline)."""
+        if seq.num_evicted_blocks:
+            # Rolling eviction in progress: the chain's earlier blocks may be
+            # freed/reused (their hash fields reset), so chained hashes can no
+            # longer be extended reliably. Registrations stop; existing ones
+            # stay valid (lookups re-derive chains from token ids and the
+            # token-comparison guard rejects stale matches).
+            return
         num_full_cached = min(
             seq.num_cached_tokens, seq.num_valued_tokens
         ) // self.block_size

@@ -136,6 +136,9 @@ class ModelRunner:
         # batches never exceed the largest compiled bucket.
         if self.use_pallas:
             config.schedule_token_align = self.q_tile
+        # Expose the (all-layer) sliding window so the scheduler can roll KV
+        # eviction forward (blocks below the window are released mid-flight).
+        config.attention_window = getattr(self.spec, "sliding_window", None)
         self.prefill_token_buckets = tuple(config.prefill_buckets)
         # Active (tile, page) pair buckets per prefill token bucket: the
         # prefill kernel grid is a flat worklist, so its length is a compiled

@@ -42,6 +42,11 @@ class Scheduler:
         self.block_manager = BlockManager(
             config.num_kvcache_blocks, config.kvcache_block_size
         )
+        # Rolling KV eviction for sliding-window models (set by ModelRunner):
+        # leading blocks the window can never reach again are released while
+        # the sequence runs, bounding steady-state KV at ~window + one block
+        # per sequence regardless of generated length.
+        self.attention_window = getattr(config, "attention_window", None)
         self.waiting: deque[Sequence] = deque()
         self.running: deque[Sequence] = deque()
         # Device slots for on-device last-token feedback (async pipeline).
@@ -147,10 +152,38 @@ class Scheduler:
                 continue
             seq.num_scheduled_tokens = 1
             self.block_manager.may_append(seq)
+            self._evict_window(seq)
             scheduled.append(seq)
         assert scheduled, "scheduler deadlock: no sequence can be scheduled"
         self.running.extendleft(reversed(scheduled))
         return scheduled, False
+
+    def _evict_window(self, seq: Sequence):
+        """Rolling KV eviction (sliding-window models): release leading
+        blocks no future step can read. For the upcoming decode step at
+        kv_len = num_tokens, the kernels need page j iff (j+1)*block >
+        kv_len-1-window (ragged_attention.lane_rows); pages below are dead
+        forever (kv_len only grows). A truncate-on-EOS shrinks kv_len, but
+        the sequence finishes immediately after, so no later step reads."""
+        if self.attention_window is None:
+            return
+        bsz = self.block_manager.block_size
+        lo = max(0, seq.num_tokens - 1 - self.attention_window) // bsz
+        if lo > seq.num_evicted_blocks:
+            self.block_manager.evict_prefix(seq, lo)
+
+    def _evict_window_prefill(self, seq: Sequence):
+        """Between prefill chunks: the next chunk starts at num_cached_tokens
+        and its lowest-reaching tile reads pages >= (pos0 - window + 1) //
+        block (build_step_inputs prefill lo); earlier pages are dead. Bounds
+        a long prompt's resident KV during chunked prefill at ~window +
+        chunk (admission still reserves the full table up-front)."""
+        if self.attention_window is None:
+            return
+        bsz = self.block_manager.block_size
+        lo = max(0, seq.num_cached_tokens - self.attention_window + 1) // bsz
+        if lo > seq.num_evicted_blocks:
+            self.block_manager.evict_prefix(seq, lo)
 
     def preempt(self, seq: Sequence):
         seq.status = SequenceStatus.WAITING
@@ -193,6 +226,7 @@ class Scheduler:
             seq.num_scheduled_tokens = 0
             self.block_manager.hash_new_full_blocks(seq)
             if seq.status == SequenceStatus.WAITING:
+                self._evict_window_prefill(seq)
                 appended.append(False)  # incomplete prefill chunk
                 continue
             seq.append_placeholder()

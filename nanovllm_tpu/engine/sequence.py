@@ -35,6 +35,10 @@ class Sequence:
         self.num_cached_tokens = 0
         # Full blocks whose hash has been registered in the prefix cache.
         self.num_hashed_blocks = 0
+        # Leading blocks a sliding-window model has released (rolling KV
+        # eviction): block_table entries below this watermark are stale ids
+        # whose pages the attention window can never touch again.
+        self.num_evicted_blocks = 0
         # Tokens scheduled for the in-flight step (chunk size for prefill, 1
         # for decode).
         self.num_scheduled_tokens = 0

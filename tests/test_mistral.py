@@ -105,3 +105,20 @@ def test_mistral_tp2_matches_tp1(tiny_mistral_dir):
         ).generate(prompts, sp, use_tqdm=False)
     ]
     assert tok1 == tok2
+
+
+def test_rolling_eviction_outlives_pool(tiny_mistral_dir):
+    """A completion whose total KV footprint exceeds the whole pool still
+    generates HF-exact tokens: rolling eviction (window 8, block 16)
+    releases pages as the window rolls past, so the engine never preempts."""
+    kw = dict(ENGINE_KW, num_kvcache_blocks=6, max_model_len=120)
+    llm = LLM(tiny_mistral_dir, **kw)
+    assert llm.model_runner.config.attention_window == WINDOW
+    rng = np.random.default_rng(11)
+    prompt = rng.integers(2, 500, size=20).tolist()
+    n_new = 90  # total 110 tokens = 7 pages > the 6-block pool
+    sp = SamplingParams(temperature=0.0, max_tokens=n_new, ignore_eos=True)
+    out = llm.generate([prompt], sp, use_tqdm=False)[0]["token_ids"]
+    assert out == hf_greedy(tiny_mistral_dir, prompt, n_new)
+    bm = llm.scheduler.block_manager
+    assert len(bm.used_block_ids) == 0

@@ -224,3 +224,97 @@ def test_priority_respects_preempted_prefix():
     assert [q.seq_id for q in sched.waiting] == [
         p2.seq_id, p1.seq_id, hi.seq_id, y.seq_id, x.seq_id
     ]
+
+
+def make_window_scheduler(window, num_blocks=64, max_seqs=8, max_tokens=64):
+    sched = make_scheduler(num_blocks, max_seqs, max_tokens)
+    sched.attention_window = window
+    # Decouple the length cap from the pool size: eviction is exactly what
+    # lets total sequence length exceed the pool.
+    sched.max_model_len = 10**9
+    return sched
+
+
+def test_window_eviction_bounds_decode_kv():
+    """Rolling eviction: decode releases leading blocks once the window
+    (W=8, block 4) rolls past them; resident blocks stay bounded however
+    long the completion grows."""
+    sched = make_window_scheduler(8)
+    seq = make_seq([1] * 6, max_tokens=40, ignore_eos=True)
+    sched.add(seq)
+    run_step(sched)  # prefill
+    peak = peak_evicted = 0
+    for _ in range(39):
+        run_step(sched)
+        live = len(seq.block_table) - seq.num_evicted_blocks
+        peak = max(peak, live)
+        peak_evicted = max(peak_evicted, seq.num_evicted_blocks)
+    # window 8 spans at most 3 pages of 4, +1 for the page being written.
+    assert peak <= 4, peak
+    assert peak_evicted > 0  # (deallocate-at-finish resets the watermark)
+    assert seq.is_finished
+    assert len(sched.block_manager.used_block_ids) == 0  # all returned
+
+
+def test_window_eviction_outlives_pool_without_preemption():
+    """A completion whose total KV exceeds the whole pool still runs without
+    preemption: eviction frees pages as fast as decode consumes them."""
+    sched = make_window_scheduler(8, num_blocks=8)
+    # total length will be 4 + 60 = 64 tokens = 16 pages > the 8-block pool
+    seq = make_seq([1] * 4, max_tokens=60, ignore_eos=True)
+    sched.add(seq)
+    run_step(sched)
+    for _ in range(59):
+        run_step(sched)
+    assert seq.is_finished
+    assert not seq.was_preempted
+    assert len(sched.block_manager.used_block_ids) == 0  # all returned
+
+
+def test_window_eviction_preemption_resets_watermark():
+    """Preempting an evicted sequence deallocates only the live suffix and
+    resets the watermark; re-prefill reallocates a full table."""
+    sched = make_window_scheduler(8, num_blocks=16)
+    seq = make_seq([1] * 6, max_tokens=30, ignore_eos=True)
+    sched.add(seq)
+    run_step(sched)
+    for _ in range(12):
+        run_step(sched)
+    assert seq.num_evicted_blocks > 0
+    sched.preempt(seq)
+    assert seq.num_evicted_blocks == 0 and not seq.block_table
+    assert len(sched.block_manager.used_block_ids) == 0
+    # Re-prefill runs (prefix cache may serve full blocks) and decode resumes.
+    seqs, is_prefill = sched.schedule()
+    assert is_prefill and seqs == [seq]
+    sched.postprocess(seqs, [7] * len(seqs))
+    for _ in range(5):
+        run_step(sched)
+    assert seq.num_tokens > 19
+
+
+def test_window_eviction_stops_hash_registration():
+    """Once a sequence starts evicting, no further prefix hashes register
+    (the chain's earlier blocks may be freed); earlier registrations stay."""
+    sched = make_window_scheduler(8)
+    seq = make_seq([1] * 6, max_tokens=40, ignore_eos=True)
+    sched.add(seq)
+    run_step(sched)
+    for _ in range(30):
+        run_step(sched)
+    assert seq.num_evicted_blocks > 0
+    hashes_at_evict = len(sched.block_manager.hash_to_block_id)
+    for _ in range(9):
+        run_step(sched)
+    assert len(sched.block_manager.hash_to_block_id) == hashes_at_evict
+
+
+def test_no_window_is_noop():
+    """attention_window=None leaves block accounting byte-identical."""
+    sched = make_scheduler()
+    seq = make_seq([1] * 6, max_tokens=20, ignore_eos=True)
+    sched.add(seq)
+    run_step(sched)
+    for _ in range(19):
+        run_step(sched)
+    assert seq.num_evicted_blocks == 0
