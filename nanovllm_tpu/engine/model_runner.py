@@ -262,6 +262,9 @@ class ModelRunner:
         if self.spec.has_qk_norm:
             layers["q_norm"] = rep_l
             layers["k_norm"] = rep_l
+        if getattr(self.spec, "sandwich_norms", False):
+            layers["post_attn_norm"] = rep_l
+            layers["post_ffn_norm"] = rep_l
         pspecs = {"embed": vocab, "layers": layers, "final_norm": P(None)}
         if not self.spec.tie_embeddings:
             pspecs["lm_head"] = vocab
@@ -536,9 +539,14 @@ class ModelRunner:
     def _attn_impls(self):
         """(prefill_impl, decode_impl) — Pallas kernels on TPU, jnp oracle
         elsewhere (the oracle serves both modes). Signature:
-        (q, k_new, v_new, k_all, v_all, layer, meta) -> (out, k_all, v_all);
-        the impl also appends the new K/V rows to the paged cache."""
-        sm_scale = self.spec.head_dim ** -0.5
+        (q, k_new, v_new, k_all, v_all, layer, meta[, window]) ->
+        (out, k_all, v_all); the impl also appends the new K/V rows to the
+        paged cache. ``window`` (a traced i32 scalar) is passed per layer by
+        the model when spec.layer_windows is set (Gemma3 local/global mix);
+        otherwise the spec's uniform window (or None) is baked in here."""
+        sm_scale = (
+            getattr(self.spec, "query_scale", None) or self.spec.head_dim
+        ) ** -0.5
         window = getattr(self.spec, "sliding_window", None)
         if self.use_pallas:
             from nanovllm_tpu.ops.pallas.ragged_attention import (
@@ -559,27 +567,31 @@ class ModelRunner:
                 def pad(x):
                     return jnp.pad(x, ((0, 0), (0, 0), (0, khd - hd)))
 
-                def wrapped(q, kn, vn, kc, vc, layer, meta):
+                def wrapped(q, kn, vn, kc, vc, layer, meta, **kw):
                     o, kc, vc = impl(pad(q), pad(kn), pad(vn), kc, vc, layer,
-                                     meta)
+                                     meta, **kw)
                     return o[:, :, :hd], kc, vc
 
                 return wrapped
 
             prefill = padded(
-                lambda q, kn, vn, kc, vc, layer, meta: ragged_prefill_attention(
-                    q, kn, vn, kc, vc, layer, meta,
-                    sm_scale=sm_scale, q_tile=self.q_tile, window=window,
+                lambda q, kn, vn, kc, vc, layer, meta, window=window: (
+                    ragged_prefill_attention(
+                        q, kn, vn, kc, vc, layer, meta,
+                        sm_scale=sm_scale, q_tile=self.q_tile, window=window,
+                    )
                 )
             )
             decode = padded(
-                lambda q, kn, vn, kc, vc, layer, meta: paged_decode_attention(
-                    q, kn, vn, kc, vc, layer, meta, sm_scale=sm_scale,
-                    window=window,
+                lambda q, kn, vn, kc, vc, layer, meta, window=window: (
+                    paged_decode_attention(
+                        q, kn, vn, kc, vc, layer, meta, sm_scale=sm_scale,
+                        window=window,
+                    )
                 )
             )
             return prefill, decode
-        ref = lambda q, kn, vn, kc, vc, layer, meta: (
+        ref = lambda q, kn, vn, kc, vc, layer, meta, window=window: (
             attn_ops.ragged_paged_attention_ref(
                 q, kn, vn, kc, vc, layer, meta, sm_scale=sm_scale,
                 window=window,

@@ -17,6 +17,9 @@ _REGISTRY = {
     "llama": qwen3,   # same decoder family: no bias, no qk-norm (spec flags)
     "qwen3_moe": qwen3,  # sparse-MoE FFN via spec flags (ragged_dot dispatch)
     "mistral": qwen3,  # llama-style decoder + sliding-window attention
+    # Gemma-3 text: GeGLU, sandwich/(1+w) norms, sqrt(D) embed scale,
+    # 5-local:1-global window interleave with dual rope (spec flags).
+    "gemma3_text": qwen3,
 }
 
 

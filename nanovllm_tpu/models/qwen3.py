@@ -54,9 +54,35 @@ class Qwen3Spec(NamedTuple):
     moe_intermediate_size: int = 0
     norm_topk_prob: bool = False
     # Sliding-window attention (Mistral family): each token attends to the
-    # last `sliding_window` positions only (mask-only v1 — KV pages are kept
-    # and fetched; window-aware page skipping is roadmap item 1).
+    # last `sliding_window` positions only. Pages the window rolled past are
+    # skipped in the kernel worklists (ragged_attention.lane_rows) and their
+    # blocks released by the scheduler (rolling eviction, Scheduler._evict_*).
     sliding_window: int | None = None
+    # --- Gemma-3 family (model_type gemma3_text) ---
+    # Per-layer window pattern (Gemma3's 5-local:1-global interleave): one
+    # entry per layer, 0 = global attention. The window value is a runtime
+    # scalar in the kernels, so every layer shares one compiled program.
+    # When set, `sliding_window` holds the uniform window ONLY if every
+    # layer slides (it drives worklist skipping + rolling eviction).
+    layer_windows: tuple = ()
+    # Attention score scale base: sm_scale = query_scale**-0.5 (HF
+    # query_pre_attn_scalar); None -> head_dim.
+    query_scale: float | None = None
+    # RMSNorm multiplies by (1 + w) (Gemma's zero-centered norm weights).
+    norm_plus_one: bool = False
+    # MLP activation: "silu" (SwiGLU) or "gelu_tanh" (Gemma GeGLU).
+    act: str = "silu"
+    # Sandwich norms: extra RMSNorms applied to the attention and MLP
+    # *outputs* before their residual adds (post_attn_norm / post_ffn_norm;
+    # `post_norm` then plays HF's pre_feedforward_layernorm role).
+    sandwich_norms: bool = False
+    # Multiply embeddings by sqrt(hidden_size) (Gemma convention).
+    embed_scale: bool = False
+    # Dual-rope (Gemma3): local (sliding) layers use this theta; global
+    # layers use rope_theta with positions divided by rope_scaling_factor
+    # (HF linear rope scaling).
+    rope_local_theta: float | None = None
+    rope_scaling_factor: float = 1.0
 
 
 def spec_from_hf(hf_config) -> Qwen3Spec:
@@ -65,6 +91,8 @@ def spec_from_hf(hf_config) -> Qwen3Spec:
         hf_config.hidden_size // hf_config.num_attention_heads
     )
     moe = model_type == "qwen3_moe"
+    if model_type == "gemma3_text":
+        return _gemma3_spec(hf_config, head_dim)
     if getattr(hf_config, "use_sliding_window", False):
         # HF slides layers >= max_window_layers and keeps the first ones
         # global; per-layer mixes need window plumbing under the scan, and
@@ -113,25 +141,87 @@ def spec_from_hf(hf_config) -> Qwen3Spec:
     )
 
 
+def _gemma3_spec(hf, head_dim) -> Qwen3Spec:
+    """Gemma-3 text decoder (HF Gemma3TextConfig): GeGLU, sandwich + (1+w)
+    RMSNorms, sqrt(D) embedding scale, qk-norm, query_pre_attn_scalar score
+    scale, and the 5-local:1-global sliding-window interleave with dual rope
+    (local theta 10k, global theta 1M with optional linear position scaling).
+    Multimodal Gemma3 (model_type "gemma3") is not supported — pass the
+    text_config checkpoint."""
+    types = getattr(hf, "layer_types", None) or [
+        "full_attention"
+        if (i + 1) % getattr(hf, "sliding_window_pattern", 6) == 0
+        else "sliding_attention"
+        for i in range(hf.num_hidden_layers)
+    ]
+    win = hf.sliding_window
+    layer_windows = tuple(
+        win if t == "sliding_attention" else 0 for t in types
+    )
+    scaling = getattr(hf, "rope_scaling", None) or {}
+    assert scaling.get("rope_type", scaling.get("type", "linear")) in (
+        "linear", "default"
+    ), f"unsupported rope scaling {scaling}"
+    return Qwen3Spec(
+        vocab_size=hf.vocab_size,
+        hidden_size=hf.hidden_size,
+        intermediate_size=hf.intermediate_size,
+        num_layers=hf.num_hidden_layers,
+        num_q_heads=hf.num_attention_heads,
+        num_kv_heads=hf.num_key_value_heads,
+        head_dim=head_dim,
+        rms_eps=hf.rms_norm_eps,
+        rope_theta=hf.rope_theta,
+        tie_embeddings=getattr(hf, "tie_word_embeddings", True),
+        max_position=hf.max_position_embeddings,
+        has_qkv_bias=bool(getattr(hf, "attention_bias", False)),
+        has_qk_norm=True,
+        # Uniform window only if EVERY layer slides (drives worklist
+        # skipping + rolling eviction); Gemma3 always has global layers.
+        sliding_window=win if all(layer_windows) else None,
+        layer_windows=layer_windows,
+        query_scale=float(getattr(hf, "query_pre_attn_scalar", head_dim)),
+        norm_plus_one=True,
+        act="gelu_tanh",
+        sandwich_norms=True,
+        embed_scale=True,
+        rope_local_theta=float(getattr(hf, "rope_local_base_freq", 10000.0)),
+        rope_scaling_factor=float(scaling.get("factor", 1.0)),
+    )
+
+
 # --------------------------------------------------------------------- ops
 
 
-def rms_norm(x, w, eps):
+def rms_norm(x, w, eps, plus_one: bool = False):
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-    out = xf * lax.rsqrt(var + eps) * w.astype(jnp.float32)
+    wf = w.astype(jnp.float32)
+    if plus_one:  # Gemma: zero-centered norm weights, scale by (1 + w)
+        wf = 1.0 + wf
+    out = xf * lax.rsqrt(var + eps) * wf
     return out.astype(x.dtype)
 
 
 def rope_tables(spec: Qwen3Spec):
-    """cos/sin tables f32[max_position, head_dim//2] (half-split convention)."""
-    half = spec.head_dim // 2
-    inv_freq = 1.0 / (
-        spec.rope_theta ** (jnp.arange(0, half, dtype=jnp.float32) / half)
-    )
-    t = jnp.arange(spec.max_position, dtype=jnp.float32)
-    freqs = jnp.outer(t, inv_freq)
-    return jnp.cos(freqs), jnp.sin(freqs)
+    """cos/sin tables f32[max_position, head_dim//2] (half-split convention).
+    Dual-rope specs (Gemma3) return stacked [2, max_position, half] tables:
+    index 0 = global rope (rope_theta, linearly position-scaled), index 1 =
+    local rope (rope_local_theta); layers select by spec.layer_windows."""
+    def one(theta, factor):
+        half = spec.head_dim // 2
+        inv_freq = 1.0 / (
+            theta ** (jnp.arange(0, half, dtype=jnp.float32) / half)
+        )
+        t = jnp.arange(spec.max_position, dtype=jnp.float32) / factor
+        freqs = jnp.outer(t, inv_freq)
+        return jnp.cos(freqs), jnp.sin(freqs)
+
+    cos_g, sin_g = one(spec.rope_theta, spec.rope_scaling_factor)
+    if spec.rope_local_theta is None:
+        return cos_g, sin_g
+    cos_l, sin_l = one(spec.rope_local_theta, 1.0)
+    return jnp.stack([cos_g, cos_l]), jnp.stack([sin_g, sin_l])
 
 
 def apply_rope(x, cos_t, sin_t):
@@ -247,11 +337,32 @@ def forward(
 
     dtype = params["final_norm"].dtype  # compute dtype (norms never quantized)
     x = _embed_lookup(params["embed"], inputs.token_ids, axis, dtype)
+    if spec.embed_scale:  # Gemma: embeddings scale by sqrt(D)
+        x = x * jnp.asarray(spec.hidden_size ** 0.5, x.dtype)
     t = x.shape[0]
 
     cos, sin = rope if rope is not None else rope_tables(spec)
     safe_pos = jnp.clip(inputs.positions, 0, spec.max_position - 1)
-    cos_t, sin_t = cos[safe_pos], sin[safe_pos]
+    dual_rope = spec.rope_local_theta is not None  # [2, P, half] tables
+    if dual_rope:
+        cos_t, sin_t = cos[:, safe_pos], sin[:, safe_pos]   # [2, T, half]
+    else:
+        cos_t, sin_t = cos[safe_pos], sin[safe_pos]
+
+    # Per-layer attention window (Gemma3 local/global interleave): a runtime
+    # scalar per layer — 0 means global, mapped to a huge window so the
+    # kernels' masking and page-skip predicates become no-ops. Scanned layers
+    # share one compiled body; only the scalar differs.
+    if spec.layer_windows:
+        no_win = 1 << 30
+        win_arr = jnp.asarray(
+            [w if w else no_win for w in spec.layer_windows], jnp.int32
+        )
+        kind_arr = jnp.asarray(  # rope table row: 0 global, 1 local
+            [1 if w else 0 for w in spec.layer_windows], jnp.int32
+        )
+    else:
+        win_arr = kind_arr = jnp.zeros((spec.num_layers,), jnp.int32)
 
     meta = AttentionMeta(
         positions=inputs.positions,
@@ -267,13 +378,20 @@ def forward(
         pair_page=inputs.pair_page,
     )
 
-    def layer_fn(carry, lp):
+    p1 = spec.norm_plus_one
+    act_fn = (
+        (lambda g: jax.nn.gelu(g, approximate=True))
+        if spec.act == "gelu_tanh" else jax.nn.silu
+    )
+
+    def layer_fn(carry, xs):
         # The full stacked KV cache rides the scan carry and is updated with
         # an in-place scatter at layer index `i`: one resident buffer, no
         # xs/ys double allocation (that would 2x HBM at the pool's size).
+        lp, win, kind = xs
         h, k_all, v_all, i = carry
         resid = h
-        h = rms_norm(h, lp["input_norm"], spec.rms_eps)
+        h = rms_norm(h, lp["input_norm"], spec.rms_eps, p1)
         qkv = quant.matmul(h, lp["qkv_proj"])
         if spec.has_qkv_bias:
             qkv = qkv + lp["qkv_bias"]
@@ -282,27 +400,41 @@ def forward(
         k = k.reshape(t, hkv, hd)
         v = v.reshape(t, hkv, hd)
         if spec.has_qk_norm:
-            q = rms_norm(q, lp["q_norm"], spec.rms_eps)
-            k = rms_norm(k, lp["k_norm"], spec.rms_eps)
-        q = apply_rope(q, cos_t, sin_t)
-        k = apply_rope(k, cos_t, sin_t)
+            q = rms_norm(q, lp["q_norm"], spec.rms_eps, p1)
+            k = rms_norm(k, lp["k_norm"], spec.rms_eps, p1)
+        if dual_rope:
+            c_t = jnp.where(kind == 1, cos_t[1], cos_t[0])
+            s_t = jnp.where(kind == 1, sin_t[1], sin_t[0])
+        else:
+            c_t, s_t = cos_t, sin_t
+        q = apply_rope(q, c_t, s_t)
+        k = apply_rope(k, c_t, s_t)
         # The attention impl also appends this step's K/V rows to the paged
         # cache (fused DMA writes on TPU; jnp scatter in the oracle).
-        o, k_all, v_all = attn_impl(q, k, v, k_all, v_all, i, meta)
+        if spec.layer_windows:
+            o, k_all, v_all = attn_impl(
+                q, k, v, k_all, v_all, i, meta, window=win
+            )
+        else:
+            o, k_all, v_all = attn_impl(q, k, v, k_all, v_all, i, meta)
         o = quant.matmul(o.reshape(t, q_size), lp["o_proj"])
         if axis is not None:
             o = lax.psum(o, axis)
+        if spec.sandwich_norms:  # norm the summed attention output
+            o = rms_norm(o, lp["post_attn_norm"], spec.rms_eps, p1)
         h = resid + o
         resid = h
-        h = rms_norm(h, lp["post_norm"], spec.rms_eps)
+        h = rms_norm(h, lp["post_norm"], spec.rms_eps, p1)
         if spec.num_experts:
             h = _moe_ffn(spec, lp, h, axis, ep=moe_ep)
         else:
             gu = quant.matmul(h, lp["gate_up_proj"])
             g, u = jnp.split(gu, 2, axis=-1)
-            h = quant.matmul(jax.nn.silu(g) * u, lp["down_proj"])
+            h = quant.matmul(act_fn(g) * u, lp["down_proj"])
         if axis is not None:
             h = lax.psum(h, axis)
+        if spec.sandwich_norms:
+            h = rms_norm(h, lp["post_ffn_norm"], spec.rms_eps, p1)
         h = resid + h
         return (h, k_all, v_all, i + 1), None
 
@@ -310,16 +442,17 @@ def forward(
     k_all, v_all = kv
     if scan_layers:
         (x, k_all, v_all, _), _ = lax.scan(
-            layer_fn, (x, k_all, v_all, jnp.int32(0)), layer_params
+            layer_fn, (x, k_all, v_all, jnp.int32(0)),
+            (layer_params, win_arr, kind_arr),
         )
     else:
         carry = (x, k_all, v_all, jnp.int32(0))
         for i in range(spec.num_layers):
             lp = jax.tree.map(lambda a: a[i], layer_params)
-            carry, _ = layer_fn(carry, lp)
+            carry, _ = layer_fn(carry, (lp, win_arr[i], kind_arr[i]))
         x, k_all, v_all, _ = carry
 
-    x = rms_norm(x, params["final_norm"], spec.rms_eps)
+    x = rms_norm(x, params["final_norm"], spec.rms_eps, p1)
     return x, (k_all, v_all)
 
 
@@ -413,6 +546,9 @@ def _param_shapes(spec: Qwen3Spec) -> dict:
     if spec.has_qk_norm:
         layers["q_norm"] = (l, hd)
         layers["k_norm"] = (l, hd)
+    if spec.sandwich_norms:
+        layers["post_attn_norm"] = (l, d)
+        layers["post_ffn_norm"] = (l, d)
     shapes = {
         "embed": (spec.vocab_size, d),
         "layers": layers,
@@ -447,11 +583,14 @@ def init_params(spec: Qwen3Spec, seed_or_key=0, dtype=jnp.bfloat16):
                 (scale * rng.standard_normal(shape, np.float32)).astype(np_dtype)
             )
     params = jax.tree.unflatten(treedef, leaves)
-    # Norm-like params should init to ones regardless of shape heuristics.
-    for name in ("input_norm", "post_norm", "q_norm", "k_norm"):
+    # Norm-like params init to ones — or zeros for (1+w) norms (Gemma) —
+    # regardless of shape heuristics.
+    norm_init = np.zeros_like if spec.norm_plus_one else np.ones_like
+    for name in ("input_norm", "post_norm", "q_norm", "k_norm",
+                 "post_attn_norm", "post_ffn_norm"):
         if name in params["layers"]:
-            params["layers"][name] = np.ones_like(params["layers"][name])
-    params["final_norm"] = np.ones_like(params["final_norm"])
+            params["layers"][name] = norm_init(params["layers"][name])
+    params["final_norm"] = norm_init(params["final_norm"])
     if spec.has_qkv_bias:
         params["layers"]["qkv_bias"] = np.zeros_like(params["layers"]["qkv_bias"])
     return params
@@ -471,7 +610,9 @@ def device_init_params(spec: Qwen3Spec, seed: int = 0, dtype=jnp.bfloat16, *,
     shapes = _param_shapes(spec)
     quant_paths = set(effective_quant_plan(quant))
     root = jax.random.PRNGKey(seed)
-    norm_names = ("input_norm", "post_norm", "q_norm", "k_norm", "final_norm")
+    norm_names = ("input_norm", "post_norm", "q_norm", "k_norm", "final_norm",
+                  "post_attn_norm", "post_ffn_norm")
+    norm_val = 0.0 if spec.norm_plus_one else 1.0  # (1+w) norms center at 0
     counter = [0]
 
     def make(fn, sharding):
@@ -483,7 +624,7 @@ def device_init_params(spec: Qwen3Spec, seed: int = 0, dtype=jnp.bfloat16, *,
         counter[0] += 1
         key = jax.random.fold_in(root, counter[0])
         if name in norm_names:
-            return make(lambda: jnp.ones(shape, dtype), sharding)
+            return make(lambda: jnp.full(shape, norm_val, dtype), sharding)
         if name == "qkv_bias":
             return make(lambda: jnp.zeros(shape, dtype), sharding)
         if path in quant_paths:
@@ -623,6 +764,19 @@ def hf_param_plan(spec: Qwen3Spec, tp: int, ep: bool = False) -> dict:
     if spec.has_qk_norm:
         plan[("layers", "q_norm")] = ("stack", "model.layers.{i}.self_attn.q_norm.weight")
         plan[("layers", "k_norm")] = ("stack", "model.layers.{i}.self_attn.k_norm.weight")
+    if spec.sandwich_norms:
+        # Gemma3 norm naming: HF's post_attention_layernorm norms the
+        # attention OUTPUT (our post_attn_norm) and pre_feedforward_layernorm
+        # plays the usual pre-FFN role (our post_norm slot).
+        plan[("layers", "post_norm")] = (
+            "stack", "model.layers.{i}.pre_feedforward_layernorm.weight",
+        )
+        plan[("layers", "post_attn_norm")] = (
+            "stack", "model.layers.{i}.post_attention_layernorm.weight",
+        )
+        plan[("layers", "post_ffn_norm")] = (
+            "stack", "model.layers.{i}.post_feedforward_layernorm.weight",
+        )
     if spec.has_qkv_bias:
         plan[("layers", "qkv_bias")] = ("fused_col_bias", q_parts)
     if not spec.tie_embeddings:

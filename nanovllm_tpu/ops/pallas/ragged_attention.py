@@ -167,8 +167,25 @@ def _decode_kernel(
     num_seqs_ref,      # i32[1]
     pair_grp_ref,      # i32[NP] flat worklist of live (group, page) pairs,
     pair_page_ref,     # i32[NP] group-major; padding pairs carry group S/GRP
-    # inputs (per-group blocks)
-    q_ref,             # [Hkv, GRP, G, hd] VMEM (group g)
+    *rest,             # [window_ref i32[1] when windowed], then the operands
+                       # below (windowed is static; the window VALUE is a
+                       # runtime scalar so per-layer local/global mixes share
+                       # one compiled program — a huge value disables masking)
+    block_size: int,
+    sm_scale: float,
+    quantized: bool,
+    kv_bits: int,
+    wb_tile: int,
+    windowed: bool,
+    interpret: bool,
+):
+    if windowed:
+        window_ref, rest = rest[0], rest[1:]
+        window = window_ref[0]
+    else:
+        window = None
+    (
+        q_ref,             # [Hkv, GRP, G, hd] VMEM (group g)
     k_new_ref,         # [Hkv, GRP, 1, hd] VMEM model-dtype new rows (compute)
     v_new_ref,
     k_store_ref,       # [Hkv, GRP, 1, hd] VMEM cache-dtype rows (write-back)
@@ -201,15 +218,7 @@ def _decode_kernel(
     m_scr,             # f32[Hkv, GRP*G, 128]
     l_scr,             # f32[Hkv, GRP*G, 128]
     acc_scr,           # f32[Hkv, GRP*G, hd]
-    *,
-    block_size: int,
-    sm_scale: float,
-    quantized: bool,
-    kv_bits: int,
-    wb_tile: int,
-    window: int | None,
-    interpret: bool,
-):
+    ) = rest
     # The grid is a flat worklist of live (group, page) pairs (group-major,
     # pages ascending): a dense (groups x max_pages) grid spends most steps
     # skipped — at bench shapes ~2/3 of grid iterations — and their per-step
@@ -686,9 +695,15 @@ def paged_decode_attention(
 
     NP = meta.pair_tile.shape[0]
     nG = S // GRP
+    windowed = window is not None
+    # Runtime window scalar (per-layer local/global mixes reuse one program;
+    # a huge value disables masking for global layers).
+    win_ops = (
+        (jnp.reshape(jnp.asarray(window, jnp.int32), (1,)),) if windowed else ()
+    )
 
     def grp_index(i, layer_r, kv_lens_r, tables_r, num_seqs_r, pair_grp_r,
-                  pair_page_r):
+                  pair_page_r, *rest):
         return jnp.minimum(pair_grp_r[i], nG - 1)
 
     grp_block = lambda shape: pl.BlockSpec(
@@ -697,7 +712,7 @@ def paged_decode_attention(
         memory_space=pltpu.VMEM,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=6 + len(win_ops),
         grid=(NP,),
         in_specs=[
             grp_block((Hkv, GRP, groups, hd)),   # q
@@ -750,14 +765,15 @@ def paged_decode_attention(
     kernel = functools.partial(
         _decode_kernel, block_size=block_size, sm_scale=sm_scale,
         quantized=quantized, kv_bits=kv_bits, wb_tile=wb_tile,
-        window=window, interpret=interpret,
+        windowed=windowed, interpret=interpret,
     )
-    # Inputs count from the start of the scalar-prefetch operands: 6 scalars,
-    # then q(6) k_new(7) v_new(8) k_store(9) v_store(10) ks_new(11)
-    # vs_new(12) k_hbm(13) v_hbm(14) ks_hbm(15) vs_hbm(16).
-    aliases = {13: 1, 14: 2}
+    # Inputs count from the start of the scalar-prefetch operands: 6 scalars
+    # (+1 window), then q k_new v_new k_store v_store ks_new vs_new, then
+    # the aliased HBM caches k/v/ks/vs.
+    base = 13 + len(win_ops)
+    aliases = {base: 1, base + 1: 2}
     if quantized:
-        aliases.update({15: 3, 16: 4})
+        aliases.update({base + 2: 3, base + 3: 4})
     out, kc, vc, ks, vs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -777,7 +793,7 @@ def paged_decode_attention(
     )(
         jnp.reshape(jnp.asarray(layer, jnp.int32), (1,)),
         meta.kv_lens, meta.block_tables, meta.num_seqs,
-        meta.pair_tile, meta.pair_page,
+        meta.pair_tile, meta.pair_page, *win_ops,
         q_hm, k_new_hm, v_new_hm, k_store, v_store, ks_new, vs_new,
         kc, vc, ks, vs,
     )
@@ -800,6 +816,22 @@ def _prefill_kernel(
     num_seqs_ref,      # i32[1]
     pair_tile_ref,     # i32[NP] active (tile, page) worklist, tile-major
     pair_page_ref,     # i32[NP]
+    *rest,             # [window_ref i32[1] when windowed], then the operands
+                       # below (see _decode_kernel: the window VALUE is a
+                       # runtime scalar, `windowed` is static)
+    block_size: int,
+    q_tile: int,
+    sm_scale: float,
+    quantized: bool,
+    kv_bits: int,
+    windowed: bool,
+):
+    if windowed:
+        window_ref, rest = rest[0], rest[1:]
+        window = window_ref[0]
+    else:
+        window = None
+    (
     # inputs
     q_ref,             # [Hkv, BQ, G, hd] VMEM (tile t)
     k_store_hbm,       # [Hkv, T, hd] ANY cache-dtype new rows, tile-aligned
@@ -825,14 +857,7 @@ def _prefill_kernel(
     m_scr,             # f32[Hkv, BQ, G]
     l_scr,             # f32[Hkv, BQ, G]
     acc_scr,           # f32[Hkv, BQ, G, hd]
-    *,
-    block_size: int,
-    q_tile: int,
-    sm_scale: float,
-    quantized: bool,
-    kv_bits: int,
-    window: int | None,
-):
+    ) = rest
     # The grid is a flat worklist of active (tile, page) pairs: a dense
     # (tiles x pages) grid is ~75% skipped steps whose per-step scalar work
     # still costs real time. Pairs are tile-major; padding pairs carry the
@@ -1202,13 +1227,17 @@ def ragged_prefill_attention(
         ks_new = vs_new = jnp.zeros((1, 1), jnp.float32)
 
     NP = meta.pair_tile.shape[0]
+    windowed = window is not None
+    win_ops = (
+        (jnp.reshape(jnp.asarray(window, jnp.int32), (1,)),) if windowed else ()
+    )
 
     def q_index(i, layer_r, tile_seq_r, tile_pos0_r, kv_lens_r, tables_r,
-                num_seqs_r, pair_tile_r, pair_page_r):
+                num_seqs_r, pair_tile_r, pair_page_r, *rest):
         return (0, jnp.minimum(pair_tile_r[i], NT - 1), 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=8,
+        num_scalar_prefetch=8 + len(win_ops),
         grid=(NP,),
         in_specs=[
             pl.BlockSpec(
@@ -1261,14 +1290,15 @@ def ragged_prefill_attention(
         sm_scale=sm_scale,
         quantized=quantized,
         kv_bits=kv_bits,
-        window=window,
+        windowed=windowed,
     )
-    # Inputs count from the start of the scalar-prefetch operands: 8 scalars,
-    # then q(8) k_store(9) v_store(10) ks_new(11) vs_new(12) k_hbm(13)
-    # v_hbm(14) ks_hbm(15) vs_hbm(16).
-    aliases = {13: 1, 14: 2}
+    # Inputs count from the start of the scalar-prefetch operands: 8 scalars
+    # (+1 window), then q k_store v_store ks_new vs_new, then the aliased
+    # HBM caches k/v/ks/vs.
+    base = 13 + len(win_ops)
+    aliases = {base: 1, base + 1: 2}
     if quantized:
-        aliases.update({15: 3, 16: 4})
+        aliases.update({base + 2: 3, base + 3: 4})
     out, kc, vc, ks, vs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1288,7 +1318,7 @@ def ragged_prefill_attention(
     )(
         jnp.reshape(jnp.asarray(layer, jnp.int32), (1,)),
         meta.tile_seq, meta.tile_pos0, meta.kv_lens, meta.block_tables,
-        meta.num_seqs, meta.pair_tile, meta.pair_page,
+        meta.num_seqs, meta.pair_tile, meta.pair_page, *win_ops,
         q_hm, k_store, v_store, ks_new, vs_new, kc, vc, ks, vs,
     )
     out = out.transpose(1, 0, 2, 3).reshape(T, Hq, hd)

@@ -886,3 +886,53 @@ def test_prefill_window_worklist_skipping():
         np.asarray(out)[live], np.asarray(ref)[live], rtol=2e-2, atol=2e-2
     )
     assert_written(ko, vo, kn, vn, inputs)
+
+
+def test_decode_per_layer_window_scalar():
+    """The window is a RUNTIME scalar: one traced decode-kernel program
+    serves different per-layer windows (Gemma3 local/global interleave) —
+    scanning over [W, huge] must equal per-window oracle runs, with the huge
+    window behaving exactly like no window."""
+    rng = np.random.default_rng(12)
+    kc, vc = make_cache(rng, num_blocks=24, layers=2)
+    kv_lens = [3, 16, 33, 48, 7]
+    tables = [[0, 1, 2, 3], [4, 5, 0, 0], [6, 7, 8, 9], [10, 11, 12, 0],
+              [13, 0, 0, 0]]
+    reqs = [
+        dict(token_ids=[1], start=n - 1, kv_len=n,
+             block_table=t[: -(-n // BLOCK)], temperature=1.0)
+        for n, t in zip(kv_lens, tables)
+    ]
+    inputs, meta = build(reqs, t_bucket=8, s_bucket=8, w=4)
+    q = jnp.asarray(rng.standard_normal((8, HQ, HD), np.float32))
+    kn, vn = new_kv(rng, 8)
+    windows = jnp.asarray([6, 1 << 30], jnp.int32)
+
+    import jax
+
+    def scan_layers(windows, kc, vc):
+        def body(carry, xs):
+            kc, vc = carry
+            win, layer = xs
+            o, kc, vc = paged_decode_attention(
+                q, kn, vn, kc, vc, layer, meta, sm_scale=SM, window=win,
+                interpret=True,
+            )
+            return (kc, vc), o
+
+        (kc, vc), outs = jax.lax.scan(
+            body, (kc, vc), (windows, jnp.arange(2, dtype=jnp.int32))
+        )
+        return outs
+
+    outs = scan_layers(windows, kc, vc)
+    ref_w, kr, vr = ragged_paged_attention_ref(
+        q, kn, vn, kc, vc, 0, meta, sm_scale=SM, window=6
+    )
+    ref_nw, _, _ = ragged_paged_attention_ref(
+        q, kn, vn, kr, vr, 1, meta, sm_scale=SM
+    )
+    np.testing.assert_allclose(np.asarray(outs[0])[:5], np.asarray(ref_w)[:5],
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(outs[1])[:5], np.asarray(ref_nw)[:5],
+                               rtol=2e-2, atol=2e-2)
