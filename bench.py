@@ -44,14 +44,15 @@ def main():
     random_weights = model_dir is None
     if random_weights:
         from nanovllm_tpu.utils.testing import (
-            MISTRAL_7B, QWEN2_72B, QWEN3_0_6B, QWEN3_8B, QWEN3_30B_A3B,
-            QWEN3_32B, QWEN3_MOE_MINI, QWEN3_TINY, make_qwen3_dir)
+            GEMMA3_1B, MISTRAL_7B, QWEN2_72B, QWEN3_0_6B, QWEN3_8B,
+            QWEN3_30B_A3B, QWEN3_32B, QWEN3_MOE_MINI, QWEN3_TINY,
+            make_qwen3_dir)
 
         arch = os.environ.get("BENCH_ARCH", "0.6b")
         cfgs = {"0.6b": QWEN3_0_6B, "8b": QWEN3_8B, "32b": QWEN3_32B,
                 "72b": QWEN2_72B, "30b-a3b": QWEN3_30B_A3B,
                 "moe-mini": QWEN3_MOE_MINI, "mistral-7b": MISTRAL_7B,
-                "tiny": QWEN3_TINY}
+                "gemma3-1b": GEMMA3_1B, "tiny": QWEN3_TINY}
         model_dir = make_qwen3_dir(f"/tmp/qwen3-{arch}-bench", cfgs[arch])
 
     llm = LLM(

@@ -282,3 +282,87 @@ d = np.abs(np.asarray(out[:4], np.float32) - np.asarray(ref[:4], np.float32)).ma
 print("decode SWA multi-page max diff vs oracle:", d)
 assert d < 0.1, d
 print("SWA FULL TPU PROBE PASS")
+
+# ---- Gemma-3 shapes: Hkv=1, G=4, head_dim 256, runtime window scalar.
+# Risk surface: single-sublane scale tiles [1, block], hd=2x128 lanes, and
+# the windowed kernel variant with the window as scalar prefetch (one
+# program serving local AND global layers).
+GHKV, GHQ, GHD = 1, 4, 256
+GSM = 256.0 ** -0.5
+gkc = jnp.asarray(rng.standard_normal((2, GHKV, NB, BLOCK, GHD)), jnp.bfloat16)
+gvc = jnp.asarray(rng.standard_normal((2, GHKV, NB, BLOCK, GHD)), jnp.bfloat16)
+kv_lens = [700, 777, 900, 1000, 640, 513, 800, 1020]
+reqs = []
+nb0 = 0
+for n in kv_lens:
+    t = list(range(nb0, nb0 + -(-n // BLOCK)))
+    nb0 += len(t)
+    reqs.append(dict(token_ids=[1], start=n - 1, kv_len=n,
+                     block_table=t, temperature=1.0))
+W = 512  # gemma3-1b local window: leading pages drop from the worklist
+kw = dict(block_size=BLOCK, num_tokens_bucket=8, num_seqs_bucket=8,
+          max_blocks_per_seq=4, rng=np.zeros(2, np.uint32), group_pairs=GRP)
+meta_w = meta_of(build_step_inputs(reqs, window=W, **kw))
+meta_full = meta_of(build_step_inputs(reqs, **kw))   # same shapes, full list
+gq = jnp.asarray(rng.standard_normal((8, GHQ, GHD)), jnp.bfloat16)
+gkn = jnp.asarray(rng.standard_normal((8, GHKV, GHD)), jnp.bfloat16)
+gvn = jnp.asarray(rng.standard_normal((8, GHKV, GHD)), jnp.bfloat16)
+ref, _, _ = ragged_paged_attention_ref(
+    gq, gkn, gvn, gkc, gvc, 0, meta_w, sm_scale=GSM, window=W)
+# The same compiled program must serve a local window and a global layer:
+# the window and the worklist are traced operands, not constants.
+f = jax.jit(lambda win, meta, *a: paged_decode_attention(
+    *a, 0, meta, sm_scale=GSM, window=win))
+out, _, _ = f(jnp.int32(W), meta_w, gq, gkn, gvn, gkc, gvc)
+d = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32)).max()
+print("gemma decode (windowed, Hkv=1, hd=256) max diff:", d)
+assert d < 0.05, d
+# Global layer through the SAME program: huge window, full worklist.
+ref_nw, _, _ = ragged_paged_attention_ref(
+    gq, gkn, gvn, gkc, gvc, 0, meta_full, sm_scale=GSM)
+out2, _, _ = f(jnp.int32(1 << 30), meta_full, gq, gkn, gvn, gkc, gvc)
+d2 = np.abs(np.asarray(out2, np.float32) - np.asarray(ref_nw, np.float32)).max()
+print("gemma decode (same program, global layer) max diff:", d2)
+assert d2 < 0.05, d2
+assert f._cache_size() == 1, "window/worklist must not retrace"
+
+# prefill, chunked continuation at gemma shapes with the window scalar
+lens3 = [(0, 300), (512, 256)]
+tables3 = [[30, 31], [32, 33, 34]]
+reqs = [dict(token_ids=list(range(c)), start=s, kv_len=s + c,
+             block_table=t, temperature=1.0)
+        for (s, c), t in zip(lens3, tables3)]
+inputs = build_step_inputs(reqs, block_size=BLOCK, num_tokens_bucket=768,
+                           num_seqs_bucket=4, max_blocks_per_seq=3,
+                           rng=np.zeros(2, np.uint32), q_tile=128, window=W)
+meta = meta_of(inputs)
+T = 768
+gq = jnp.asarray(rng.standard_normal((T, GHQ, GHD)), jnp.bfloat16)
+gkn = jnp.asarray(rng.standard_normal((T, GHKV, GHD)), jnp.bfloat16)
+gvn = jnp.asarray(rng.standard_normal((T, GHKV, GHD)), jnp.bfloat16)
+ref, _, _ = ragged_paged_attention_ref(
+    gq, gkn, gvn, gkc, gvc, 0, meta, sm_scale=GSM, window=W)
+out, _, _ = jax.jit(lambda win, *a: ragged_prefill_attention(
+    *a, 0, meta, sm_scale=GSM, q_tile=128, window=win))(
+    jnp.int32(W), gq, gkn, gvn, gkc, gvc)
+live = np.asarray(inputs.seq_ids) < 4
+d = np.abs(np.asarray(out, np.float32)[live]
+           - np.asarray(ref, np.float32)[live]).max()
+print("gemma prefill (windowed) max diff:", d)
+assert d < 0.05, d
+
+# int8-KV at Hkv=1: the [1, block] scale tiles are the tightest sublane case
+gkc8 = (jnp.zeros((2, GHKV, NB, BLOCK, GHD), jnp.int8),
+        jnp.zeros((2, NB, GHKV, BLOCK), jnp.float32))
+gvc8 = (jnp.zeros((2, GHKV, NB, BLOCK, GHD), jnp.int8),
+        jnp.zeros((2, NB, GHKV, BLOCK), jnp.float32))
+ref, kr8, vr8 = ragged_paged_attention_ref(
+    gq, gkn, gvn, gkc8, gvc8, 0, meta, sm_scale=GSM, window=W)
+out, k8, v8 = jax.jit(lambda win, *a: ragged_prefill_attention(
+    *a, 0, meta, sm_scale=GSM, q_tile=128, window=win))(
+    jnp.int32(W), gq, gkn, gvn, gkc8, gvc8)
+d = np.abs(np.asarray(out, np.float32)[live]
+           - np.asarray(ref, np.float32)[live]).max()
+print("gemma prefill int8-KV max diff:", d)
+assert d < 0.07, d
+print("GEMMA TPU PROBE PASS")

@@ -133,6 +133,30 @@ MISTRAL_7B = dict(
     _family="mistral",
 )
 
+# Gemma-3-1B text architecture (google/gemma-3-1b-it config.json values):
+# 5-local:1-global sliding-window interleave (window 512) with dual rope —
+# local layers read at most 3 KV pages however long the context grows
+# (window-aware page skipping; the window rides the kernels as a runtime
+# scalar so all 26 layers share one compiled program).
+GEMMA3_1B = dict(
+    vocab_size=262144,
+    hidden_size=1152,
+    intermediate_size=6912,
+    num_hidden_layers=26,
+    num_attention_heads=4,
+    num_key_value_heads=1,
+    head_dim=256,
+    max_position_embeddings=32768,
+    sliding_window=512,
+    sliding_window_pattern=6,
+    rope_theta=1000000.0,
+    rope_local_base_freq=10000.0,
+    query_pre_attn_scalar=256.0,
+    rms_norm_eps=1e-6,
+    tie_word_embeddings=True,
+    _family="gemma3_text",
+)
+
 # Tiny config for dryruns / CI (all dims divisible by 8 for TP tests).
 QWEN3_TINY = dict(
     vocab_size=512,
@@ -151,12 +175,13 @@ QWEN3_TINY = dict(
 
 def make_qwen3_dir(path: str, arch: dict) -> str:
     """Write config.json + a tiny offline tokenizer; no weights."""
-    from transformers import (MistralConfig, Qwen2Config, Qwen3Config,
-                              Qwen3MoeConfig)
+    from transformers import (Gemma3TextConfig, MistralConfig, Qwen2Config,
+                              Qwen3Config, Qwen3MoeConfig)
 
     arch = dict(arch)
     cfg_cls = {"qwen2": Qwen2Config, "qwen3": Qwen3Config,
-               "qwen3_moe": Qwen3MoeConfig, "mistral": MistralConfig}[
+               "qwen3_moe": Qwen3MoeConfig, "mistral": MistralConfig,
+               "gemma3_text": Gemma3TextConfig}[
         arch.pop("_family", "qwen3")
     ]
     os.makedirs(path, exist_ok=True)
