@@ -157,7 +157,15 @@ def to_packed_int4(x8: jax.Array) -> jax.Array:
         return q
 
     kwargs = {"out_shardings": fmt} if fmt is not None else {}
-    out = jax.jit(conv, **kwargs)(x8)
+    # The persistent cache additionally LOSES the packed layout on a cache
+    # HIT of this very program (measured r3: a fresh compile returns
+    # sub_byte_element_size_in_bits=4, reloading the identical entry from
+    # the on-disk cache returns =0 — the serialized executable drops the
+    # Format). Conversion programs are tiny; compile them uncached.
+    from jax._src.config import enable_compilation_cache
+
+    with enable_compilation_cache(False):
+        out = jax.jit(conv, **kwargs)(x8)
     if jax.devices()[0].platform in ("tpu", "axon"):
         layout = str(getattr(out, "format", ""))
         assert "sub_byte_element_size_in_bits=4" in layout, (
