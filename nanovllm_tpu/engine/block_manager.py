@@ -157,6 +157,62 @@ class BlockManager:
         seq.num_hashed_blocks = 0
         seq.num_evicted_blocks = 0
 
+    def match_prefix(self, seq: Sequence) -> int:
+        """Prefix-cache hit count (full blocks) without any capacity check —
+        the sliding-window lazy-allocation path budgets per chunk instead of
+        per whole prompt (see extend_for_window)."""
+        return self._match_cached_blocks(seq)[0]
+
+    def extend_for_window(self, seq: Sequence, upto: int) -> bool:
+        """Window-lazy allocation: reserve only the pages the CURRENT chunk
+        needs instead of the whole prompt. First call claims every
+        prefix-cache hit (pinning their KV — an unclaimed hit could be
+        recycled between chunks) and grows the fresh tail to ``upto`` pages;
+        later calls just extend the tail. Returns False (state unchanged) if
+        the free pool cannot cover the extension.
+
+        Rolling eviction releases leading blocks between chunks, so a prompt
+        of ANY length admits with ~(chunk + window) blocks — without this, a
+        preempted sequence whose total length exceeds the pool could never
+        re-admit (its full table no longer fits) and would wedge the queue.
+        """
+        if not seq.block_table:
+            num_cached, cached_ids = self._match_cached_blocks(seq)
+            fresh = max(0, upto - num_cached)
+            from_free = fresh + sum(
+                1 for bid in cached_ids if self.blocks[bid].ref_count == 0
+            )
+            if from_free > len(self.free_block_ids):
+                return False
+            for block_id in cached_ids:
+                block = self.blocks[block_id]
+                if block.ref_count == 0:
+                    self.free_block_ids.remove(block_id)
+                    self.used_block_ids.add(block_id)
+                block.ref_count += 1
+                seq.block_table.append(block_id)
+            for _ in range(fresh):
+                block_id = self.free_block_ids[0]
+                self._allocate_block(block_id)
+                seq.block_table.append(block_id)
+            seq.num_cached_tokens = num_cached * self.block_size
+            seq.num_hashed_blocks = num_cached
+            self.cached_prompt_tokens += seq.num_cached_tokens
+            self.new_prompt_tokens += seq.num_prompt_tokens - min(
+                seq.num_cached_tokens, seq.num_prompt_tokens
+            )
+            return True
+        fresh = upto - len(seq.block_table)
+        if fresh <= 0:
+            return True
+        if fresh > len(self.free_block_ids):
+            return False
+        for _ in range(fresh):
+            block_id = self.free_block_ids[0]
+            self._allocate_block(block_id)
+            seq.block_table.append(block_id)
+        return True
+
     # ----------------------------------------------- sliding-window eviction
 
     def evict_prefix(self, seq: Sequence, upto: int):

@@ -97,8 +97,17 @@ class Scheduler:
                 # that can host more than 2*max_num_seqs concurrent prompts
                 # must not outrun the device slot buffer.
                 break
+            windowed = self.attention_window is not None
             if seq.block_table:
                 cached = seq.num_cached_tokens  # continuation chunk
+            elif windowed:
+                # Window-lazy admission: budget per chunk, not per prompt
+                # (rolling eviction keeps resident KV at ~chunk + window, so
+                # total prompt length may exceed the whole pool).
+                cached = (
+                    self.block_manager.match_prefix(seq)
+                    * self.block_manager.block_size
+                )
             else:
                 cached_blocks = self.block_manager.can_allocate(seq)
                 if cached_blocks == -1:
@@ -121,7 +130,12 @@ class Scheduler:
                 chunk -= chunk % self.block_manager.block_size
                 if chunk == 0:
                     break
-            if not seq.block_table:
+            if windowed:
+                bsz = self.block_manager.block_size
+                upto = -(-(cached + chunk) // bsz)
+                if not self.block_manager.extend_for_window(seq, upto):
+                    break  # pool cannot host this chunk right now
+            elif not seq.block_table:
                 self.block_manager.allocate(seq)
             if seq.device_slot < 0:
                 seq.device_slot = self.free_slots.popleft()
@@ -141,6 +155,11 @@ class Scheduler:
         # Decode: schedule every running sequence, preempting under pressure.
         while self.running and len(scheduled) < self.max_num_seqs:
             seq = self.running.popleft()
+            # Roll the window eviction forward BEFORE the capacity check: the
+            # block this sequence is about to need may be freed by its own
+            # dead leading block (steady-state windowed decode never needs a
+            # net-new block once past the window).
+            self._evict_window(seq)
             while not self.block_manager.can_append(seq):
                 if self.running:
                     self.preempt(self.running.pop())
@@ -152,7 +171,6 @@ class Scheduler:
                 continue
             seq.num_scheduled_tokens = 1
             self.block_manager.may_append(seq)
-            self._evict_window(seq)
             scheduled.append(seq)
         assert scheduled, "scheduler deadlock: no sequence can be scheduled"
         self.running.extendleft(reversed(scheduled))

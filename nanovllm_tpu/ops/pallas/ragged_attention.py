@@ -158,6 +158,17 @@ DOT_DTYPE = (
     else jnp.float32
 )
 
+# Prefill-only dot-operand override. The two kernels sit in different
+# regimes (r3 profiles): decode is page-DMA-bound (bf16 operands measured a
+# regression — the converts add VPU passes), while prefill's per-pair dots
+# are M=256-deep and f32-MXU-bound (~5.5us of the ~5.6us/pair). bf16
+# operands target prefill's ~4x MXU-rate gap without touching decode.
+PREFILL_DOT_DTYPE = (
+    jnp.bfloat16
+    if os.environ.get("NANOVLLM_PREFILL_DOT_BF16", "0") == "1"
+    else DOT_DTYPE
+)
+
 
 def _decode_kernel(
     # scalar prefetch
@@ -889,13 +900,22 @@ def _prefill_kernel(
 
     def pair_rows(pair):
         """Valid rows of this pair's page under the causal frontier: the page
-        is fetched only up to the rung covering them (see PAGE_RUNG). Start,
+        is fetched only up to the rung covering them (see PAGE_RUNG), and not
+        at all when a sliding window has rolled past the whole page for every
+        row of the tile (lowest key any row can attend to is pos0-window+1 —
+        on per-layer-window models the worklist can't pre-skip these pages
+        because global layers share it, so local layers gate here). Start,
         wait, and refetch recompute identical predicates from the same
         prefetched scalars, so every start has exactly one matching wait."""
         tile = jnp.minimum(pair_tile_ref[pair], nt - 1)
         s = tile_seq_ref[tile]
-        limit = jnp.minimum(kv_lens_ref[s], tile_pos0_ref[tile] + q_tile)
-        return limit - pair_page_ref[pair] * block_size
+        p0 = tile_pos0_ref[tile]
+        limit = jnp.minimum(kv_lens_ref[s], p0 + q_tile)
+        rows = limit - pair_page_ref[pair] * block_size
+        if window is not None:
+            need = (pair_page_ref[pair] + 1) * block_size > p0 - window + 1
+            rows = jnp.where(need, rows, 0)
+        return rows
 
     def rung_conds(rows):
         conds = []
@@ -938,13 +958,25 @@ def _prefill_kernel(
                     vs_out_hbm.at[layer, page_id], vs_buf.at[slot],
                     sems.at[3, slot],
                 ).start()
-        else:
-            # Un-DMA'd V rows past the fetched rung: bf16 scratch garbage can
-            # be NaN and the p @ V dot then sums 0 * NaN — zero them. (K needs
-            # nothing: NaN scores die in the mask *select*.)
-            for r in range(1, n_rungs):
 
-                @pl.when((rows > (r - 1) * rung) & (rows <= r * rung))
+            # A window-gated pair fetches nothing: its V scales must still
+            # be finite (p multiplies vs_buf AFTER the mask select; NaN
+            # scratch would poison exp(masked)=0 rows via 0 * NaN).
+            @pl.when(rows <= 0)
+            def _zero_scales():
+                vs_buf[slot] = jnp.zeros_like(vs_buf[slot])
+        else:
+            # Un-DMA'd V rows past the fetched rung — or the whole strip of a
+            # window-gated pair (rows == 0): bf16 scratch garbage can be NaN
+            # and the p @ V dot then sums 0 * NaN — zero them. (K needs
+            # nothing: NaN scores die in the mask *select*.)
+            for r in range(n_rungs):
+                if r == 0:
+                    cond = rows <= 0
+                else:
+                    cond = (rows > (r - 1) * rung) & (rows <= r * rung)
+
+                @pl.when(cond)
                 def _zero(r=r):
                     n = block_size - r * rung
                     v_buf[slot, :, pl.ds(r * rung, n), :] = jnp.zeros(
@@ -1071,6 +1103,10 @@ def _prefill_kernel(
             read_pair(pre, jnp.where(slot == 0, 2, slot - 1))
 
         rows_here = kv_limit - j * block_size
+        if window is not None:
+            # Mirror pair_rows' window gate (the waits must match the starts).
+            need_here = (j + 1) * block_size > pos0 - window + 1
+            rows_here = jnp.where(need_here, rows_here, 0)
         wait_page(rows_here, slot)
         buf_idx_ref[0] = jnp.where(slot == 2, 0, slot + 1)
 
@@ -1117,14 +1153,14 @@ def _prefill_kernel(
         # kernel): a 4D dot with lhs non-contracting (BQ, G) lowers with
         # M = G rows per MXU pass looping over BQ — measured 20 us/pair vs
         # ~2 us with M = BQ*G (G is 2-4 on these models).
-        q = q_ref[...].astype(DOT_DTYPE).reshape(hkv, m, hd)
+        q = q_ref[...].astype(PREFILL_DOT_DTYPE).reshape(hkv, m, hd)
         if kv_bits == 4:
             # Nibble-packed pages: [Hkv/2] bytes unpack to [Hkv] values.
-            k = unpack_int4_heads(k_buf[slot]).astype(DOT_DTYPE)
-            v = unpack_int4_heads(v_buf[slot]).astype(DOT_DTYPE)
+            k = unpack_int4_heads(k_buf[slot]).astype(PREFILL_DOT_DTYPE)
+            v = unpack_int4_heads(v_buf[slot]).astype(PREFILL_DOT_DTYPE)
         else:
-            k = k_buf[slot].astype(DOT_DTYPE)          # [Hkv, block, hd]
-            v = v_buf[slot].astype(DOT_DTYPE)
+            k = k_buf[slot].astype(PREFILL_DOT_DTYPE)          # [Hkv, block, hd]
+            v = v_buf[slot].astype(PREFILL_DOT_DTYPE)
         # scores[h, r, tok] (row r = query bq r//G) — batched over kv heads.
         # In int8 mode the per-token scales fold into the scores /
         # probabilities (token dim on lanes there; it cannot relayout onto
@@ -1162,7 +1198,7 @@ def _prefill_kernel(
         if quantized:
             p = p * vs_buf[slot][:, None, :]
         o_curr = jax.lax.dot_general(
-            p.astype(DOT_DTYPE), v,
+            p.astype(PREFILL_DOT_DTYPE), v,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )

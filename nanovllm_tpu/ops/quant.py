@@ -161,11 +161,14 @@ def to_packed_int4(x8: jax.Array) -> jax.Array:
     # HIT of this very program (measured r3: a fresh compile returns
     # sub_byte_element_size_in_bits=4, reloading the identical entry from
     # the on-disk cache returns =0 — the serialized executable drops the
-    # Format). Conversion programs are tiny; compile them uncached.
-    from jax._src.config import enable_compilation_cache
-
-    with enable_compilation_cache(False):
+    # Format). Conversion programs are tiny; compile them uncached (via the
+    # public flag, saved/restored — jax._src paths carry no API stability).
+    prev = jax.config.jax_enable_compilation_cache
+    try:
+        jax.config.update("jax_enable_compilation_cache", False)
         out = jax.jit(conv, **kwargs)(x8)
+    finally:
+        jax.config.update("jax_enable_compilation_cache", prev)
     if jax.devices()[0].platform in ("tpu", "axon"):
         layout = str(getattr(out, "format", ""))
         assert "sub_byte_element_size_in_bits=4" in layout, (

@@ -936,3 +936,50 @@ def test_decode_per_layer_window_scalar():
                                rtol=2e-2, atol=2e-2)
     np.testing.assert_allclose(np.asarray(outs[1])[:5], np.asarray(ref_nw)[:5],
                                rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_prefill_window_gates_pairs_on_full_worklist(quantized):
+    """Per-layer-window models (Gemma3) keep the FULL worklist (global layers
+    need every page), so local layers must gate dead pages per-pair inside
+    the kernel: deep-continuation tiles see their leading pages gated (rows
+    0 — no DMA, V strips/scales zeroed) and still match the oracle."""
+    rng = np.random.default_rng(21)
+    if quantized:
+        kq = np.clip(rng.standard_normal((1, HKV, 24, BLOCK, HD)) * 40,
+                     -127, 127)
+        vq = np.clip(rng.standard_normal((1, HKV, 24, BLOCK, HD)) * 40,
+                     -127, 127)
+        kc = (jnp.asarray(kq, jnp.int8), jnp.asarray(
+            rng.uniform(0.005, 0.02, (1, 24, HKV, BLOCK)), jnp.float32))
+        vc = (jnp.asarray(vq, jnp.int8), jnp.asarray(
+            rng.uniform(0.005, 0.02, (1, 24, HKV, BLOCK)), jnp.float32))
+    else:
+        kc, vc = make_cache(rng, num_blocks=24)
+    q_tile = 8
+    W = 6  # < page (16): deep tiles gate several leading pages
+    reqs_spec = [(48, 64), (0, 13), (80, 96)]
+    reqs = []
+    nb = 0
+    for start, kv in reqs_spec:
+        t = list(range(nb, nb + -(-kv // BLOCK)))
+        nb += len(t)
+        reqs.append(dict(token_ids=list(range(kv - start)), start=start,
+                         kv_len=kv, block_table=t, temperature=1.0))
+    # FULL worklist: no window passed to the builder.
+    inputs, meta = build(reqs, t_bucket=48, s_bucket=4, w=6, q_tile=q_tile)
+    q = jnp.asarray(rng.standard_normal((48, HQ, HD), np.float32))
+    kn, vn = new_kv(rng, 48)
+    ref, _, _ = ragged_paged_attention_ref(
+        q, kn, vn, kc, vc, 0, meta, sm_scale=SM, window=W
+    )
+    out, ko, vo = ragged_prefill_attention(
+        q, kn, vn, kc, vc, 0, meta, sm_scale=SM, q_tile=q_tile, window=W,
+        interpret=True,
+    )
+    live = np.asarray(inputs.seq_ids) < 4
+    np.testing.assert_allclose(
+        np.asarray(out)[live], np.asarray(ref)[live], rtol=2e-2, atol=2e-2
+    )
+    if not quantized:
+        assert_written(ko, vo, kn, vn, inputs)

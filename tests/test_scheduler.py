@@ -281,6 +281,7 @@ def test_window_eviction_preemption_resets_watermark():
     for _ in range(12):
         run_step(sched)
     assert seq.num_evicted_blocks > 0
+    sched.running.remove(seq)  # the scheduler pops before preempting
     sched.preempt(seq)
     assert seq.num_evicted_blocks == 0 and not seq.block_table
     assert len(sched.block_manager.used_block_ids) == 0
@@ -318,3 +319,57 @@ def test_no_window_is_noop():
     for _ in range(19):
         run_step(sched)
     assert seq.num_evicted_blocks == 0
+
+
+def test_window_preempted_long_seq_readmits():
+    """A window-evicted sequence longer than the whole pool can be preempted
+    and still re-admit: window-lazy allocation reserves only chunk+window
+    blocks, and between-chunk eviction keeps re-prefill demand bounded."""
+    sched = make_window_scheduler(8, num_blocks=8, max_tokens=16)
+    # total length 4 + 60 = 64 tokens = 16 pages, double the 8-block pool
+    seq = make_seq([1] * 4, max_tokens=60, ignore_eos=True)
+    sched.add(seq)
+    run_step(sched)
+    for _ in range(20):
+        run_step(sched)
+    assert seq.num_tokens == 25 and seq.num_evicted_blocks > 0
+    sched.running.remove(seq)  # the scheduler pops before preempting
+    sched.preempt(seq)
+    # Re-prefill: 25 tokens > 16-token budget -> chunked, each chunk's
+    # allocation bounded; then decode resumes to completion.
+    while not seq.is_finished:
+        run_step(sched)
+    assert seq.num_tokens == 64
+    assert len(sched.block_manager.used_block_ids) == 0
+
+
+def test_window_long_prompt_exceeding_pool_admits():
+    """A fresh windowed prompt larger than the pool admits chunk-by-chunk
+    (the full-table reservation would return -1 forever)."""
+    sched = make_window_scheduler(8, num_blocks=8, max_tokens=16)
+    seq = make_seq([1] * 48, max_tokens=4, ignore_eos=True)  # 12 pages > 8
+    sched.add(seq)
+    steps = 0
+    while not seq.is_finished and steps < 50:
+        run_step(sched)
+        steps += 1
+    assert seq.is_finished and seq.num_completion_tokens == 4
+    assert len(sched.block_manager.used_block_ids) == 0
+
+
+def test_window_evicts_before_capacity_check():
+    """At steady state a windowed decode never preempts a peer: the dead
+    leading block is released before can_append runs."""
+    sched = make_window_scheduler(8, num_blocks=9, max_tokens=64)
+    seqs = [make_seq([1] * 4, max_tokens=40, ignore_eos=True)
+            for _ in range(3)]
+    for s in seqs:
+        sched.add(s)
+    for _ in range(3):
+        run_step(sched)  # prefills
+    for _ in range(40):
+        if sched.is_finished():
+            break
+        run_step(sched)
+    assert all(s.is_finished for s in seqs)
+    assert not any(s.was_preempted for s in seqs)
