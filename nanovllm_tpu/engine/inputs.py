@@ -50,6 +50,7 @@ class StepInputs(NamedTuple):
     # Per-seq sampling filters (used only by the "filtered" step variant).
     top_ks: jax.Array         # i32[S] (0 = no k limit)
     top_ps: jax.Array         # f32[S] (1.0 = no nucleus limit)
+    min_ps: jax.Array         # f32[S] (0.0 = no p floor; vLLM min_p)
     # Per-seq additive logit biases (used only by the "biased" step variant);
     # padding entries are (id 0, bias 0.0) — a no-op scatter-add.
     bias_ids: jax.Array       # i32[S, LOGIT_BIAS_K]
@@ -125,6 +126,7 @@ def build_step_inputs(
     slot_ids = np.full(s_pad, num_slots - 1, np.int32)  # dead slot for padding
     top_ks = np.zeros(s_pad, np.int32)
     top_ps = np.ones(s_pad, np.float32)
+    min_ps = np.zeros(s_pad, np.float32)
     bias_ids = np.zeros((s_pad, LOGIT_BIAS_K), np.int32)
     bias_vals = np.zeros((s_pad, LOGIT_BIAS_K), np.float32)
     seeds = np.full(s_pad, -1, np.int32)
@@ -174,6 +176,10 @@ def build_step_inputs(
         top_ps[:n_req] = np.fromiter(
             (r.get("top_p", 1.0) for r in reqs), np.float32, n_req
         )
+        if any(r.get("min_p") for r in reqs):
+            min_ps[:n_req] = np.fromiter(
+                (r.get("min_p", 0.0) for r in reqs), np.float32, n_req
+            )
         if any(r.get("logit_bias") for r in reqs):
             for i, r in enumerate(reqs):
                 _fill_bias(i, r)
@@ -218,6 +224,7 @@ def build_step_inputs(
         slot_ids[i] = r.get("slot", num_slots - 1)
         top_ks[i] = r.get("top_k", 0)
         top_ps[i] = r.get("top_p", 1.0)
+        min_ps[i] = r.get("min_p", 0.0)
         _fill_bias(i, r)
         if r.get("seed") is not None:
             seeds[i] = r["seed"]
@@ -305,6 +312,7 @@ def build_step_inputs(
         ring_pos=np.asarray([ring_pos], np.int32),
         top_ks=top_ks,
         top_ps=top_ps,
+        min_ps=min_ps,
         bias_ids=bias_ids,
         bias_vals=bias_vals,
         seeds=seeds,

@@ -90,6 +90,17 @@ class LLMEngine:
             f"prompt of {len(prompt)} tokens exceeds max_model_len "
             f"{self.config.max_model_len}"
         )
+        if sampling_params.min_tokens:
+            # min_tokens suppresses EOS via injected logit biases; the device
+            # slab is static-width (see SamplingParams.LOGIT_BIAS_K).
+            from nanovllm_tpu.sampling_params import LOGIT_BIAS_K
+
+            n_eos = len(set(self.config.eos_ids or (self.config.eos,)))
+            assert len(sampling_params.logit_bias) + n_eos <= LOGIT_BIAS_K, (
+                "logit_bias entries + the model's EOS set exceed the "
+                f"{LOGIT_BIAS_K}-entry device slab (min_tokens injects an "
+                "EOS-suppressing bias per EOS id)"
+            )
         seq = Sequence(prompt, sampling_params)
         self.scheduler.add(seq)
         return seq

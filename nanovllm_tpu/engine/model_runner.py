@@ -657,11 +657,11 @@ class ModelRunner:
             seeds = inputs.seeds if seeded else None
             pos = inputs.kv_lens if seeded else None
             if filtered:
-                # Separate compiled variant: requests without top-k/top-p
-                # never pay for the lax.top_k window.
+                # Separate compiled variant: requests without
+                # top-k/top-p/min-p never pay for the lax.top_k window.
                 tokens = sample_topk_topp(
                     logits, inputs.temperatures, key, inputs.top_ks,
-                    inputs.top_ps, seeds, pos,
+                    inputs.top_ps, seeds, pos, inputs.min_ps,
                 )
             else:
                 tokens = sample(logits, inputs.temperatures, key, seeds, pos)
@@ -786,10 +786,24 @@ class ModelRunner:
         # variant of the step program (lazily; plain requests never pay).
         filtered = any(seq.uses_filtering for seq in seqs)
         want_lp = any(seq.logprobs for seq in seqs)
-        biased = any(seq.logit_bias for seq in seqs)
         seeded = any(seq.seed is not None for seq in seqs)
-        reqs = []
+        # min_tokens (vLLM): while a completion is shorter than min_tokens,
+        # suppress the model's EOS set by injecting -inf biases — rides the
+        # existing logit_bias step variant, no dedicated machinery. The token
+        # sampled this step is completion #(num_completion_tokens + 1).
+        eos_bias = None
+        biases = []
         for seq in seqs:
+            b = seq.logit_bias
+            if seq.min_tokens and seq.num_completion_tokens < seq.min_tokens:
+                if eos_bias is None:
+                    ids = tuple(cfg.eos_ids or ()) or (cfg.eos,)
+                    eos_bias = tuple((int(t), -1e9) for t in sorted(set(ids)))
+                b = tuple(b) + eos_bias
+            biases.append(b)
+        biased = any(biases)
+        reqs = []
+        for seq, bias in zip(seqs, biases):
             if is_prefill:
                 start = seq.num_cached_tokens
                 n = seq.num_scheduled_tokens
@@ -808,7 +822,8 @@ class ModelRunner:
                     slot=seq.device_slot,
                     top_k=seq.top_k,
                     top_p=seq.top_p,
-                    logit_bias=seq.logit_bias,
+                    min_p=seq.min_p,
+                    logit_bias=bias,
                     seed=seq.seed,
                 )
             )

@@ -59,6 +59,8 @@ class Sequence:
         self.ignore_eos = sampling_params.ignore_eos
         self.top_k = sampling_params.top_k
         self.top_p = sampling_params.top_p
+        self.min_p = sampling_params.min_p
+        self.min_tokens = sampling_params.min_tokens
         self.uses_filtering = sampling_params.uses_filtering
         self.stop = sampling_params.stop
         self.stop_token_ids = frozenset(sampling_params.stop_token_ids)

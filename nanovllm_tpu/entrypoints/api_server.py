@@ -17,8 +17,8 @@ Protocol (stdlib-only, no framework dependency):
   GET  /metrics             -> engine stats (queue depths, tok/s, TTFT)
   POST /generate            body: {"prompt": str | [int], "temperature"?,
                              "max_tokens"?, "ignore_eos"?, "top_k"?,
-                             "top_p"?, "stop"?, "stop_token_ids"?,
-                             "logprobs"?, "stream"?}
+                             "top_p"?, "min_p"?, "min_tokens"?, "stop"?,
+                             "stop_token_ids"?, "logprobs"?, "stream"?}
     stream=false (default): one JSON body
         {"text": ..., "token_ids": [...]}
     stream=true: ndjson — one line per event
@@ -324,6 +324,8 @@ def _make_handler(serving: ServingEngine):
                     ignore_eos=bool(req.get("ignore_eos", False)),
                     top_k=int(req.get("top_k", 0)),
                     top_p=float(req.get("top_p", 1.0)),
+                    min_p=float(req.get("min_p", 0.0)),
+                    min_tokens=int(req.get("min_tokens", 0)),
                     stop=req.get("stop", ()),
                     stop_token_ids=req.get("stop_token_ids", ()),
                     logprobs=bool(req.get("logprobs", False)),
@@ -414,6 +416,8 @@ def _make_handler(serving: ServingEngine):
                     temperature=float(req.get("temperature", 1.0)),
                     max_tokens=int(req.get("max_tokens", 64)),
                     top_p=float(req.get("top_p", 1.0)),
+                    min_p=float(req.get("min_p", 0.0)),
+                    min_tokens=int(req.get("min_tokens", 0)),
                     stop=req.get("stop") or (),
                     logprobs=bool(req.get("logprobs") or False),
                     logit_bias={

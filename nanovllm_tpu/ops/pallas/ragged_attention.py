@@ -158,15 +158,18 @@ DOT_DTYPE = (
     else jnp.float32
 )
 
-# Prefill-only dot-operand override. The two kernels sit in different
-# regimes (r3 profiles): decode is page-DMA-bound (bf16 operands measured a
+# Prefill-only dot-operand dtype. The two kernels sit in different regimes
+# (r3 profiles): decode is page-DMA-bound (bf16 operands measured a
 # regression — the converts add VPU passes), while prefill's per-pair dots
 # are M=256-deep and f32-MXU-bound (~5.5us of the ~5.6us/pair). bf16
-# operands target prefill's ~4x MXU-rate gap without touching decode.
+# operands measured +7% end-to-end at the headline bench (7781 vs 7261)
+# without touching decode; scores still accumulate in f32
+# (preferred_element_type), and dequantized int8/int4 values are exact in
+# bf16. NANOVLLM_PREFILL_DOT_BF16=0 restores f32 operands.
 PREFILL_DOT_DTYPE = (
-    jnp.bfloat16
-    if os.environ.get("NANOVLLM_PREFILL_DOT_BF16", "0") == "1"
-    else DOT_DTYPE
+    DOT_DTYPE
+    if os.environ.get("NANOVLLM_PREFILL_DOT_BF16", "1") == "0"
+    else jnp.bfloat16
 )
 
 

@@ -72,13 +72,17 @@ def sample_topk_topp(
     top_ps: jax.Array,        # f32[S]; 1.0 means "no nucleus limit"
     seeds: jax.Array | None = None,      # i32[S]; < 0 = unseeded row
     positions: jax.Array | None = None,  # i32[S] sampled-token positions
+    min_ps: jax.Array | None = None,     # f32[S]; 0.0 means "no p floor"
 ) -> jax.Array:
-    """Gumbel sampling restricted to each row's top-k / top-p candidate set.
+    """Gumbel sampling restricted to each row's top-k / top-p / min-p
+    candidate set.
 
     Candidates come from the row's TOPK_WINDOW highest logits; rank masks
-    implement top-k (rank < k) and top-p (tokens whose *preceding* cumulative
+    implement top-k (rank < k), top-p (tokens whose *preceding* cumulative
     probability, after temperature, is below p — the first token always
-    survives). Greedy rows (T == 0) return the argmax.
+    survives), and min-p (vLLM semantics: drop tokens whose probability is
+    below min_p times the row's max probability). Greedy rows (T == 0)
+    return the argmax.
     """
     S, V = logits.shape
     k_win = min(TOPK_WINDOW, V)
@@ -94,6 +98,9 @@ def sample_topk_topp(
     probs = jax.nn.softmax(scaled, axis=-1)
     cum_before = jnp.cumsum(probs, axis=-1) - probs   # exclusive prefix sum
     keep &= cum_before < top_ps[:, None]
+    if min_ps is not None:
+        # Window column 0 holds the row max, so probs[:, :1] is p_max.
+        keep &= probs >= min_ps[:, None] * probs[:, :1]
 
     masked = jnp.where(keep, scaled, -jnp.inf)
     gumbel = _row_gumbel(key, masked.shape, seeds, positions)

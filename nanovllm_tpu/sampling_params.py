@@ -33,6 +33,15 @@ class SamplingParams:
     # of the (temperature-scaled) distribution with cumulative mass >= top_p,
     # evaluated within the top-TOPK_WINDOW candidate window.
     top_p: float = 1.0
+    # 0.0 disables min-p; otherwise drop candidates whose probability is
+    # below min_p * (probability of the most likely token) — vLLM min_p
+    # semantics, evaluated within the top-TOPK_WINDOW candidate window.
+    min_p: float = 0.0
+    # Suppress the model's EOS set until this many completion tokens exist
+    # (vLLM min_tokens): implemented host-side by injecting -inf logit biases
+    # on the EOS ids while the completion is short, so it needs no dedicated
+    # device machinery. Per-request stop_token_ids are NOT suppressed.
+    min_tokens: int = 0
     # Stop when any of these strings appears in the decoded completion
     # (checked on host at each ring drain; the stop text is excluded from the
     # output). A single string is accepted and normalized to a 1-tuple.
@@ -66,6 +75,11 @@ class SamplingParams:
         assert self.max_tokens >= 1, "max_tokens must be at least 1"
         assert self.top_k >= 0, "top_k must be non-negative (0 disables)"
         assert 0.0 < self.top_p <= 1.0, "top_p must be in (0, 1]"
+        assert 0.0 <= self.min_p <= 1.0, "min_p must be in [0, 1]"
+        assert self.min_tokens >= 0, "min_tokens must be non-negative"
+        assert self.min_tokens <= self.max_tokens, (
+            "min_tokens cannot exceed max_tokens"
+        )
         if isinstance(self.stop, str):
             self.stop = (self.stop,)
         self.stop = tuple(self.stop)
@@ -92,4 +106,4 @@ class SamplingParams:
 
     @property
     def uses_filtering(self) -> bool:
-        return self.top_k > 0 or self.top_p < 1.0
+        return self.top_k > 0 or self.top_p < 1.0 or self.min_p > 0.0

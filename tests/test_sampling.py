@@ -114,3 +114,30 @@ def test_sampling_params_validation():
         SamplingParams(top_p=0.0)
     with pytest.raises(AssertionError):
         SamplingParams(top_p=1.5)
+
+
+def test_min_p_masks_low_probability_candidates():
+    """vLLM min_p: candidates below min_p * p_max are dropped. min_p=1.0
+    leaves only the argmax (sampling becomes greedy); min_p=0 is a no-op."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from nanovllm_tpu.ops.sampling import sample_topk_topp
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((6, 128)), jnp.float32)
+    temps = jnp.ones((6,), jnp.float32)
+    ks = jnp.zeros((6,), jnp.int32)
+    ps = jnp.ones((6,), jnp.float32)
+    key = jax.random.PRNGKey(1)
+    strict = sample_topk_topp(
+        logits, temps, key, ks, ps, min_ps=jnp.ones((6,), jnp.float32)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(strict), np.asarray(jnp.argmax(logits, axis=-1))
+    )
+    # min_p=0 must match the no-min_p call bit-for-bit (same noise stream).
+    a = sample_topk_topp(logits, temps, key, ks, ps,
+                         min_ps=jnp.zeros((6,), jnp.float32))
+    b = sample_topk_topp(logits, temps, key, ks, ps)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -151,3 +151,23 @@ def test_multi_eos_from_generation_config(tmp_path_factory, expected):
     sp = SamplingParams(temperature=0.0, max_tokens=N_NEW)
     out = llm2.generate([PROMPT], sp, use_tqdm=False)[0]
     assert out["token_ids"] == expected[: k + 1]  # stops at the listed id
+
+
+def test_min_tokens_suppresses_eos(tiny_qwen3_dir):
+    """min_tokens suppresses the model's EOS set (via injected -inf logit
+    biases) until the completion reaches the floor."""
+    from nanovllm_tpu import LLM, SamplingParams
+
+    llm = LLM(tiny_qwen3_dir, **ENGINE_KW)
+    eos = llm.config.eos
+    prompt = [3, 4, 5, 6]
+    # Huge positive bias on EOS: greedy would emit it immediately...
+    base = dict(temperature=0.0, max_tokens=16, logit_bias={eos: 100.0})
+    short = llm.generate([prompt], SamplingParams(**base), use_tqdm=False)[0]
+    assert len(short["token_ids"]) == 1  # EOS at the first step
+    # ...but min_tokens holds it off for 4 tokens.
+    long = llm.generate(
+        [prompt], SamplingParams(**base, min_tokens=4), use_tqdm=False
+    )[0]
+    assert len(long["token_ids"]) >= 4
+    assert all(t != eos for t in long["token_ids"][:4])
