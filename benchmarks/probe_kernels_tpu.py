@@ -201,6 +201,26 @@ refq = group_ref(
 dq = np.abs(outq[: refq.shape[0]] - refq).max() / max(np.abs(refq).max(), 1e-6)
 print("gmm int8-rhs rel diff vs dequant per-group dot:", dq)
 assert dq < 2e-2, dq
+
+# int4 experts: gmm_int4's in-VMEM k-nibble unpack + per-k-tile group scales
+# on the real chip (the f32 nibble arithmetic and sublane concat are the
+# Mosaic-sensitive parts interpret mode cannot vouch for).
+from nanovllm_tpu.ops import quant as quant_ops
+
+w4 = rng.standard_normal((G, K, N)).astype(np.float32) * 0.05
+qw4 = quant_ops.quantize_expert_int4(w4)  # g = 128 (kernel-native)
+q4 = jnp.asarray(qw4.q)
+s4 = jnp.asarray(qw4.scale)
+out4 = np.asarray(
+    jax.jit(grouped_matmul_quant)(lhs, q4, s4, gs), np.float32
+)
+ref4 = group_ref(
+    lhs.astype(jnp.float32),
+    np.asarray(quant_ops.dequant_int4_k(q4, s4, jnp.float32)),
+)
+d4 = np.abs(out4[: ref4.shape[0]] - ref4).max() / max(np.abs(ref4).max(), 1e-6)
+print("gmm int4 (k-nibble) rel diff vs dequant per-group dot:", d4)
+assert d4 < 2e-2, d4
 print("GMM TPU PROBE PASS")
 
 

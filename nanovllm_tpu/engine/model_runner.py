@@ -285,22 +285,29 @@ class ModelRunner:
                 "vocab": qw(vocab, P("tp", None) if grouped else P("tp")),
             }
             if getattr(self.spec, "num_experts", 0):
-                # Expert stacks [L, E, in, out] + scales [L, E, out]. Under
-                # EP the expert dim shards (scales follow). Under width-TP,
-                # gate_up shards its out dim (scales follow) while down
-                # shards its contraction dim (per-out-channel scales stay
-                # replicated; partial dots sum exactly, and the scale
-                # multiply commutes with the psum).
+                # Expert stacks [L, E, in, out] + scales (int8: [L, E, out];
+                # int4: k-packed q [L, E, in/2, out] with group scales
+                # [L, E, in/g, out]). Under EP the expert dim shards (scales
+                # follow). Under width-TP, gate_up shards its out dim (scales
+                # follow) while down shards its contraction dim — int8's
+                # per-out-channel scales stay replicated (partial dots sum
+                # exactly; the scale multiply commutes with the psum), int4's
+                # group dim shards with the contraction.
                 if self.config.enable_expert_parallel:
-                    ep_q, ep_s = P(None, "tp", None, None), P(None, "tp", None)
+                    ep_q = P(None, "tp", None, None)
+                    ep_s = ep_q if grouped else P(None, "tp", None)
                     kinds["expert_col"] = qw(ep_q, ep_s)
                     kinds["expert_row"] = qw(ep_q, ep_s)
                 else:
                     kinds["expert_col"] = qw(
-                        P(None, None, None, "tp"), P(None, None, "tp")
+                        P(None, None, None, "tp"),
+                        P(None, None, None, "tp")
+                        if grouped else P(None, None, "tp"),
                     )
                     kinds["expert_row"] = qw(
-                        P(None, None, "tp", None), P(None, None, None)
+                        P(None, None, "tp", None),
+                        P(None, None, "tp", None)
+                        if grouped else P(None, None, None),
                     )
             for path, kind in self.family.effective_quant_plan(mode).items():
                 node = pspecs

@@ -483,15 +483,16 @@ QUANT_PLAN = {
 
 
 def effective_quant_plan(mode: str | None) -> dict:
-    """QUANT_PLAN filtered by mode. Expert weights quantize only under int8:
-    int4's group-wise-k scales do NOT commute with the grouped matmul (they
-    would need in-kernel dequant), and fp8 converts are software-emulated on
-    v5e. Absent entries load as bf16."""
+    """QUANT_PLAN filtered by mode. Expert weights quantize under int8
+    (per-out-channel scales commute with the grouped matmul) and int4
+    (group-wise-k scales dequantized in-kernel by megablox_gmm.gmm_int4);
+    not under fp8 — its converts are software-emulated on v5e. Absent
+    entries load as bf16."""
     if mode is None:
         return {}
     return {
         p: k for p, k in QUANT_PLAN.items()
-        if not k.startswith("expert") or mode == "int8"
+        if not k.startswith("expert") or mode in ("int8", "int4")
     }
 
 
@@ -508,6 +509,16 @@ def quantize_params(spec: Qwen3Spec, params: dict, mode: str, tp: int = 1) -> di
         leaf = node.get(path[-1])
         if leaf is None:
             continue  # e.g. lm_head absent under tied embeddings
+        if mode == "int4" and kind.startswith("expert"):
+            # Expert stacks [L, E, in, out]: k-nibble-packed storage for the
+            # in-kernel dequant (ops/quant.quantize_expert_int4). Width-TP
+            # shards expert_down's contraction dim, so its group count must
+            # split over ranks (EP shards the expert dim instead; tp=1 there
+            # keeps the kernel-native group 128).
+            shard_k = tp if kind == "expert_row" else 1
+            group = quant.expert_int4_group(leaf.shape[2], shard_k)
+            node[path[-1]] = quant.quantize_expert_int4(leaf, group)
+            continue
         group = None
         if mode == "int4" and kind == "row":
             in_dim = leaf.shape[1]
@@ -658,14 +669,32 @@ def _device_quant_leaf(shape: tuple, mode: str, key, *, kind: str, tp: int,
     out] (axis=1); expert stacks are [L, E, in, out] (axis=2, int8-only —
     see effective_quant_plan)."""
     if kind.startswith("expert"):
-        assert mode == "int8", "expert weights quantize under int8 only"
+        assert mode in ("int8", "int4"), (
+            "expert weights quantize under int8/int4 only"
+        )
         in_dim = shape[2]
+        if mode == "int4":
+            # k-nibble-packed int8 storage (quant.pack_int4_k): every byte
+            # decodes to two nibbles in [-8, 7], so random bytes are valid.
+            # The group count must split over ranks only when the contraction
+            # dim actually shards (width-TP expert_down; not EP).
+            shard_k = 1
+            if kind == "expert_row":
+                spec = getattr(getattr(sharding, "q", None), "spec", None)
+                shard_k = 1 if spec is not None and spec[2] is None else tp
+            g = quant.expert_int4_group(in_dim, shard_k)
+            qshape = shape[:2] + (in_dim // 2,) + shape[3:]
+            sshape = shape[:2] + (in_dim // g,) + shape[3:]
+            qmax = 7.0
+        else:
+            qshape = shape
+            sshape = shape[:2] + shape[3:]
+            qmax = 127.0
         q = jax.jit(
-            lambda: jax.random.randint(key, shape, -127, 128, jnp.int8),
+            lambda: jax.random.randint(key, qshape, -127, 128, jnp.int8),
             **({"out_shardings": sharding.q} if sharding is not None else {}),
         )()
-        sshape = shape[:2] + shape[3:]
-        sfn = lambda: jnp.full(sshape, in_dim ** -0.5 / 127.0, jnp.float32)
+        sfn = lambda: jnp.full(sshape, in_dim ** -0.5 / qmax, jnp.float32)
         scale = jax.jit(
             sfn,
             **({"out_shardings": sharding.scale}

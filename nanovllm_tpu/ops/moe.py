@@ -64,17 +64,43 @@ def grouped_matmul(lhs, rhs, group_sizes, *, interpret: bool = False):
 
 
 def grouped_matmul_quant(lhs, q, scale, group_sizes, *, interpret: bool = False):
-    """Weight-only-int8 grouped matmul: [m, k] x int8 [E, k, n] with
-    per-(expert, out-channel) f32 scales [E, n] -> f32 [m, n].
+    """Weight-only-quantized grouped matmul -> f32 [m, n].
 
+    int8 experts: q [E, k, n] with per-(expert, out-channel) scales [E, n].
     The scales commute with the matmul (each output row belongs to exactly
     one expert), so the vendored int8-rhs megablox kernel
     (ops/pallas/megablox_gmm) runs the raw int8 dot at the bf16 MXU rate and
-    the dequantization is a row-gathered multiply on the f32 output. The
-    portable fallback dequantizes the whole rhs (tests/CPU; costs the bf16
-    bytes the quantization saved)."""
+    the dequantization is a row-gathered multiply on the f32 output.
+
+    int4 experts (detected by the group dim: scale [E, k/g, n] with
+    k-nibble-packed q [E, k//2, n], see quant.pack_int4_k): group-wise-k
+    scales do NOT commute with the grouped matmul, so the gmm_int4 kernel
+    dequantizes per k-tile in VMEM (group == kernel k-tile == 128 original
+    rows). Off-size shapes fall back to an XLA dequant + ragged_dot.
+
+    The portable fallback dequantizes the whole rhs (tests/CPU; costs the
+    bf16 bytes the quantization saved)."""
     e = q.shape[0]
     m = lhs.shape[0]
+    if scale.ndim == q.ndim:  # int4: group dim present
+        from nanovllm_tpu.ops import quant
+
+        group = 2 * q.shape[-2] // scale.shape[-2]
+        if (_use_megablox() or interpret) and group == 128:
+            mm, k = lhs.shape
+            n = q.shape[-1]
+            tm, tn = _tile(mm), _tile(n)
+            if tm and tn and k % 128 == 0:
+                from nanovllm_tpu.ops.pallas.megablox_gmm import gmm_int4
+
+                return gmm_int4(
+                    lhs, q, scale, group_sizes, tiling=(tm, tn),
+                    preferred_element_type=jnp.float32, interpret=interpret,
+                )
+        deq = quant.dequant_int4_k(q, scale, lhs.dtype)
+        return lax.ragged_dot(
+            lhs, deq, group_sizes, preferred_element_type=jnp.float32
+        )
     if _use_megablox() or interpret:
         mm, k = lhs.shape
         n = q.shape[-1]

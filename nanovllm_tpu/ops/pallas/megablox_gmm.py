@@ -583,6 +583,154 @@ def gmm(
 
 @functools.partial(
     jax.jit,
+    static_argnames=["preferred_element_type", "tiling", "interpret"],
+)
+def gmm_int4(
+    lhs: jnp.ndarray,
+    rhs_packed: jnp.ndarray,
+    scales: jnp.ndarray,
+    group_sizes: jnp.ndarray,
+    preferred_element_type: jnp.dtype = jnp.float32,
+    tiling: tuple[int, int] = (128, 128),
+    group_offset: jnp.ndarray | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+  """Grouped matmul with int4 k-nibble-packed rhs and group-wise k scales.
+
+  Our extension to the vendored kernel (no upstream analogue): expert
+  weights quantized to int4 need scales that vary along the contraction
+  dim, which do NOT commute with the grouped matmul the way the int8
+  per-out-channel scales do. The quant group is pinned to one kernel
+  k-tile (ops/quant.INT4_EXPERT_GROUP == 2 * the packed tile's 64 rows),
+  so each k-step's scale is constant over its tile and commutes locally:
+  ``acc += (lhs_tile @ unpack(rhs_tile)) * scale_row``. The packing
+  (quant.pack_int4_k) stores each 128-row block's first 64 rows in low
+  nibbles and last 64 in high nibbles, so the in-VMEM unpack is two f32
+  shifts plus a sublane concat — no nibble interleave relayout.
+
+  Args:
+    lhs: [m, k] activations.
+    rhs_packed: int8 [num_groups, k // 2, n] (quant.pack_int4_k layout).
+    scales: f32 [num_groups, k // 128, n] per-(group, k-block, out) scales.
+    group_sizes: i32 [num_groups] expert-sorted row counts.
+    tiling: (tm, tn); the k tile is fixed at 128 original rows.
+
+  Returns [m, n] in ``preferred_element_type``. Rows not covered by
+  ``group_sizes`` are UNINITIALIZED (as in ``gmm``)."""
+  if group_offset is None:
+    group_offset = jnp.array([0], dtype=jnp.int32)
+  else:
+    group_offset = group_offset[None] if not group_offset.shape else group_offset
+  assert rhs_packed.dtype == jnp.int8, rhs_packed.dtype
+  m, k = lhs.shape
+  num_groups, k_packed, n = rhs_packed.shape
+  assert group_sizes.shape == (num_groups,), (group_sizes.shape, num_groups)
+  assert k == 2 * k_packed, (lhs.shape, rhs_packed.shape)
+  tk_p = 64                     # packed k-tile rows; 128 original rows
+  assert k % (2 * tk_p) == 0, f"k={k} must be a multiple of {2 * tk_p}"
+  assert scales.shape == (num_groups, k // (2 * tk_p), n), scales.shape
+  tm, tn = tiling
+  tiles_k = k_packed // tk_p
+  tiles_n = _calculate_num_tiles(n, tn)
+  input_dtype = (
+      jnp.bfloat16 if lhs.dtype == jnp.bfloat16 else jnp.float32
+  )
+
+  group_metadata, num_active_tiles = make_group_metadata(
+      group_sizes=group_sizes,
+      m=m,
+      tm=tm,
+      start_group=group_offset[0],
+      num_nonzero_groups=num_groups,
+      visit_empty_groups=False,
+  )
+
+  def kernel(group_metadata, group_offset, lhs, rhs, scales, out, acc_scratch):
+    del group_offset
+    group_offsets, group_ids, m_tile_ids = group_metadata
+    del group_offsets, group_ids
+    grid_id = pl.program_id(1)
+    k_i = pl.program_id(2)
+    del m_tile_ids
+
+    @pl.when(k_i == 0)
+    def _zero_acc():
+      acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    # Unpack the [tk_p, tn] byte tile to its 2*tk_p original rows, in f32
+    # (narrow-int shifts force Mosaic relayouts; f32 arithmetic is exact for
+    # nibble math). hi = floor(b / 16) is the arithmetic shift for signed
+    # bytes; the low nibble re-signs via its top bit.
+    b = rhs[...].astype(jnp.float32)
+    hi = jnp.floor(b * (1.0 / 16.0))
+    lo_u = b - 16.0 * hi
+    lo = jnp.where(lo_u >= 8.0, lo_u - 16.0, lo_u)
+    w = jnp.concatenate([lo, hi], axis=0)          # [2*tk_p, tn], row order
+    partial_acc = lax.dot(
+        lhs[...].astype(input_dtype),
+        w.astype(input_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scratch[...] += partial_acc * scales[...]  # [1, tn] k-block scale
+
+    @pl.when(k_i == tiles_k - 1)
+    def _store():
+      mask = _get_store_mask(
+          grid_id=grid_id, group_metadata=group_metadata, tm=tm, tn=tn
+      )
+      out[...] = jax.lax.select(
+          mask[...], acc_scratch[...], out[...].astype(jnp.float32)
+      ).astype(preferred_element_type)
+
+  def lhs_idx(n_i, grid_id, k_i, group_metadata, group_offset):
+    del n_i, group_offset
+    return group_metadata[2][grid_id], k_i
+
+  def rhs_idx(n_i, grid_id, k_i, group_metadata, group_offset):
+    return group_metadata[1][grid_id] - group_offset[0], k_i, n_i
+
+  def out_idx(n_i, grid_id, k_i, group_metadata, group_offset):
+    del k_i, group_offset
+    return group_metadata[2][grid_id], n_i
+
+  lhs_bytes = lhs.size * lhs.itemsize
+  rhs_bytes = k_packed * n  # int8; one pass per active tile
+  out_bytes = m * n * jnp.dtype(preferred_element_type).itemsize
+  cost_estimate = pl.CostEstimate(
+      flops=2 * m * k * n,
+      bytes_accessed=(
+          lhs_bytes * tiles_n
+          + rhs_bytes * group_metadata[1].size
+          + out_bytes
+      ),
+      transcendentals=0,
+  )
+  call = pl.pallas_call(
+      kernel,
+      out_shape=jax.ShapeDtypeStruct((m, n), preferred_element_type),
+      grid_spec=pltpu.PrefetchScalarGridSpec(
+          num_scalar_prefetch=2,
+          in_specs=[
+              pl.BlockSpec((tm, 2 * tk_p), lhs_idx),
+              pl.BlockSpec((None, tk_p, tn), rhs_idx),
+              pl.BlockSpec((None, 1, tn), rhs_idx),
+          ],
+          out_specs=pl.BlockSpec((tm, tn), out_idx),
+          grid=(tiles_n, num_active_tiles, tiles_k),
+          scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+      ),
+      compiler_params=pltpu.CompilerParams(
+          dimension_semantics=("parallel", "arbitrary", "arbitrary")
+      ),
+      interpret=interpret,
+      cost_estimate=cost_estimate,
+  )
+  out = call(group_metadata, group_offset, lhs, rhs_packed, scales)
+  return out
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=[
         "preferred_element_type",
         "tiling",

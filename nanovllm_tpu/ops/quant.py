@@ -34,6 +34,10 @@ import numpy as np
 
 WEIGHT_QUANT_MODES = ("int8", "int4", "fp8")
 INT4_GROUP = 128
+# int4 EXPERT stacks use a k-nibble packing tied to the grouped-matmul
+# kernel's tile shape (ops/pallas/megablox_gmm.gmm_int4): quant group = one
+# kernel k-tile, so the group scale commutes to a post-dot multiply.
+INT4_EXPERT_GROUP = 128
 _FP8_MAX = 448.0  # float8_e4m3fn finfo.max
 
 
@@ -199,6 +203,93 @@ def packed_int4_format(shape: tuple, sharding):
         sub_byte_element_size_in_bits=4,
     )
     return Format(layout, sharding)
+
+
+# ------------------------------------------------- int4 expert k-packing
+#
+# Expert stacks quantize group-wise along the contraction (k) dim — the
+# scales do NOT commute with the grouped matmul like per-out-channel int8
+# scales do, so the grouped-matmul kernel dequantizes in-VMEM. The packing
+# is chosen for that kernel: within each ``group``-row block of k, byte row
+# j holds original row (base + j) in the LOW nibble and row
+# (base + group//2 + j) in the HIGH nibble. One packed k-tile
+# ([group//2, tn] bytes) then unpacks to the block's original rows IN ORDER
+# via two shifts and a sublane concat — no nibble interleave (a Mosaic
+# relayout) and no lhs permutation. Storage is int8 (uint8 has no Mosaic
+# f32 cast); any byte decodes to two values in [-8, 7].
+
+
+def pack_int4_k(q8, group: int = INT4_EXPERT_GROUP):
+    """Pack int4 values (int8 in [-8, 7], shape [..., k, n]) along k into
+    the knibble layout above -> int8 [..., k // 2, n]."""
+    *lead, k, n = q8.shape
+    t = group // 2
+    assert group % 2 == 0 and k % group == 0, (k, group)
+    b = jnp.asarray(q8, jnp.int32).reshape(*lead, k // group, 2, t, n)
+    v = (b[..., 0, :, :] & 0xF) | ((b[..., 1, :, :] & 0xF) << 4)
+    v = v - 256 * (v >= 128)  # wrap to signed without out-of-range casts
+    return v.astype(jnp.int8).reshape(*lead, k // 2, n)
+
+
+def unpack_int4_k(packed, group: int):
+    """Inverse of ``pack_int4_k``: int8 [..., k//2, n] -> int8 [..., k, n]
+    (portable jnp; the TPU kernel unpacks tiles in-VMEM instead)."""
+    *lead, kp, n = packed.shape
+    t = group // 2
+    assert kp % t == 0, (kp, group)
+    b = jnp.asarray(packed, jnp.int32).reshape(*lead, kp // t, t, n)
+    hi = b >> 4                       # arithmetic: sign-correct
+    lo_u = b & 0xF
+    lo = lo_u - 16 * (lo_u >= 8)
+    vals = jnp.stack([lo, hi], axis=-3)       # [..., k/group, 2, t, n]
+    return vals.astype(jnp.int8).reshape(*lead, 2 * kp, n)
+
+
+def dequant_int4_k(packed, scale, dtype):
+    """Dequantize a k-nibble-packed tensor ([..., k//2, n] int8 with
+    group scales [..., k/group, n]) to a dense [..., k, n] array."""
+    group = 2 * packed.shape[-2] // scale.shape[-2]
+    vals = unpack_int4_k(packed, group)
+    *lead, k, n = vals.shape
+    v = vals.astype(dtype).reshape(*lead, k // group, group, n)
+    return (v * scale.astype(dtype)[..., :, None, :]).reshape(*lead, k, n)
+
+
+def expert_int4_group(in_dim: int, shard_k: int = 1,
+                      base: int = INT4_EXPERT_GROUP) -> int:
+    """Quant group for an expert stack's contraction dim: divides ``in_dim``
+    and (when the contraction dim is sharded over ``shard_k`` ranks) splits
+    its group count evenly so every rank holds whole groups. Groups below
+    the kernel tile (128) fall back to the XLA dequant path in ops/moe."""
+    g = base
+    while g > 1 and (in_dim % g or (in_dim // g) % shard_k):
+        g //= 2
+    assert g >= 2 and in_dim % g == 0, (in_dim, shard_k)
+    return g
+
+
+def quantize_expert_int4(w: np.ndarray | jax.Array,
+                         group: int | None = None) -> QuantWeight:
+    """Group-wise int4 quantization of an expert stack [..., k, n] into the
+    k-nibble-packed storage (q int8 [..., k//2, n], scale [..., k/g, n])."""
+    w = np.asarray(w)
+    g = group or expert_int4_group(w.shape[-2])
+    axis = w.ndim - 2
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        def fn(w):
+            wf = w.astype(jnp.float32)
+            shape = wf.shape[:axis] + (wf.shape[axis] // g, g) + wf.shape[axis + 1:]
+            wg = wf.reshape(shape)
+            amax = jnp.max(jnp.abs(wg), axis=axis + 1, keepdims=True)
+            scale = jnp.maximum(amax, 1e-8) / 7.0
+            q8 = jnp.clip(jnp.round(wg / scale), -8, 7).reshape(wf.shape)
+            return pack_int4_k(q8.astype(jnp.int8), g), jnp.squeeze(
+                scale, axis + 1
+            )
+
+        q, scale = jax.jit(fn)(w)
+    return QuantWeight(q=np.asarray(q), scale=np.asarray(scale), mode="int4")
 
 
 # ---------------------------------------------------------------- matmul

@@ -436,7 +436,9 @@ def stream_params_to_device(
         slice on-device; offline checkpoints keep experts in checkpoint
         dtype, so this same path serves them too."""
         qmode = quant_mode if path in quant_plan else None
-        assert qmode in (None, "int8"), "expert weights quantize under int8 only"
+        assert qmode in (None, "int8", "int4"), (
+            "expert weights quantize under int8/int4 only"
+        )
         sh = lookup_sharding(path)
         rep = rep_sharding(sh)
         num_experts = rule[2]
@@ -487,22 +489,40 @@ def stream_params_to_device(
             assign(path, acc)
             return
 
+        if qmode == "int4":
+            # k-nibble-packed storage for the in-kernel-dequant gmm
+            # (quant.pack_int4_k). The group count splits over ranks only
+            # when the contraction dim actually shards (width-TP expert
+            # down; EP shards the expert dim instead).
+            shard_k = tp if getattr(sh.q, "spec", (None,) * 4)[2] else 1
+            eg = quant_ops.expert_int4_group(slice_shape[0], shard_k)
+            q_slice = (slice_shape[0] // 2, slice_shape[1])
+            s_slice = (slice_shape[0] // eg, slice_shape[1])
+        else:
+            eg = None
+            q_slice = slice_shape
+            s_slice = (slice_shape[1],)
         acc_q = jax.jit(
-            lambda: jnp.zeros((L, num_experts, *slice_shape), jnp.int8),
+            lambda: jnp.zeros((L, num_experts, *q_slice), jnp.int8),
             out_shardings=sh.q,
         )()
         acc_s = jax.jit(
-            lambda: jnp.zeros((L, num_experts, slice_shape[1]), jnp.float32),
+            lambda: jnp.zeros((L, num_experts, *s_slice), jnp.float32),
             out_shardings=sh.scale,
         )()
 
         def update_q(acc_q, acc_s, i, e, *mats):
-            q, s = quantize_slice(layer_transform(list(mats)), 0, qmode, None)
-            zeros = (jnp.int32(0),) * len(slice_shape)
+            q, s = quantize_slice(layer_transform(list(mats)), 0, qmode, eg)
+            if qmode == "int4":
+                q = quant_ops.pack_int4_k(q, eg)
+            zeros_q = (jnp.int32(0),) * len(q_slice)
+            zeros_s = (jnp.int32(0),) * len(s_slice)
             return (
-                jax.lax.dynamic_update_slice(acc_q, q[None, None], (i, e) + zeros),
                 jax.lax.dynamic_update_slice(
-                    acc_s, s[None, None], (i, e, jnp.int32(0))
+                    acc_q, q[None, None], (i, e) + zeros_q
+                ),
+                jax.lax.dynamic_update_slice(
+                    acc_s, s[None, None], (i, e) + zeros_s
                 ),
             )
 

@@ -136,3 +136,40 @@ def test_moe_int8_experts(tiny_moe_dir):
     bf16 = toks()
     agree = sum(a == b for a, b in zip(t1, bf16))
     assert agree >= 1, (t1, bf16)  # int8 drift may flip a borderline token
+
+
+def test_moe_int4_experts(tiny_moe_dir):
+    """int4 expert weights (k-nibble-packed storage, group-wise-k scales
+    dequantized inside the grouped matmul) serve end-to-end at TP=1,
+    width-sharded TP=2, and EP=2, staying close to the bf16 run. Cross-mesh
+    token equality is NOT asserted: int4 quant groups (dense row weights AND
+    expert stacks) legally shrink with the mesh on this fixture's off-size
+    dims, so the quantized model itself differs per mesh — the sharding
+    semantics are pinned exactly in test_moe_gmm with fixed quantization.
+    The tiny dims also exercise the XLA dequant fallback; the kernel itself
+    is covered by test_moe_gmm."""
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    rng = np.random.default_rng(9)
+    prompts = [rng.integers(2, 500, size=n).tolist() for n in (10, 26)]
+
+    def toks(**kw):
+        return [
+            o["token_ids"]
+            for o in LLM(tiny_moe_dir, **ENGINE_KW, **kw).generate(
+                prompts, sp, use_tqdm=False
+            )
+        ]
+
+    bf16 = toks()
+    for kw in (
+        dict(quantization="int4"),
+        dict(quantization="int4", tensor_parallel_size=2),
+        dict(quantization="int4", tensor_parallel_size=2,
+             enable_expert_parallel=True),
+    ):
+        t = toks(**kw)
+        assert all(len(x) == 8 for x in t)
+        # int4 drift may flip borderline tokens of this random tiny model,
+        # but at least one greedy completion should survive quantization.
+        agree = sum(a == b for a, b in zip(t, bf16))
+        assert agree >= 1, (kw, t, bf16)
