@@ -647,11 +647,8 @@ def gmm_int4(
 
   def kernel(group_metadata, group_offset, lhs, rhs, scales, out, acc_scratch):
     del group_offset
-    group_offsets, group_ids, m_tile_ids = group_metadata
-    del group_offsets, group_ids
     grid_id = pl.program_id(1)
     k_i = pl.program_id(2)
-    del m_tile_ids
 
     @pl.when(k_i == 0)
     def _zero_acc():
@@ -671,7 +668,11 @@ def gmm_int4(
         w.astype(input_dtype),
         preferred_element_type=jnp.float32,
     )
-    acc_scratch[...] += partial_acc * scales[...]  # [1, tn] k-block scale
+    # The scale block carries ALL k-block rows for this (group, n-tile) —
+    # a (1, tn) block would violate Mosaic's sublane-divisibility rule
+    # (block sublane dims must be %8 or the whole dim) — and the k-th row
+    # is selected in-VMEM.
+    acc_scratch[...] += partial_acc * scales[pl.ds(k_i, 1), :]
 
     @pl.when(k_i == tiles_k - 1)
     def _store():
@@ -688,6 +689,10 @@ def gmm_int4(
 
   def rhs_idx(n_i, grid_id, k_i, group_metadata, group_offset):
     return group_metadata[1][grid_id] - group_offset[0], k_i, n_i
+
+  def scales_idx(n_i, grid_id, k_i, group_metadata, group_offset):
+    del k_i
+    return group_metadata[1][grid_id] - group_offset[0], 0, n_i
 
   def out_idx(n_i, grid_id, k_i, group_metadata, group_offset):
     del k_i, group_offset
@@ -713,7 +718,7 @@ def gmm_int4(
           in_specs=[
               pl.BlockSpec((tm, 2 * tk_p), lhs_idx),
               pl.BlockSpec((None, tk_p, tn), rhs_idx),
-              pl.BlockSpec((None, 1, tn), rhs_idx),
+              pl.BlockSpec((None, tiles_k, tn), scales_idx),
           ],
           out_specs=pl.BlockSpec((tm, tn), out_idx),
           grid=(tiles_n, num_active_tiles, tiles_k),
