@@ -62,7 +62,8 @@ def main():
     runner = ModelRunner(config, random_weights=True)
     inputs = runner._dummy_inputs(8, 8, False)
     compiled = runner._step.lower(
-        runner.params, runner.kv, runner.token_state, runner.rope, inputs, False, False, False, False, False
+        runner.params, runner.kv, runner.token_state, runner.rope, inputs,
+        None, False, False, False, False, False, False,
     ).compile()
     hlo = compiled.as_text()
 

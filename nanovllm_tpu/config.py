@@ -73,6 +73,14 @@ class Config:
     decode_buckets: tuple = ()
     prefill_buckets: tuple = ()
     rng_seed: int = 0
+    # Repetition/presence/frequency penalties need per-sequence token counts
+    # that live ON DEVICE (the async pipeline means the host lags the sampled
+    # stream): this sizes the count slabs ([slots+1, vocab] int32 counts +
+    # int8 prompt-presence; ~5 MB per slot at a 152k vocab) and bounds how
+    # many penalized requests can be in flight at once. 0 (default) allocates
+    # nothing and keeps every compiled step program byte-identical to the
+    # penalty-free build; penalized requests then fail at add_request.
+    num_penalty_slots: int = 0
     # When set, generate() runs under jax.profiler.trace writing an xplane
     # trace here (view with tensorboard-plugin-profile / xprof).
     profile_dir: str | None = None

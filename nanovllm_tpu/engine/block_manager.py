@@ -95,6 +95,12 @@ class BlockManager:
     def _match_cached_blocks(self, seq: Sequence) -> tuple[int, list[int]]:
         """Walk the sequence's *full* blocks (all but the last block) down the
         hash chain; return (#cached blocks, their block ids)."""
+        if getattr(seq, "uses_penalties", False):
+            # Penalized sequences bypass prefix-cache REUSE: their prompt
+            # tokens must all be embedded so the prefill step can scatter them
+            # into the on-device penalty counters (cached blocks are never
+            # re-embedded). Their own full blocks still register for others.
+            return 0, []
         cached_ids = []
         prefix_hash = -1
         for i in range(seq.num_blocks - 1):

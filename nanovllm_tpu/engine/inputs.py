@@ -60,6 +60,66 @@ class StepInputs(NamedTuple):
     seeds: jax.Array          # i32[S]
 
 
+class PenaltyInputs(NamedTuple):
+    """Per-step metadata for the "penalized" step variant (presence /
+    frequency / repetition penalties; ops/penalties.py). Passed as a separate
+    jit argument (None for every other variant) so the plain step programs'
+    HLO — and the warm compilation cache — are untouched. The slab's last row
+    is the dead row: padding tokens, non-penalized sequences, and masked
+    scatters all land there."""
+    pslots: jax.Array       # i32[S+1] slab row per seq (dead for none/padding)
+    prompt_lens: jax.Array  # i32[S+1] per-seq prompt length (0 padding)
+    reset_slots: jax.Array  # i32[S] slab rows zeroed this step (first prefill
+                            # chunk of each penalized seq; dead otherwise)
+    presence: jax.Array     # f32[S] (0 = off)
+    frequency: jax.Array    # f32[S] (0 = off)
+    repetition: jax.Array   # f32[S] (1 = off)
+    append_inc: jax.Array   # i32[S] 1 when this step's sampled token joins
+                            # the sequence (0 for incomplete prefill chunks)
+
+
+def build_penalty_inputs(
+    seqs, *, num_seqs_bucket: int, num_slots: int, is_prefill: bool
+) -> PenaltyInputs:
+    """``num_slots`` counts slab rows INCLUDING the dead row (= config
+    num_penalty_slots + 1). ``seqs`` carry penalty fields from SamplingParams
+    plus the scheduler-assigned ``penalty_slot``."""
+    dead = num_slots - 1
+    s = num_seqs_bucket
+    pslots = np.full(s + 1, dead, np.int32)
+    prompt_lens = np.zeros(s + 1, np.int32)
+    reset_slots = np.full(s, dead, np.int32)
+    presence = np.zeros(s, np.float32)
+    frequency = np.zeros(s, np.float32)
+    repetition = np.ones(s, np.float32)
+    append_inc = np.zeros(s, np.int32)
+    for i, seq in enumerate(seqs):
+        prompt_lens[i] = seq.num_prompt_tokens
+        if seq.penalty_slot < 0:
+            continue
+        pslots[i] = seq.penalty_slot
+        presence[i] = seq.presence_penalty
+        frequency[i] = seq.frequency_penalty
+        repetition[i] = seq.repetition_penalty
+        if is_prefill and seq.num_cached_tokens == 0:
+            reset_slots[i] = seq.penalty_slot  # first chunk: zero the row
+        # The sampled token counts only when it joins the sequence (decode
+        # always; prefill only when this chunk completes the prompt).
+        if not is_prefill or (
+            seq.num_cached_tokens + seq.num_scheduled_tokens == seq.num_tokens
+        ):
+            append_inc[i] = 1
+    return PenaltyInputs(
+        pslots=pslots,
+        prompt_lens=prompt_lens,
+        reset_slots=reset_slots,
+        presence=presence,
+        frequency=frequency,
+        repetition=repetition,
+        append_inc=append_inc,
+    )
+
+
 def build_step_inputs(
     reqs: list[dict],
     *,

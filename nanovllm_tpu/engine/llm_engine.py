@@ -101,6 +101,14 @@ class LLMEngine:
                 f"{LOGIT_BIAS_K}-entry device slab (min_tokens injects an "
                 "EOS-suppressing bias per EOS id)"
             )
+        if sampling_params.uses_penalties:
+            # Penalty counts live in fixed-size on-device slabs; the feature
+            # must be sized at engine construction (Config.num_penalty_slots).
+            assert self.config.num_penalty_slots > 0, (
+                "presence/frequency/repetition penalties require "
+                "num_penalty_slots > 0 at engine construction (the on-device "
+                "token-count slabs are statically sized)"
+            )
         seq = Sequence(prompt, sampling_params)
         self.scheduler.add(seq)
         return seq

@@ -29,10 +29,16 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from nanovllm_tpu.config import Config
-from nanovllm_tpu.engine.inputs import StepInputs, build_step_inputs
+from nanovllm_tpu.engine.inputs import (
+    PenaltyInputs,
+    StepInputs,
+    build_penalty_inputs,
+    build_step_inputs,
+)
 from nanovllm_tpu.engine.sequence import Sequence
 from nanovllm_tpu.models import get_model_family
 from nanovllm_tpu.ops import attention as attn_ops
+from nanovllm_tpu.ops import penalties as penalty_ops
 from nanovllm_tpu.ops import quant
 from nanovllm_tpu.ops.quant import QuantWeight
 from nanovllm_tpu.ops.pallas.ragged_attention import GRP
@@ -378,7 +384,7 @@ class ModelRunner:
             cfg.num_kvcache_blocks = saved
         compiled = self._step.lower(
             self.params, kv, self.token_state, self.rope, inputs,
-            True, False, False, False, False,
+            None, True, False, False, False, False, False,
         ).compile()
         ma = compiled.memory_analysis()
         summed = (
@@ -500,7 +506,7 @@ class ModelRunner:
         # rounded up to kernel-group multiples, possibly past max_num_seqs).
         ring_width = max(cfg.max_num_seqs, max(cfg.decode_buckets))
         rep = NamedSharding(self.mesh, P())
-        self.token_state = (
+        state = [
             self._device_zeros((self.num_slots,), jnp.int32, rep),
             self._device_zeros(
                 (self.ring_size, ring_width), jnp.int32, rep
@@ -508,7 +514,18 @@ class ModelRunner:
             self._device_zeros(
                 (self.ring_size, ring_width), jnp.float32, rep
             ),
-        )
+        ]
+        if cfg.num_penalty_slots > 0:
+            # Penalty-count slabs (presence/frequency/repetition penalties,
+            # ops/penalties.py): int32 output counts + int8 prompt presence,
+            # one row per penalty slot plus a dead row for padding/masked
+            # scatters. Only allocated when the feature is enabled, so the
+            # plain build's step programs (and compile cache) are unchanged.
+            rows = cfg.num_penalty_slots + 1
+            v = self.spec.vocab_size
+            state.append(self._device_zeros((rows, v), jnp.int32, rep))
+            state.append(self._device_zeros((rows, v), jnp.int8, rep))
+        self.token_state = tuple(state)
 
     def _init_rope(self):
         """Precompute the RoPE cos/sin tables once, replicated on device, and
@@ -618,10 +635,36 @@ class ModelRunner:
         axis = "tp" if tp > 1 else None
 
         def local_step(params, kv, tstate, rope, inputs: StepInputs,
-                       is_prefill: bool, filtered: bool, want_lp: bool,
-                       biased: bool, seeded: bool):
+                       pen: PenaltyInputs | None, is_prefill: bool,
+                       filtered: bool, want_lp: bool, biased: bool,
+                       seeded: bool, penalized: bool):
             """Per-device program (the whole program when tp == 1)."""
-            last_buf, ring, lp_ring = tstate
+            last_buf, ring, lp_ring = tstate[0], tstate[1], tstate[2]
+            pcounts = pmask = None
+            if penalized:
+                # Presence/frequency/repetition penalties (ops/penalties.py):
+                # maintain the on-device count slabs so the next chained step
+                # sees every token sampled so far without any host sync.
+                pcounts, pmask = tstate[3], tstate[4]
+                dead = pcounts.shape[0] - 1
+                pcounts = pcounts.at[pen.reset_slots].set(0)
+                pmask = pmask.at[pen.reset_slots].set(0)
+                if is_prefill:
+                    # Count this chunk's tokens: completions (re-prefill after
+                    # preemption re-embeds them) into the output counts,
+                    # prompt tokens into the prompt-presence mask. Penalized
+                    # prompts bypass the prefix cache, so every prompt token
+                    # passes through here exactly once.
+                    tok_slots = pen.pslots[inputs.seq_ids]
+                    is_out = (
+                        inputs.positions >= pen.prompt_lens[inputs.seq_ids]
+                    )
+                    valid = inputs.slot_mapping >= 0
+                    pcounts = pcounts.at[tok_slots, inputs.token_ids].add(
+                        (is_out & valid).astype(pcounts.dtype)
+                    )
+                    mslots = jnp.where((~is_out) & valid, tok_slots, dead)
+                    pmask = pmask.at[mslots, inputs.token_ids].set(1)
             if not is_prefill:
                 # Decode inputs come from the on-device last-token buffer —
                 # the host never needs the sampled values to keep stepping.
@@ -648,6 +691,15 @@ class ModelRunner:
                 # order (TPU: all_gather over ICI beats the reference's
                 # gather-to-rank-0, embed_head.py:62-66).
                 logits = jax.lax.all_gather(logits, axis, axis=1, tiled=True)
+            if penalized:
+                # vLLM order: penalties before logit_bias / temperature /
+                # filtering. Rows without penalties gather the dead slab row
+                # but their neutral (0, 0, 1) parameters make this identity.
+                prows = pen.pslots[: logits.shape[0]]
+                logits = penalty_ops.apply_penalties(
+                    logits.astype(jnp.float32), pcounts[prows], pmask[prows],
+                    pen.presence, pen.frequency, pen.repetition,
+                )
             if biased:
                 # Additive logit_bias (OpenAI semantics), applied before
                 # temperature / filtering / logprobs. One [S, K] scatter-add
@@ -672,6 +724,10 @@ class ModelRunner:
                 )
             else:
                 tokens = sample(logits, inputs.temperatures, key, seeds, pos)
+            if penalized:
+                # Count the sampled token BEFORE the next chained decode step
+                # reads the slab (append_inc masks incomplete-chunk samples).
+                pcounts = pcounts.at[prows, tokens].add(pen.append_inc)
             last_buf = last_buf.at[inputs.slot_ids].set(tokens)
             ring = jax.lax.dynamic_update_slice(
                 ring, tokens[None], (inputs.ring_pos[0], jnp.int32(0))
@@ -688,33 +744,45 @@ class ModelRunner:
                     lp_ring, (chosen - lse)[None],
                     (inputs.ring_pos[0], jnp.int32(0)),
                 )
-            return kv, (last_buf, ring, lp_ring)
+            out_state = (last_buf, ring, lp_ring)
+            if penalized:
+                out_state += (pcounts, pmask)
+            elif len(tstate) > 3:
+                out_state += tuple(tstate[3:])  # slabs ride the donation
+            return kv, out_state
 
         if tp == 1:
             step = local_step
         else:
             kv_spec = (self._kv_pspec(), self._kv_pspec())
-            tstate_spec = (P(), P(), P())
+            tstate_spec = tuple(P() for _ in self.token_state)
             inputs_spec = StepInputs(*([P()] * len(StepInputs._fields)))
+            pen_spec = PenaltyInputs(*([P()] * len(PenaltyInputs._fields)))
 
-            def step(params, kv, tstate, rope, inputs, is_prefill, filtered,
-                     want_lp, biased, seeded):
+            def step(params, kv, tstate, rope, inputs, pen, is_prefill,
+                     filtered, want_lp, biased, seeded, penalized):
+                def inner(p, k, t, r, i, *rest):
+                    return local_step(p, k, t, r, i,
+                                      rest[0] if rest else None, is_prefill,
+                                      filtered, want_lp, biased, seeded,
+                                      penalized)
+
+                extra = () if pen is None else (pen,)
                 return _shard_map(
-                    lambda p, k, t, r, i: local_step(p, k, t, r, i, is_prefill,
-                                                     filtered, want_lp, biased,
-                                                     seeded),
+                    inner,
                     mesh=self.mesh,
                     in_specs=(self._param_pspecs(), kv_spec, tstate_spec,
-                              (P(), P()), inputs_spec),
+                              (P(), P()), inputs_spec)
+                    + (() if pen is None else (pen_spec,)),
                     out_specs=(kv_spec, tstate_spec),
-                )(params, kv, tstate, rope, inputs)
+                )(params, kv, tstate, rope, inputs, *extra)
 
         # KV + token-state buffers are donated: the kernels update the cache
         # in place; one compiled program per (shape bucket, mode) — the TPU
         # analogue of the reference's CUDA-graph set (model_runner.py:222-257).
         self._step_fn = step  # raw (un-jitted) for AOT/lowering consumers
         self._step = jax.jit(
-            step, donate_argnums=(1, 2), static_argnums=(5, 6, 7, 8, 9)
+            step, donate_argnums=(1, 2), static_argnums=(6, 7, 8, 9, 10, 11)
         )
         # AOT executables per (t_bucket, s_bucket, is_prefill); filled by
         # warmup(). Misses fall back to the jit path (compile on first hit).
@@ -769,10 +837,10 @@ class ModelRunner:
             t0 = perf_counter()
             inputs = self._dummy_inputs(t_bucket, s_bucket, is_prefill, p_bucket)
             key = (t_bucket, s_bucket, p_bucket, is_prefill,
-                   False, False, False, False)
+                   False, False, False, False, False)
             self._compiled[key] = self._step.lower(
                 self.params, self.kv, self.token_state, self.rope, inputs,
-                is_prefill, False, False, False, False,
+                None, is_prefill, False, False, False, False, False,
             ).compile()
             mode = "prefill" if is_prefill else "decode"
             if jax.process_index() == 0:
@@ -794,6 +862,11 @@ class ModelRunner:
         filtered = any(seq.uses_filtering for seq in seqs)
         want_lp = any(seq.logprobs for seq in seqs)
         seeded = any(seq.seed is not None for seq in seqs)
+        # Penalties: any sequence holding a penalty-slab row selects the
+        # penalized step variant (the scheduler assigns rows only to
+        # penalized requests; the engine rejects them when the feature is
+        # off, so this never trips on an unallocated slab).
+        penalized = any(seq.penalty_slot >= 0 for seq in seqs)
         # min_tokens (vLLM): while a completion is shorter than min_tokens,
         # suppress the model's EOS set by injecting -inf biases — rides the
         # existing logit_bias step variant, no dedicated machinery. The token
@@ -886,6 +959,14 @@ class ModelRunner:
                     self.decode_pair_buckets[s_bucket], npairs
                 )
         group_pairs = GRP if (not is_prefill and self.use_pallas) else None
+        pen = None
+        if penalized:
+            pen = build_penalty_inputs(
+                seqs,
+                num_seqs_bucket=s_bucket,
+                num_slots=cfg.num_penalty_slots + 1,
+                is_prefill=is_prefill,
+            )
         rng = self._host_rng.integers(0, 2**32, size=2, dtype=np.uint32)
         inputs = build_step_inputs(
             reqs,
@@ -906,23 +987,23 @@ class ModelRunner:
             # scheduler + shared rng seed); wrap them as globally-replicated
             # arrays so the global-mesh jit accepts them.
             rep = NamedSharding(self.mesh, P())
-            inputs = jax.tree.map(
+            inputs, pen = jax.tree.map(
                 lambda a: jax.make_array_from_callback(
                     np.shape(a), rep, lambda idx, a=a: np.asarray(a)[idx]
                 ),
-                inputs,
+                (inputs, pen),
             )
         key = (t_bucket, s_bucket, p_bucket, is_prefill, filtered, want_lp,
-               biased, seeded)
+               biased, seeded, penalized)
         compiled = self._compiled.get(key)
         if compiled is not None:
             self.kv, self.token_state = compiled(
-                self.params, self.kv, self.token_state, self.rope, inputs
+                self.params, self.kv, self.token_state, self.rope, inputs, pen
             )
         else:
             self.kv, self.token_state = self._step(
                 self.params, self.kv, self.token_state, self.rope, inputs,
-                is_prefill, filtered, want_lp, biased, seeded,
+                pen, is_prefill, filtered, want_lp, biased, seeded, penalized,
             )
 
     def fetch_ring(self) -> np.ndarray:

@@ -52,6 +52,12 @@ class Scheduler:
         # Device slots for on-device last-token feedback (async pipeline).
         # 2x max_num_seqs: running seqs plus chunk-in-progress waiters.
         self.free_slots: deque[int] = deque(range(2 * config.max_num_seqs))
+        # Rows of the on-device penalty-count slabs (presence/frequency/
+        # repetition penalties); sized by config.num_penalty_slots, bounding
+        # concurrent penalized requests. Empty when the feature is off.
+        self.free_penalty_slots: deque[int] = deque(
+            range(getattr(config, "num_penalty_slots", 0))
+        )
 
     def is_finished(self) -> bool:
         return not self.waiting and not self.running
@@ -97,6 +103,12 @@ class Scheduler:
                 # that can host more than 2*max_num_seqs concurrent prompts
                 # must not outrun the device slot buffer.
                 break
+            if (
+                seq.uses_penalties
+                and seq.penalty_slot < 0
+                and not self.free_penalty_slots
+            ):
+                break  # all penalty-count rows are in flight
             windowed = self.attention_window is not None
             if seq.block_table:
                 cached = seq.num_cached_tokens  # continuation chunk
@@ -139,6 +151,8 @@ class Scheduler:
                 self.block_manager.allocate(seq)
             if seq.device_slot < 0:
                 seq.device_slot = self.free_slots.popleft()
+            if seq.uses_penalties and seq.penalty_slot < 0:
+                seq.penalty_slot = self.free_penalty_slots.popleft()
             seq.num_scheduled_tokens = chunk
             num_batched_tokens += -(-chunk // align) * align
             scheduled.append(seq)
@@ -214,6 +228,12 @@ class Scheduler:
         if seq.device_slot >= 0:
             self.free_slots.append(seq.device_slot)
             seq.device_slot = -1
+        if seq.penalty_slot >= 0:
+            # The counts rebuild at the next (re-)prefill's first chunk: a
+            # re-embedded prompt+completion scatters every token again, and
+            # the slab row zeroes itself via PenaltyInputs.reset_slots.
+            self.free_penalty_slots.append(seq.penalty_slot)
+            seq.penalty_slot = -1
 
     def finish(self, seq: Sequence):
         seq.status = SequenceStatus.FINISHED

@@ -68,6 +68,13 @@ class Sequence:
         self.logit_bias = sampling_params.logit_bias
         self.seed = sampling_params.seed
         self.priority = sampling_params.priority
+        self.presence_penalty = sampling_params.presence_penalty
+        self.frequency_penalty = sampling_params.frequency_penalty
+        self.repetition_penalty = sampling_params.repetition_penalty
+        self.uses_penalties = sampling_params.uses_penalties
+        # Row of the on-device penalty-count slabs (assigned by the scheduler
+        # while the sequence runs; -1 = none).
+        self.penalty_slot = -1
         # Chosen-token log-probabilities, parallel to completion tokens up to
         # the valued watermark (filled as ring drains apply values).
         self.logprob_values: list[float] = []

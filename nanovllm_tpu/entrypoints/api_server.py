@@ -18,7 +18,10 @@ Protocol (stdlib-only, no framework dependency):
   POST /generate            body: {"prompt": str | [int], "temperature"?,
                              "max_tokens"?, "ignore_eos"?, "top_k"?,
                              "top_p"?, "min_p"?, "min_tokens"?, "stop"?,
-                             "stop_token_ids"?, "logprobs"?, "stream"?}
+                             "stop_token_ids"?, "logprobs"?, "stream"?,
+                             "presence_penalty"?, "frequency_penalty"?,
+                             "repetition_penalty"? (need --config
+                             num_penalty_slots=N at server start)}
     stream=false (default): one JSON body
         {"text": ..., "token_ids": [...]}
     stream=true: ndjson — one line per event
@@ -336,6 +339,11 @@ def _make_handler(serving: ServingEngine):
                     seed=(None if req.get("seed") is None
                           else int(req["seed"])),
                     priority=int(req.get("priority", 0)),
+                    presence_penalty=float(req.get("presence_penalty", 0.0)),
+                    frequency_penalty=float(req.get("frequency_penalty", 0.0)),
+                    repetition_penalty=float(
+                        req.get("repetition_penalty", 1.0)
+                    ),
                 )
             except (KeyError, ValueError, TypeError, AssertionError,
                     json.JSONDecodeError) as e:
@@ -427,6 +435,11 @@ def _make_handler(serving: ServingEngine):
                     seed=(None if req.get("seed") is None
                           else int(req["seed"])),
                     priority=int(req.get("priority", 0)),
+                    presence_penalty=float(req.get("presence_penalty", 0.0)),
+                    frequency_penalty=float(req.get("frequency_penalty", 0.0)),
+                    repetition_penalty=float(
+                        req.get("repetition_penalty", 1.0)
+                    ),
                 )
                 n_choices = int(req.get("n", 1))
                 if not 1 <= n_choices <= 16:

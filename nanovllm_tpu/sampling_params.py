@@ -69,6 +69,16 @@ class SamplingParams:
     # from the waiting queue first (FCFS within a priority level). Does not
     # change preemption order.
     priority: int = 0
+    # Repetition penalties (vLLM/OpenAI semantics; see ops/penalties.py).
+    # Token counts are maintained ON DEVICE (the async pipeline means the
+    # host lags the sampled stream), in per-sequence rows of a slab sized by
+    # ``Config.num_penalty_slots`` — penalized requests require that config
+    # to be > 0. presence/frequency consider output tokens; repetition also
+    # considers the prompt. Penalized prompts bypass the prefix cache (their
+    # tokens must be re-embedded so the device counters see them).
+    presence_penalty: float = 0.0    # [-2, 2]; subtract once per seen token
+    frequency_penalty: float = 0.0   # [-2, 2]; subtract per occurrence
+    repetition_penalty: float = 1.0  # > 0; divide positive / multiply negative
 
     def __post_init__(self):
         assert self.temperature >= 0.0, "temperature must be non-negative"
@@ -102,8 +112,25 @@ class SamplingParams:
         assert self.seed is None or 0 <= self.seed < 2**31, (
             "seed must be in [0, 2**31)"
         )
+        assert -2.0 <= self.presence_penalty <= 2.0, (
+            "presence_penalty must be in [-2, 2]"
+        )
+        assert -2.0 <= self.frequency_penalty <= 2.0, (
+            "frequency_penalty must be in [-2, 2]"
+        )
+        assert self.repetition_penalty > 0.0, (
+            "repetition_penalty must be positive (1.0 disables)"
+        )
 
 
     @property
     def uses_filtering(self) -> bool:
         return self.top_k > 0 or self.top_p < 1.0 or self.min_p > 0.0
+
+    @property
+    def uses_penalties(self) -> bool:
+        return (
+            self.presence_penalty != 0.0
+            or self.frequency_penalty != 0.0
+            or self.repetition_penalty != 1.0
+        )
