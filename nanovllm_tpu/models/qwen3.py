@@ -83,6 +83,13 @@ class Qwen3Spec(NamedTuple):
     # (HF linear rope scaling).
     rope_local_theta: float | None = None
     rope_scaling_factor: float = 1.0
+    # Scaled-rope checkpoints (Llama-3.1+ "llama3", YaRN Qwen long-context,
+    # "linear"): the per-dim inverse frequencies as computed by HF's own
+    # ROPE_INIT_FUNCTIONS (a tuple of head_dim//2 floats — already includes
+    # any factor, so positions are NOT divided again), plus YaRN's cos/sin
+    # attention-scaling multiplier. () = unscaled (compute from rope_theta).
+    rope_inv_freq: tuple = ()
+    rope_attention_scaling: float = 1.0
 
 
 def spec_from_hf(hf_config) -> Qwen3Spec:
@@ -108,7 +115,33 @@ def spec_from_hf(hf_config) -> Qwen3Spec:
         assert getattr(hf_config, "decoder_sparse_step", 1) == 1 and not getattr(
             hf_config, "mlp_only_layers", []
         ), "mixed dense/sparse MoE layers are not supported"
+    # Scaled rope (Llama-3.1+ sets rope_scaling type "llama3"; long-context
+    # Qwen releases use "yarn"): delegate the inverse-frequency math to HF's
+    # own init functions so every supported checkpoint matches HF exactly.
+    # "dynamic" (NTK-by-current-length) and "longrope" (short/long factor
+    # switching) depend on runtime sequence length — reject rather than
+    # silently serve a mis-scaled rope.
+    scaling = getattr(hf_config, "rope_scaling", None) or {}
+    rope_inv_freq: tuple = ()
+    rope_att = 1.0
+    if scaling:
+        rope_type = (
+            scaling.get("rope_type") or scaling.get("type") or "default"
+        )
+        assert rope_type in ("default", "linear", "llama3", "yarn"), (
+            f"unsupported rope_scaling type {rope_type!r} (supported: "
+            "default, linear, llama3, yarn)"
+        )
+        from transformers.modeling_rope_utils import ROPE_INIT_FUNCTIONS
+
+        inv_freq, rope_att = ROPE_INIT_FUNCTIONS[rope_type](
+            hf_config, device=None
+        )
+        rope_inv_freq = tuple(float(x) for x in inv_freq)
+        rope_att = float(rope_att)
     return Qwen3Spec(
+        rope_inv_freq=rope_inv_freq,
+        rope_attention_scaling=rope_att,
         vocab_size=hf_config.vocab_size,
         hidden_size=hf_config.hidden_size,
         intermediate_size=hf_config.intermediate_size,
@@ -208,14 +241,27 @@ def rope_tables(spec: Qwen3Spec):
     Dual-rope specs (Gemma3) return stacked [2, max_position, half] tables:
     index 0 = global rope (rope_theta, linearly position-scaled), index 1 =
     local rope (rope_local_theta); layers select by spec.layer_windows."""
-    def one(theta, factor):
+    def one(theta, factor, inv_freq=None):
         half = spec.head_dim // 2
-        inv_freq = 1.0 / (
-            theta ** (jnp.arange(0, half, dtype=jnp.float32) / half)
-        )
+        if inv_freq is None:
+            inv_freq = 1.0 / (
+                theta ** (jnp.arange(0, half, dtype=jnp.float32) / half)
+            )
         t = jnp.arange(spec.max_position, dtype=jnp.float32) / factor
         freqs = jnp.outer(t, inv_freq)
         return jnp.cos(freqs), jnp.sin(freqs)
+
+    if spec.rope_inv_freq:
+        # Scaled rope (llama3 / yarn / linear): HF-computed inverse
+        # frequencies already fold the factor in (positions undivided); YaRN
+        # additionally scales cos/sin by a constant attention factor.
+        inv = jnp.asarray(spec.rope_inv_freq, jnp.float32)
+        cos_g, sin_g = one(None, 1.0, inv)
+        a = spec.rope_attention_scaling
+        if a != 1.0:
+            cos_g, sin_g = cos_g * a, sin_g * a
+        assert spec.rope_local_theta is None
+        return cos_g, sin_g
 
     cos_g, sin_g = one(spec.rope_theta, spec.rope_scaling_factor)
     if spec.rope_local_theta is None:

@@ -20,7 +20,7 @@ ENGINE_KW = dict(
 )
 
 
-def _save_tiny(tmp_path_factory, family):
+def _save_tiny(tmp_path_factory, family, **extra_cfg):
     import torch
 
     if family == "llama":
@@ -31,6 +31,7 @@ def _save_tiny(tmp_path_factory, family):
         from transformers import Qwen2Config as Cfg
         from transformers import Qwen2ForCausalLM as Model
         extra = {}
+    extra.update(extra_cfg)
     cfg = Cfg(
         vocab_size=512,
         hidden_size=64,
@@ -88,6 +89,70 @@ def test_family_greedy_matches_hf(tmp_path_factory, family):
     llm.exit()
     for prompt, out in zip(prompts, outs):
         assert out["token_ids"] == _hf_greedy(hf_model, prompt, n_new), family
+
+
+@pytest.mark.parametrize(
+    "family,rope_scaling",
+    [
+        # Llama-3.1+ checkpoints ship rope_type "llama3" (frequency remap —
+        # it changes logits at EVERY position, not just long contexts).
+        (
+            "llama",
+            {"rope_type": "llama3", "factor": 8.0, "low_freq_factor": 1.0,
+             "high_freq_factor": 4.0,
+             "original_max_position_embeddings": 64},
+        ),
+        # Long-context Qwen releases use YaRN (scaled inv_freq + a constant
+        # cos/sin attention factor).
+        (
+            "qwen2",
+            {"rope_type": "yarn", "factor": 4.0,
+             "original_max_position_embeddings": 64},
+        ),
+        ("llama", {"rope_type": "linear", "factor": 2.0}),
+    ],
+)
+def test_scaled_rope_matches_hf(tmp_path_factory, family, rope_scaling):
+    """rope_scaling checkpoints must reproduce HF exactly — the spec carries
+    HF's own computed inverse frequencies (models/qwen3.spec_from_hf), so a
+    silent mis-scale would show up as greedy divergence here."""
+    path, hf_model = _save_tiny(
+        tmp_path_factory, family, rope_scaling=dict(rope_scaling)
+    )
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(2, 500, size=n).tolist() for n in (6, 27)]
+    n_new = 10
+    llm = LLM(path, **ENGINE_KW)
+    outs = llm.generate(
+        prompts,
+        SamplingParams(temperature=0.0, max_tokens=n_new, ignore_eos=True),
+        use_tqdm=False,
+    )
+    llm.exit()
+    for prompt, out in zip(prompts, outs):
+        assert out["token_ids"] == _hf_greedy(hf_model, prompt, n_new), (
+            family, rope_scaling,
+        )
+    # The scaling must actually engage (differ from the unscaled model) —
+    # guards against HF silently ignoring the config on tiny fixtures.
+    import torch
+
+    from transformers import AutoConfig
+
+    from nanovllm_tpu.models import get_model_family
+
+    hf_cfg = AutoConfig.from_pretrained(path)
+    spec = get_model_family(hf_cfg).spec_from_hf(hf_cfg)
+    assert spec.rope_inv_freq, "spec did not pick up rope_scaling"
+
+
+def test_unsupported_rope_scaling_rejected(tmp_path_factory):
+    path, _ = _save_tiny(
+        tmp_path_factory, "llama",
+        rope_scaling={"rope_type": "dynamic", "factor": 2.0},
+    )
+    with pytest.raises(AssertionError, match="rope_scaling"):
+        LLM(path, **ENGINE_KW)
 
 
 def test_qwen2_72b_arch_spec(tmp_path_factory):
