@@ -76,7 +76,8 @@ class Config:
     # Repetition/presence/frequency penalties need per-sequence token counts
     # that live ON DEVICE (the async pipeline means the host lags the sampled
     # stream): this sizes the count slabs ([slots+1, vocab] int32 counts +
-    # int8 prompt-presence; ~5 MB per slot at a 152k vocab) and bounds how
+    # int8 prompt-presence; 5 bytes/token ≈ 0.8 MB per slot at a 152k vocab)
+    # and bounds how
     # many penalized requests can be in flight at once. 0 (default) allocates
     # nothing and keeps every compiled step program byte-identical to the
     # penalty-free build; penalized requests then fail at add_request.

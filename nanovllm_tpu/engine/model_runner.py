@@ -829,24 +829,47 @@ class ModelRunner:
         shapes = []
         for b in cfg.decode_buckets:
             for pb in (self.decode_pair_buckets[b] if self.use_pallas else (1,)):
-                shapes.append((b, b, pb, False))
+                shapes.append((b, b, pb, False, False))
         for t in self.prefill_token_buckets:
             for pb in (self.prefill_pair_buckets[t] if self.use_pallas else (1,)):
-                shapes.append((t, cfg.max_num_seqs, pb, True))
-        for t_bucket, s_bucket, p_bucket, is_prefill in shapes:
+                shapes.append((t, cfg.max_num_seqs, pb, True, False))
+        if cfg.num_penalty_slots > 0:
+            # A server built with penalty slots will run the penalized step
+            # variant for every penalized request; without warmup the first
+            # such request per bucket pays a 4-40 s tunnel compile at request
+            # time (ADVICE r3). Cover the decode ladder + largest prefill.
+            for b in cfg.decode_buckets:
+                for pb in (
+                    self.decode_pair_buckets[b] if self.use_pallas else (1,)
+                ):
+                    shapes.append((b, b, pb, False, True))
+            t = max(self.prefill_token_buckets)
+            for pb in (self.prefill_pair_buckets[t] if self.use_pallas else (1,)):
+                shapes.append((t, cfg.max_num_seqs, pb, True, True))
+        for t_bucket, s_bucket, p_bucket, is_prefill, penalized in shapes:
             t0 = perf_counter()
             inputs = self._dummy_inputs(t_bucket, s_bucket, is_prefill, p_bucket)
+            pen = None
+            if penalized:
+                pen = build_penalty_inputs(
+                    [],
+                    num_seqs_bucket=s_bucket,
+                    num_slots=cfg.num_penalty_slots + 1,
+                    is_prefill=is_prefill,
+                )
             key = (t_bucket, s_bucket, p_bucket, is_prefill,
-                   False, False, False, False, False)
+                   False, False, False, False, penalized)
             self._compiled[key] = self._step.lower(
                 self.params, self.kv, self.token_state, self.rope, inputs,
-                None, is_prefill, False, False, False, False, False,
+                pen, is_prefill, False, False, False, False, penalized,
             ).compile()
             mode = "prefill" if is_prefill else "decode"
             if jax.process_index() == 0:
                 print(
                     f"[warmup] {mode} bucket t={t_bucket} s={s_bucket} "
-                    f"pairs={p_bucket}: {perf_counter() - t0:.1f}s"
+                    f"pairs={p_bucket}"
+                    + (" penalized" if penalized else "")
+                    + f": {perf_counter() - t0:.1f}s"
                 )
 
     # ----------------------------------------------------------------- run

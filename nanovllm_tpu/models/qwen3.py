@@ -139,6 +139,14 @@ def spec_from_hf(hf_config) -> Qwen3Spec:
         )
         rope_inv_freq = tuple(float(x) for x in inv_freq)
         rope_att = float(rope_att)
+        # Partial-rotary checkpoints (partial_rotary_factor < 1) return fewer
+        # than head_dim//2 frequencies; apply_rope assumes full-width tables,
+        # so reject loudly rather than misalign.
+        assert len(rope_inv_freq) == head_dim // 2, (
+            f"rope_scaling produced {len(rope_inv_freq)} inverse frequencies "
+            f"for head_dim {head_dim} (expected {head_dim // 2}); partial "
+            "rotary embeddings are not supported"
+        )
     return Qwen3Spec(
         rope_inv_freq=rope_inv_freq,
         rope_attention_scaling=rope_att,

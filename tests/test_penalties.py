@@ -227,3 +227,33 @@ def test_param_validation():
         SamplingParams(repetition_penalty=0.0)
     assert not SamplingParams().uses_penalties
     assert SamplingParams(repetition_penalty=1.2).uses_penalties
+
+
+def test_warmup_precompiles_penalized_variants(tiny_qwen3_dir):
+    """With num_penalty_slots > 0, warmup AOT-compiles the penalized step
+    variant too (ADVICE r3: a server otherwise pays a multi-second tunnel
+    compile on the first penalized request per bucket)."""
+    llm = LLM(
+        tiny_qwen3_dir,
+        **{**ENGINE_KW, "enforce_eager": False, "aot_warmup": True},
+    )
+    try:
+        runner = llm.model_runner
+        keys = set(runner._compiled)
+        pen_decode = [k for k in keys if k[8] and not k[3]]
+        pen_prefill = [k for k in keys if k[8] and k[3]]
+        assert len(pen_decode) == len(runner.config.decode_buckets)
+        assert pen_prefill and all(
+            k[0] == max(runner.prefill_token_buckets) for k in pen_prefill
+        )
+        # The precompiled executable actually serves a penalized request.
+        out = llm.generate(
+            [[2, 3, 4]],
+            SamplingParams(
+                temperature=0.0, max_tokens=4, presence_penalty=0.5
+            ),
+            use_tqdm=False,
+        )
+        assert len(out[0]["token_ids"]) == 4
+    finally:
+        llm.exit()
