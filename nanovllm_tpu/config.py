@@ -82,6 +82,19 @@ class Config:
     # nothing and keeps every compiled step program byte-identical to the
     # penalty-free build; penalized requests then fail at add_request.
     num_penalty_slots: int = 0
+    # Speculative decoding (vLLM's ngram / prompt-lookup method; no reference
+    # analogue — nano-vllm has none): draft spec_k tokens per decode step from
+    # each sequence's own history and verify them in one fused K+1-row pass.
+    # Greedy rows (temperature == 0) accept matching drafts exactly (output
+    # token streams are bit-identical to spec_k=0); other rows emit one token
+    # per step as usual. 0 (default) allocates nothing and keeps every
+    # compiled step program byte-identical to the non-spec build. Enabling it
+    # costs an i32[2*max_num_seqs+1, max_model_len] on-device history slab
+    # (~4*max_model_len bytes per slot) and widens the token ring by spec_k+1
+    # lanes. Requires a non-sliding-window model; batches using filtered /
+    # seeded / biased / penalized sampling or logprobs fall back to the
+    # normal decode step for that step (still exact, just unaccelerated).
+    spec_k: int = 0
     # When set, generate() runs under jax.profiler.trace writing an xplane
     # trace here (view with tensorboard-plugin-profile / xprof).
     profile_dir: str | None = None
@@ -106,6 +119,10 @@ class Config:
             "KV rows page-by-page)"
         )
         assert self.quantization in (None, "int8", "int4", "fp8"), self.quantization
+        # The spec verify pass runs as extra query rows per sequence through
+        # the decode kernel; its multi-row write-back patches a 2*wb_tile
+        # staging window, which covers runs of up to wb_tile (8) rows.
+        assert 0 <= self.spec_k <= 7, "spec_k must be in [0, 7]"
         if self.kv_cache_dtype == "auto":
             self.kv_cache_dtype = self.dtype
         # int8 KV stores values in 1 byte with an f32 scale per (token, head)

@@ -251,6 +251,18 @@ class BlockManager:
             self._allocate_block(block_id)
             seq.block_table.append(block_id)
 
+    def can_extend_to(self, seq: Sequence, num_blocks: int) -> bool:
+        """Speculative decoding reserves blocks for up to K+1 appends per
+        step (positions are device-resident; the host covers the pessimistic
+        frontier)."""
+        return len(self.free_block_ids) >= num_blocks - len(seq.block_table)
+
+    def extend_to(self, seq: Sequence, num_blocks: int):
+        for _ in range(num_blocks - len(seq.block_table)):
+            block_id = self.free_block_ids[0]
+            self._allocate_block(block_id)
+            seq.block_table.append(block_id)
+
     # -------------------------------------------------- prefix registration
 
     def hash_new_full_blocks(self, seq: Sequence):

@@ -58,6 +58,10 @@ class StepInputs(NamedTuple):
     # Per-seq sampling seeds (used only by the "seeded" step variant);
     # -1 = unseeded row (keeps the per-step noise stream).
     seeds: jax.Array          # i32[S]
+    # Speculative verify steps only (set on-device by the spec step variant;
+    # None everywhere else, adding nothing to other programs): number of new
+    # KV rows the kernel appends per sequence (1..q_len; 0 for padding).
+    append_lens: jax.Array | None = None
 
 
 class PenaltyInputs(NamedTuple):
@@ -76,6 +80,43 @@ class PenaltyInputs(NamedTuple):
     repetition: jax.Array   # f32[S] (1 = off)
     append_inc: jax.Array   # i32[S] 1 when this step's sampled token joins
                             # the sequence (0 for incomplete prefill chunks)
+
+
+class SpecInputs(NamedTuple):
+    """Per-step metadata for speculative-decoding builds (Config.spec_k > 0).
+    Passed as a separate jit argument (None when the feature is off) so the
+    non-spec step programs' HLO is untouched. In spec builds EVERY step
+    variant receives it: decode steps read per-sequence length caps and the
+    device-resident true lengths drive positions/appends; prefill steps use
+    it to (re)initialize the device length/history state for their rows."""
+    limits: jax.Array       # i32[S] total-length cap per row:
+                            # min(prompt + max_tokens, max_model_len)
+    set_lens: jax.Array     # i32[S] prefill: value seq_lens[slot] is SET to
+                            # (kv_len + 1 when the chunk completes the prompt,
+                            # else kv_len); ignored by decode steps
+    append_inc: jax.Array   # i32[S] prefill: 1 when this step's sampled token
+                            # joins the sequence (chunk completes the prompt)
+
+
+def build_spec_inputs(
+    seqs, *, num_seqs_bucket: int, max_model_len: int, is_prefill: bool
+) -> SpecInputs:
+    s = num_seqs_bucket
+    limits = np.zeros(s, np.int32)
+    set_lens = np.zeros(s, np.int32)
+    append_inc = np.zeros(s, np.int32)
+    for i, seq in enumerate(seqs):
+        limits[i] = min(
+            seq.num_prompt_tokens + seq.max_tokens, max_model_len
+        )
+        if is_prefill:
+            kv_len = seq.num_cached_tokens + seq.num_scheduled_tokens
+            complete = int(kv_len == seq.num_tokens)
+            set_lens[i] = kv_len + complete
+            append_inc[i] = complete
+    return SpecInputs(
+        limits=limits, set_lens=set_lens, append_inc=append_inc
+    )
 
 
 def build_penalty_inputs(
@@ -134,6 +175,7 @@ def build_step_inputs(
     num_pairs_bucket: int | None = None,
     group_pairs: int | None = None,
     window: int | None = None,
+    clamp_positions: bool = False,
     _slow: bool = False,
 ) -> StepInputs:
     """Build a padded StepInputs batch on host.
@@ -271,6 +313,12 @@ def build_step_inputs(
         token_ids[offset: offset + n] = chunk
         pos = np.arange(start, start + n, dtype=np.int32)
         positions[offset: offset + n] = pos
+        if clamp_positions:
+            # Speculative verify chunks near a sequence's length cap: the
+            # pessimistic host chunk can run past the reserved block table
+            # (the device recomputes positions/slots from true lengths and
+            # never appends past the cap — host values are placeholders).
+            pos = np.minimum(pos, len(table) * block_size - 1)
         slot_mapping[offset: offset + n] = table[pos // block_size] * block_size + (
             pos % block_size
         )

@@ -136,7 +136,7 @@ class LLMEngine:
         # logprobs — plain serving never pays the extra fetch.
         lp_ring = (
             self.model_runner.fetch_logprob_ring()
-            if any(s.logprobs for seqs, _ in self.pending for s in seqs)
+            if any(s.logprobs for seqs, _, _ in self.pending for s in seqs)
             else None
         )
         # The fetch blocked until every dispatched step executed: close the
@@ -148,20 +148,41 @@ class LLMEngine:
             "prefix_cached_prompt_tokens": bm.cached_prompt_tokens,
             "new_prompt_tokens": bm.new_prompt_tokens,
         }
+        spec_mode = self.config.spec_k > 0
+        ql = self.config.spec_k + 1
+        touched: dict[int, object] = {}
         outputs = []
-        for row, (seqs, appended) in enumerate(self.pending):
+        for row, (seqs, appended, was_prefill) in enumerate(self.pending):
             done_t = row_times[row] if row < len(row_times) else perf_counter()
-            values = ring[row, : len(seqs)].tolist()
             lps = (
                 lp_ring[row, : len(seqs)].tolist()
                 if lp_ring is not None else None
             )
-            self.scheduler.apply_values(seqs, appended, values, lps)
+            if spec_mode:
+                # Widened ring rows: [S, QL] emitted tokens + accepted count.
+                emitted = ring[row, : len(seqs), :ql]
+                counts = ring[row, : len(seqs), ql]
+                applied = self.scheduler.apply_spec_values(
+                    seqs, appended, emitted, counts, lps
+                )
+                if not was_prefill:
+                    # Dispatch metered one token per decode row; credit the
+                    # extra accepted drafts (or debit in-flight finishes).
+                    self.metrics.decode_tokens += applied - len(seqs)
+                for seq in seqs:
+                    touched[seq.seq_id] = seq
+            else:
+                values = ring[row, : len(seqs)].tolist()
+                self.scheduler.apply_values(seqs, appended, values, lps)
             self._check_stop_strings(seqs)
             for seq, was_appended in zip(seqs, appended):
                 if not was_appended:
                     continue
-                if seq.num_valued_tokens - seq.num_prompt_tokens == 1:
+                if (
+                    seq.num_valued_tokens > seq.num_prompt_tokens
+                    and not seq.ttft_recorded
+                ):
+                    seq.ttft_recorded = True
                     self.metrics.record_first_token(seq.arrival_time, done_t)
                 if (
                     seq.is_finished
@@ -179,6 +200,11 @@ class LLMEngine:
                          self.final_text(seq), lp_out)
                     )
         self.pending.clear()
+        if spec_mode:
+            # Every dispatched step has now executed and its values applied:
+            # restore the exact decode invariants (resident-KV watermark,
+            # prefix-cache hashing) the pessimistic bookkeeping relaxed.
+            self.scheduler.reconcile_spec(touched.values())
         return outputs
 
     def final_text(self, seq: Sequence) -> str:
@@ -230,6 +256,31 @@ class LLMEngine:
             if self.scheduler.is_finished():
                 return outputs, 0
         seqs, is_prefill = self.scheduler.schedule()
+        if not seqs:
+            # Spec mode only: every running sequence is parked at its
+            # pessimistic length cap — the in-flight accepted counts resolve
+            # them (drain cannot be empty here: a parked sequence by
+            # construction has placeholders pending).
+            outputs += self.drain()
+            return outputs, 0
+        spec_step = False
+        if self.config.spec_k > 0 and not is_prefill:
+            # The verify step supports plain sampling only; batches touching
+            # filtered/seeded/biased/penalized sampling or logprobs fall back
+            # to the (state-maintaining) normal decode variant this step.
+            spec_step = not any(
+                s.uses_filtering or s.logprobs or s.seed is not None
+                or s.penalty_slot >= 0 or s.logit_bias
+                or (
+                    s.min_tokens
+                    and s.num_valued_tokens - s.num_prompt_tokens
+                    < s.min_tokens
+                )
+                for s in seqs
+            )
+            if spec_step:
+                for s in seqs:
+                    s.num_scheduled_tokens = self.config.spec_k + 1
         if not is_prefill:
             # Sort the decode batch by kv length: the Pallas decode kernel
             # processes sequences in groups of 8 whose page loop runs to the
@@ -242,9 +293,11 @@ class LLMEngine:
         num_tokens = (
             sum(seq.num_scheduled_tokens for seq in seqs) if is_prefill else -len(seqs)
         )
-        self.model_runner.run(seqs, is_prefill, ring_pos=len(self.pending))
-        appended = self.scheduler.postprocess_lengths(seqs)
-        self.pending.append((seqs, appended))
+        self.model_runner.run(
+            seqs, is_prefill, ring_pos=len(self.pending), spec_step=spec_step
+        )
+        appended = self.scheduler.postprocess_lengths(seqs, is_prefill)
+        self.pending.append((seqs, appended, is_prefill))
         self.metrics.record_dispatch(num_tokens)
         return outputs, num_tokens
 

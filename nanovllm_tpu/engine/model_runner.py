@@ -31,8 +31,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from nanovllm_tpu.config import Config
 from nanovllm_tpu.engine.inputs import (
     PenaltyInputs,
+    SpecInputs,
     StepInputs,
     build_penalty_inputs,
+    build_spec_inputs,
     build_step_inputs,
 )
 from nanovllm_tpu.engine.sequence import Sequence
@@ -40,6 +42,7 @@ from nanovllm_tpu.models import get_model_family
 from nanovllm_tpu.ops import attention as attn_ops
 from nanovllm_tpu.ops import penalties as penalty_ops
 from nanovllm_tpu.ops import quant
+from nanovllm_tpu.ops import spec as spec_ops
 from nanovllm_tpu.ops.quant import QuantWeight
 from nanovllm_tpu.ops.pallas.ragged_attention import GRP
 from nanovllm_tpu.ops.sampling import sample, sample_topk_topp
@@ -145,6 +148,16 @@ class ModelRunner:
         # Expose the (all-layer) sliding window so the scheduler can roll KV
         # eviction forward (blocks below the window are released mid-flight).
         config.attention_window = getattr(self.spec, "sliding_window", None)
+        if config.spec_k > 0:
+            # Speculative decoding's worklists/appends assume full causal
+            # attention; window-rolled page skipping and rolling eviction
+            # would interact with pessimistic host lengths.
+            assert config.attention_window is None and not getattr(
+                self.spec, "layer_windows", None
+            ), "spec_k > 0 requires a non-sliding-window model"
+            assert config.spec_k + 1 <= GRP, (
+                "the verify kernel folds spec_k+1 query rows per sequence"
+            )
         self.prefill_token_buckets = tuple(config.prefill_buckets)
         # Active (tile, page) pair buckets per prefill token bucket: the
         # prefill kernel grid is a flat worklist, so its length is a compiled
@@ -382,9 +395,15 @@ class ModelRunner:
             inputs = self._dummy_inputs(t, cfg.max_num_seqs, True, pb)
         finally:
             cfg.num_kvcache_blocks = saved
+        sp = None
+        if cfg.spec_k > 0:
+            sp = build_spec_inputs(
+                [], num_seqs_bucket=cfg.max_num_seqs,
+                max_model_len=cfg.max_model_len, is_prefill=True,
+            )
         compiled = self._step.lower(
             self.params, kv, self.token_state, self.rope, inputs,
-            None, True, False, False, False, False, False,
+            None, sp, True, False, False, False, False, False, False,
         ).compile()
         ma = compiled.memory_analysis()
         summed = (
@@ -505,12 +524,18 @@ class ModelRunner:
         # Ring rows must fit the widest compiled batch (decode buckets are
         # rounded up to kernel-group multiples, possibly past max_num_seqs).
         ring_width = max(cfg.max_num_seqs, max(cfg.decode_buckets))
+        self.ring_width = ring_width
         rep = NamedSharding(self.mesh, P())
+        # Speculative builds widen the ring to [ring, S, spec_k+2]: up to
+        # spec_k+1 emitted tokens per seq per step plus an accepted count in
+        # the last lane (one fetch still drains everything).
+        ring_shape = (
+            (self.ring_size, ring_width, cfg.spec_k + 2)
+            if cfg.spec_k > 0 else (self.ring_size, ring_width)
+        )
         state = [
             self._device_zeros((self.num_slots,), jnp.int32, rep),
-            self._device_zeros(
-                (self.ring_size, ring_width), jnp.int32, rep
-            ),
+            self._device_zeros(ring_shape, jnp.int32, rep),
             self._device_zeros(
                 (self.ring_size, ring_width), jnp.float32, rep
             ),
@@ -525,6 +550,19 @@ class ModelRunner:
             v = self.spec.vocab_size
             state.append(self._device_zeros((rows, v), jnp.int32, rep))
             state.append(self._device_zeros((rows, v), jnp.int8, rep))
+        if cfg.spec_k > 0:
+            # Speculative decoding device state (ops/spec.py): per-slot TRUE
+            # sequence lengths (host lengths are pessimistic between drains)
+            # and a token-history slab for ngram/prompt-lookup drafting.
+            # ~4*max_model_len bytes per slot; last row = dead slot.
+            state.append(
+                self._device_zeros((self.num_slots,), jnp.int32, rep)
+            )
+            state.append(
+                self._device_zeros(
+                    (self.num_slots, cfg.max_model_len), jnp.int32, rep
+                )
+            )
         self.token_state = tuple(state)
 
     def _init_rope(self):
@@ -561,13 +599,15 @@ class ModelRunner:
         return -(-self.spec.head_dim // 128) * 128
 
     def _attn_impls(self):
-        """(prefill_impl, decode_impl) — Pallas kernels on TPU, jnp oracle
-        elsewhere (the oracle serves both modes). Signature:
+        """(prefill_impl, decode_impl, spec_impl) — Pallas kernels on TPU,
+        jnp oracle elsewhere (the oracle serves all modes). Signature:
         (q, k_new, v_new, k_all, v_all, layer, meta[, window]) ->
         (out, k_all, v_all); the impl also appends the new K/V rows to the
         paged cache. ``window`` (a traced i32 scalar) is passed per layer by
         the model when spec.layer_windows is set (Gemma3 local/global mix);
-        otherwise the spec's uniform window (or None) is baked in here."""
+        otherwise the spec's uniform window (or None) is baked in here.
+        ``spec_impl`` is the decode kernel's q_len = spec_k+1 verify mode
+        (None when spec_k == 0)."""
         sm_scale = (
             getattr(self.spec, "query_scale", None) or self.spec.head_dim
         ) ** -0.5
@@ -614,14 +654,25 @@ class ModelRunner:
                     )
                 )
             )
-            return prefill, decode
+            spec_impl = None
+            if self.config.spec_k > 0:
+                ql = self.config.spec_k + 1
+                spec_impl = padded(
+                    lambda q, kn, vn, kc, vc, layer, meta: (
+                        paged_decode_attention(
+                            q, kn, vn, kc, vc, layer, meta,
+                            sm_scale=sm_scale, q_len=ql,
+                        )
+                    )
+                )
+            return prefill, decode, spec_impl
         ref = lambda q, kn, vn, kc, vc, layer, meta, window=window: (
             attn_ops.ragged_paged_attention_ref(
                 q, kn, vn, kc, vc, layer, meta, sm_scale=sm_scale,
                 window=window,
             )
         )
-        return ref, ref
+        return ref, ref, ref
 
     def _build_step_fns(self):
         spec, cfg = self.spec, self.config
@@ -629,17 +680,32 @@ class ModelRunner:
         # fewer (tile, page) pairs with larger dots per pair at the cost of
         # more padding for short chunks (env knob for perf experiments).
         self.q_tile = int(os.environ.get("NANOVLLM_Q_TILE", 128))
-        prefill_impl, decode_impl = self._attn_impls()
+        prefill_impl, decode_impl, spec_impl = self._attn_impls()
         family = self.family
         tp = self.tp
         axis = "tp" if tp > 1 else None
 
+        spec_build = cfg.spec_k > 0
+        QL = cfg.spec_k + 1
+        spec_base = 3 + (2 if cfg.num_penalty_slots > 0 else 0)
+
         def local_step(params, kv, tstate, rope, inputs: StepInputs,
-                       pen: PenaltyInputs | None, is_prefill: bool,
-                       filtered: bool, want_lp: bool, biased: bool,
-                       seeded: bool, penalized: bool):
+                       pen: PenaltyInputs | None, sp: SpecInputs | None,
+                       is_prefill: bool, filtered: bool, want_lp: bool,
+                       biased: bool, seeded: bool, penalized: bool,
+                       spec_step: bool):
             """Per-device program (the whole program when tp == 1)."""
             last_buf, ring, lp_ring = tstate[0], tstate[1], tstate[2]
+            seq_lens_buf = hist_buf = None
+            if spec_build:
+                # Speculative state (device truth): per-slot lengths + token
+                # history. Host lengths are pessimistic between drains, so in
+                # spec builds every decode step derives positions/appends from
+                # these instead of the host-built skeleton.
+                seq_lens_buf = tstate[spec_base]
+                hist_buf = tstate[spec_base + 1]
+                dead_slot = last_buf.shape[0] - 1
+                hist_w = hist_buf.shape[1]
             pcounts = pmask = None
             if penalized:
                 # Presence/frequency/repetition penalties (ops/penalties.py):
@@ -665,11 +731,106 @@ class ModelRunner:
                     )
                     mslots = jnp.where((~is_out) & valid, tok_slots, dead)
                     pmask = pmask.at[mslots, inputs.token_ids].set(1)
-            if not is_prefill:
+            S = inputs.kv_lens.shape[0]
+            qtok = eligible = real = lens = slot = jql = None
+            if spec_build and not is_prefill:
+                bs = cfg.kvcache_block_size
+                wmax = inputs.block_tables.shape[1]
+                slot = inputs.slot_ids
+                real = jnp.arange(S, dtype=jnp.int32) < inputs.num_seqs[0]
+                lens = jnp.maximum(seq_lens_buf[slot], 1)  # true lengths
+                if spec_step:
+                    # Draft spec_k tokens per row from its own history
+                    # (prompt-lookup), run the K+1-row verify chunk, and let
+                    # greedy acceptance keep the matching prefix. Ineligible
+                    # rows (non-greedy, or too close to their length cap)
+                    # emit exactly one token — normal decode semantics.
+                    assert not (filtered or want_lp or biased or seeded
+                                or penalized), "spec steps are plain-only"
+                    drafts = spec_ops.ngram_propose(
+                        hist_buf[slot], jnp.where(real, lens, 0), cfg.spec_k
+                    )
+                    last = last_buf[slot]
+                    qtok = jnp.concatenate([last[:, None], drafts], axis=1)
+                    eligible = (
+                        real
+                        & (inputs.temperatures == 0.0)
+                        & (lens + QL <= sp.limits)
+                    )
+                    jql = jnp.arange(QL, dtype=jnp.int32)
+                    pos = (lens - 1)[:, None] + jql[None, :]   # [S, QL]
+                    # Append only rows the device may keep: row 0 always (the
+                    # real last token's KV), drafts only when eligible, and
+                    # never at/past the length cap (the reserved block table
+                    # ends there). Junk draft KV is overwritten by the next
+                    # step's appends (its frontier is always at or below).
+                    ok = (
+                        real[:, None]
+                        & (pos < sp.limits[:, None])
+                        & (eligible[:, None] | (jql[None, :] == 0))
+                    )
+                    page = jnp.take_along_axis(
+                        inputs.block_tables,
+                        jnp.minimum(pos // bs, wmax - 1), axis=1,
+                    )
+                    seq_col = jnp.where(
+                        real[:, None],
+                        jnp.arange(S, dtype=jnp.int32)[:, None], S,
+                    )
+                    inputs = inputs._replace(
+                        token_ids=jnp.maximum(qtok, 0).reshape(S * QL),
+                        positions=jnp.where(real[:, None], pos, 0)
+                        .reshape(S * QL),
+                        slot_mapping=jnp.where(
+                            ok, page * bs + pos % bs, -1
+                        ).reshape(S * QL),
+                        seq_ids=jnp.broadcast_to(seq_col, (S, QL))
+                        .reshape(S * QL),
+                        kv_lens=jnp.where(real, lens - 1 + QL, 0),
+                        # Fused-append row count per seq for the verify
+                        # kernel (matches the slot_mapping mask above).
+                        append_lens=jnp.where(
+                            real, jnp.where(eligible, QL, 1), 0
+                        ),
+                    )
+                else:
+                    # Fallback decode (filtered/biased/seeded/penalized/
+                    # logprobs batches): one token per row, but positions and
+                    # appends still come from the device-true lengths.
+                    pos0 = lens - 1
+                    page0 = jnp.take_along_axis(
+                        inputs.block_tables,
+                        jnp.minimum(pos0[:, None] // bs, wmax - 1), axis=1,
+                    )[:, 0]
+                    inputs = inputs._replace(
+                        token_ids=last_buf[slot],
+                        positions=jnp.where(real, pos0, 0),
+                        slot_mapping=jnp.where(
+                            real, page0 * bs + pos0 % bs, -1
+                        ),
+                        kv_lens=jnp.where(real, lens, 0),
+                    )
+            elif not is_prefill:
                 # Decode inputs come from the on-device last-token buffer —
                 # the host never needs the sampled values to keep stepping.
                 token_ids = last_buf[inputs.slot_ids]
                 inputs = inputs._replace(token_ids=token_ids)
+            if spec_build and is_prefill:
+                # History slab upkeep: scatter this chunk's tokens at their
+                # absolute positions (re-prefill after preemption re-embeds
+                # completions, so the row rebuilds; prefix-cached tokens are
+                # not re-embedded — their history entries may be stale, which
+                # only affects draft QUALITY, never correctness: acceptance
+                # compares every draft against the model's own argmax).
+                valid = inputs.slot_mapping >= 0
+                tok_slot = jnp.where(
+                    valid,
+                    inputs.slot_ids[jnp.minimum(inputs.seq_ids, S - 1)],
+                    dead_slot,
+                )
+                hist_buf = hist_buf.at[
+                    tok_slot, jnp.clip(inputs.positions, 0, hist_w - 1)
+                ].set(inputs.token_ids)
             hidden, kv = family.forward(
                 spec,
                 params,
@@ -677,14 +838,68 @@ class ModelRunner:
                 inputs,
                 tp=tp,
                 axis=axis,
-                attn_impl=prefill_impl if is_prefill else decode_impl,
+                attn_impl=(
+                    prefill_impl if is_prefill
+                    else (spec_impl if spec_step else decode_impl)
+                ),
                 scan_layers=cfg.scan_layers,
                 rope=rope,
                 moe_ep=cfg.enable_expert_parallel,
             )
+            w = family.lm_head_weight(params)        # [V(/tp), D]
+            if spec_step:
+                # Verify + accept, all on device: the first position of each
+                # row samples normally (it is the step's guaranteed token);
+                # every position's argmax feeds greedy acceptance.
+                idx0 = jnp.arange(S, dtype=jnp.int32) * QL
+                logits = quant.head_matmul(hidden[idx0], w)
+                if axis is not None:
+                    logits = jax.lax.all_gather(
+                        logits, axis, axis=1, tiled=True
+                    )
+                key = jax.random.wrap_key_data(inputs.rng)
+                sampled0 = sample(logits, inputs.temperatures, key)
+                am = spec_ops.head_argmax_tp(hidden, w, axis).reshape(S, QL)
+                emitted, cnt = spec_ops.accept_drafts(
+                    qtok, am, eligible, sampled0
+                )
+                # Never grow past the per-row cap (min(prompt + max_tokens,
+                # max_model_len)); rows at the cap emit nothing (count 0) —
+                # the host finishes them at the next drain.
+                cnt = jnp.where(
+                    real,
+                    jnp.minimum(cnt, jnp.maximum(sp.limits - lens, 0)),
+                    0,
+                )
+                new_last = jnp.take_along_axis(
+                    emitted, jnp.maximum(cnt - 1, 0)[:, None], axis=1
+                )[:, 0]
+                last_buf = last_buf.at[slot].set(
+                    jnp.where(cnt > 0, new_last, last)
+                )
+                seq_lens_buf = seq_lens_buf.at[slot].add(
+                    jnp.where(real, cnt, 0)
+                )
+                keep = jql[None, :] < cnt[:, None]
+                hist_buf = hist_buf.at[
+                    jnp.where(keep, slot[:, None], dead_slot),
+                    jnp.clip(
+                        jnp.where(keep, lens[:, None] + jql[None, :], 0),
+                        0, hist_w - 1,
+                    ),
+                ].set(emitted)
+                row = jnp.zeros((ring.shape[1], QL + 1), jnp.int32)
+                row = row.at[:S, :QL].set(emitted).at[:S, QL].set(cnt)
+                ring = jax.lax.dynamic_update_slice(
+                    ring, row[None],
+                    (inputs.ring_pos[0], jnp.int32(0), jnp.int32(0)),
+                )
+                out_state = [last_buf, ring, lp_ring]
+                out_state += list(tstate[3:spec_base])  # penalty slabs ride
+                out_state += [seq_lens_buf, hist_buf]
+                return kv, tuple(out_state)
             # Last-token-only before the LM-head matmul (embed_head.py:56-60).
             last_h = hidden[inputs.last_token_idx]  # [S, D]
-            w = family.lm_head_weight(params)        # [V(/tp), D]
             logits = quant.head_matmul(last_h, w)
             if axis is not None:
                 # Vocab shards are rank-blocked: all-gather restores global
@@ -729,9 +944,35 @@ class ModelRunner:
                 # reads the slab (append_inc masks incomplete-chunk samples).
                 pcounts = pcounts.at[prows, tokens].add(pen.append_inc)
             last_buf = last_buf.at[inputs.slot_ids].set(tokens)
-            ring = jax.lax.dynamic_update_slice(
-                ring, tokens[None], (inputs.ring_pos[0], jnp.int32(0))
-            )
+            if spec_build:
+                # Maintain the spec device state on every variant so spec and
+                # fallback steps interleave freely, and write the widened
+                # [S, QL+1] ring row (token in lane 0, accepted count last).
+                if is_prefill:
+                    slot = inputs.slot_ids
+                    seq_lens_buf = seq_lens_buf.at[slot].set(sp.set_lens)
+                    hist_buf = hist_buf.at[
+                        jnp.where(sp.append_inc > 0, slot, dead_slot),
+                        jnp.clip(sp.set_lens - 1, 0, hist_w - 1),
+                    ].set(tokens)
+                    counts = sp.append_inc
+                else:
+                    counts = jnp.where(real, 1, 0)
+                    seq_lens_buf = seq_lens_buf.at[slot].add(counts)
+                    hist_buf = hist_buf.at[
+                        jnp.where(real, slot, dead_slot),
+                        jnp.clip(lens, 0, hist_w - 1),
+                    ].set(tokens)
+                row = jnp.zeros((ring.shape[1], QL + 1), jnp.int32)
+                row = row.at[:S, 0].set(tokens).at[:S, QL].set(counts)
+                ring = jax.lax.dynamic_update_slice(
+                    ring, row[None],
+                    (inputs.ring_pos[0], jnp.int32(0), jnp.int32(0)),
+                )
+            else:
+                ring = jax.lax.dynamic_update_slice(
+                    ring, tokens[None], (inputs.ring_pos[0], jnp.int32(0))
+                )
             if want_lp:
                 # Chosen-token model log-prob (raw logits, not temperature-
                 # scaled — OpenAI semantics). Separate compiled variant: the
@@ -744,12 +985,15 @@ class ModelRunner:
                     lp_ring, (chosen - lse)[None],
                     (inputs.ring_pos[0], jnp.int32(0)),
                 )
-            out_state = (last_buf, ring, lp_ring)
-            if penalized:
-                out_state += (pcounts, pmask)
-            elif len(tstate) > 3:
-                out_state += tuple(tstate[3:])  # slabs ride the donation
-            return kv, out_state
+            out_state = [last_buf, ring, lp_ring]
+            if cfg.num_penalty_slots > 0:
+                out_state += (
+                    [pcounts, pmask] if penalized
+                    else list(tstate[3:5])  # slabs ride the donation
+                )
+            if spec_build:
+                out_state += [seq_lens_buf, hist_buf]
+            return kv, tuple(out_state)
 
         if tp == 1:
             step = local_step
@@ -759,21 +1003,30 @@ class ModelRunner:
             inputs_spec = StepInputs(*([P()] * len(StepInputs._fields)))
             pen_spec = PenaltyInputs(*([P()] * len(PenaltyInputs._fields)))
 
-            def step(params, kv, tstate, rope, inputs, pen, is_prefill,
-                     filtered, want_lp, biased, seeded, penalized):
-                def inner(p, k, t, r, i, *rest):
-                    return local_step(p, k, t, r, i,
-                                      rest[0] if rest else None, is_prefill,
-                                      filtered, want_lp, biased, seeded,
-                                      penalized)
+            sp_spec = SpecInputs(*([P()] * len(SpecInputs._fields)))
 
-                extra = () if pen is None else (pen,)
+            def step(params, kv, tstate, rope, inputs, pen, sp, is_prefill,
+                     filtered, want_lp, biased, seeded, penalized, spec_step):
+                def inner(p, k, t, r, i, *rest):
+                    rest = list(rest)
+                    pn = rest.pop(0) if pen is not None else None
+                    spv = rest.pop(0) if sp is not None else None
+                    return local_step(p, k, t, r, i, pn, spv, is_prefill,
+                                      filtered, want_lp, biased, seeded,
+                                      penalized, spec_step)
+
+                extra, extra_spec = (), ()
+                if pen is not None:
+                    extra += (pen,)
+                    extra_spec += (pen_spec,)
+                if sp is not None:
+                    extra += (sp,)
+                    extra_spec += (sp_spec,)
                 return _shard_map(
                     inner,
                     mesh=self.mesh,
                     in_specs=(self._param_pspecs(), kv_spec, tstate_spec,
-                              (P(), P()), inputs_spec)
-                    + (() if pen is None else (pen_spec,)),
+                              (P(), P()), inputs_spec) + extra_spec,
                     out_specs=(kv_spec, tstate_spec),
                 )(params, kv, tstate, rope, inputs, *extra)
 
@@ -782,7 +1035,8 @@ class ModelRunner:
         # analogue of the reference's CUDA-graph set (model_runner.py:222-257).
         self._step_fn = step  # raw (un-jitted) for AOT/lowering consumers
         self._step = jax.jit(
-            step, donate_argnums=(1, 2), static_argnums=(6, 7, 8, 9, 10, 11)
+            step, donate_argnums=(1, 2),
+            static_argnums=(7, 8, 9, 10, 11, 12, 13),
         )
         # AOT executables per (t_bucket, s_bucket, is_prefill); filled by
         # warmup(). Misses fall back to the jit path (compile on first hit).
@@ -791,11 +1045,12 @@ class ModelRunner:
     # -------------------------------------------------------------- warmup
 
     def _dummy_inputs(self, t_bucket: int, s_bucket: int, is_prefill: bool,
-                      p_bucket: int = 1):
+                      p_bucket: int = 1, spec_step: bool = False):
         n = min(2, s_bucket) if is_prefill else s_bucket
+        ql = self.config.spec_k + 1 if spec_step else 1
         reqs = []
         for i in range(n):
-            chunk = [1] * (2 if is_prefill else 1)
+            chunk = [1] * (2 if is_prefill else ql)
             start = 0 if is_prefill else 1
             # Clamp dummy tables to the pool: a decode bucket can exceed
             # num_kvcache_blocks, and the fused write-back DMAs to page i.
@@ -846,9 +1101,21 @@ class ModelRunner:
             t = max(self.prefill_token_buckets)
             for pb in (self.prefill_pair_buckets[t] if self.use_pallas else (1,)):
                 shapes.append((t, cfg.max_num_seqs, pb, True, True))
-        for t_bucket, s_bucket, p_bucket, is_prefill, penalized in shapes:
+        shapes = [s + (False,) for s in shapes]
+        if cfg.spec_k > 0:
+            # Speculative verify steps are their own compiled variant per
+            # decode bucket (t = S*(spec_k+1) query rows).
+            for b in cfg.decode_buckets:
+                for pb in (
+                    self.decode_pair_buckets[b] if self.use_pallas else (1,)
+                ):
+                    shapes.append((b * (cfg.spec_k + 1), b, pb, False, False,
+                                   True))
+        for t_bucket, s_bucket, p_bucket, is_prefill, penalized, sstep in shapes:
             t0 = perf_counter()
-            inputs = self._dummy_inputs(t_bucket, s_bucket, is_prefill, p_bucket)
+            inputs = self._dummy_inputs(
+                t_bucket, s_bucket, is_prefill, p_bucket, spec_step=sstep
+            )
             pen = None
             if penalized:
                 pen = build_penalty_inputs(
@@ -857,11 +1124,18 @@ class ModelRunner:
                     num_slots=cfg.num_penalty_slots + 1,
                     is_prefill=is_prefill,
                 )
+            sp = None
+            if cfg.spec_k > 0:
+                sp = build_spec_inputs(
+                    [], num_seqs_bucket=s_bucket,
+                    max_model_len=cfg.max_model_len, is_prefill=is_prefill,
+                )
             key = (t_bucket, s_bucket, p_bucket, is_prefill,
-                   False, False, False, False, penalized)
+                   False, False, False, False, penalized, sstep)
             self._compiled[key] = self._step.lower(
                 self.params, self.kv, self.token_state, self.rope, inputs,
-                pen, is_prefill, False, False, False, False, penalized,
+                pen, sp, is_prefill, False, False, False, False, penalized,
+                sstep,
             ).compile()
             mode = "prefill" if is_prefill else "decode"
             if jax.process_index() == 0:
@@ -869,16 +1143,20 @@ class ModelRunner:
                     f"[warmup] {mode} bucket t={t_bucket} s={s_bucket} "
                     f"pairs={p_bucket}"
                     + (" penalized" if penalized else "")
+                    + (" spec" if sstep else "")
                     + f": {perf_counter() - t0:.1f}s"
                 )
 
     # ----------------------------------------------------------------- run
 
-    def run(self, seqs: list[Sequence], is_prefill: bool, ring_pos: int = 0):
+    def run(self, seqs: list[Sequence], is_prefill: bool, ring_pos: int = 0,
+            spec_step: bool = False):
         """Dispatch one engine step (async: does NOT fetch sampled tokens).
         Decode input tokens are gathered on-device from the last-token slot
         buffer; this step's samples land in ring row ``ring_pos`` and in each
-        sequence's slot. Fetch values later via ``fetch_ring``."""
+        sequence's slot. Fetch values later via ``fetch_ring``.
+        ``spec_step``: run the speculative verify variant (decode only; the
+        engine selects it for plain greedy-capable batches when spec_k > 0)."""
         cfg = self.config
         # Any top-k/top-p (or logprobs) request selects a separate compiled
         # variant of the step program (lazily; plain requests never pay).
@@ -898,13 +1176,21 @@ class ModelRunner:
         biases = []
         for seq in seqs:
             b = seq.logit_bias
-            if seq.min_tokens and seq.num_completion_tokens < seq.min_tokens:
+            # Spec builds: host completion counts are pessimistic between
+            # drains, so gate on the CONFIRMED (valued) count — EOS may stay
+            # suppressed up to one fetch interval past min_tokens.
+            comp = (
+                seq.num_valued_tokens - seq.num_prompt_tokens
+                if cfg.spec_k > 0 else seq.num_completion_tokens
+            )
+            if seq.min_tokens and comp < seq.min_tokens:
                 if eos_bias is None:
                     ids = tuple(cfg.eos_ids or ()) or (cfg.eos,)
                     eos_bias = tuple((int(t), -1e9) for t in sorted(set(ids)))
                 b = tuple(b) + eos_bias
             biases.append(b)
         biased = any(biases)
+        ql = cfg.spec_k + 1 if spec_step else 1
         reqs = []
         for seq, bias in zip(seqs, biases):
             if is_prefill:
@@ -913,13 +1199,25 @@ class ModelRunner:
                 chunk = seq.token_ids[start: start + n]
                 assert -1 not in chunk, "prefill over unfetched token values"
             else:
+                # Host lengths are pessimistic in spec builds; the device
+                # recomputes positions/appends from its true lengths. The
+                # host start/kv_len only size worklists and block tables —
+                # cap the verify chunk's frontier at the sequence's length
+                # limit (the reserved table ends there).
                 start = seq.num_tokens - 1
-                chunk = [0]  # value comes from the device slot buffer
+                chunk = [0] * ql  # values come from the device state
+            kv_len = start + len(chunk)
+            if spec_step:
+                kv_len = min(
+                    kv_len,
+                    seq.num_prompt_tokens + seq.max_tokens,
+                    cfg.max_model_len,
+                )
             reqs.append(
                 dict(
                     token_ids=chunk,
                     start=start,
-                    kv_len=start + len(chunk),
+                    kv_len=kv_len,
                     block_table=seq.block_table,
                     temperature=seq.temperature,
                     slot=seq.device_slot,
@@ -962,7 +1260,7 @@ class ModelRunner:
                 )
         else:
             s_bucket = _pick_bucket(cfg.decode_buckets, len(seqs))
-            t_bucket = s_bucket
+            t_bucket = s_bucket * ql
             if self.use_pallas:
                 # Decode worklist length: one pair per (group of 8, live page
                 # depth), minus pages a sliding window has wholly rolled past
@@ -1004,29 +1302,38 @@ class ModelRunner:
             num_pairs_bucket=p_bucket if (q_tile or group_pairs) else None,
             group_pairs=group_pairs,
             window=window if self.use_pallas else None,
+            clamp_positions=spec_step,
         )
+        sp = None
+        if cfg.spec_k > 0:
+            sp = build_spec_inputs(
+                seqs, num_seqs_bucket=s_bucket,
+                max_model_len=cfg.max_model_len, is_prefill=is_prefill,
+            )
         if self.n_proc > 1:
             # Multi-host: every host builds identical StepInputs (deterministic
             # scheduler + shared rng seed); wrap them as globally-replicated
             # arrays so the global-mesh jit accepts them.
             rep = NamedSharding(self.mesh, P())
-            inputs, pen = jax.tree.map(
+            inputs, pen, sp = jax.tree.map(
                 lambda a: jax.make_array_from_callback(
                     np.shape(a), rep, lambda idx, a=a: np.asarray(a)[idx]
                 ),
-                (inputs, pen),
+                (inputs, pen, sp),
             )
         key = (t_bucket, s_bucket, p_bucket, is_prefill, filtered, want_lp,
-               biased, seeded, penalized)
+               biased, seeded, penalized, spec_step)
         compiled = self._compiled.get(key)
         if compiled is not None:
             self.kv, self.token_state = compiled(
-                self.params, self.kv, self.token_state, self.rope, inputs, pen
+                self.params, self.kv, self.token_state, self.rope, inputs,
+                pen, sp,
             )
         else:
             self.kv, self.token_state = self._step(
                 self.params, self.kv, self.token_state, self.rope, inputs,
-                pen, is_prefill, filtered, want_lp, biased, seeded, penalized,
+                pen, sp, is_prefill, filtered, want_lp, biased, seeded,
+                penalized, spec_step,
             )
 
     def fetch_ring(self) -> np.ndarray:

@@ -47,6 +47,11 @@ class Scheduler:
         # the sequence runs, bounding steady-state KV at ~window + one block
         # per sequence regardless of generated length.
         self.attention_window = getattr(config, "attention_window", None)
+        # Speculative decoding (Config.spec_k): decode steps may emit up to
+        # spec_k+1 tokens; the host tracks lengths PESSIMISTICALLY (reserving
+        # blocks and appending placeholders for the maximum) and reconciles
+        # to the device's true accepted counts at ring drains.
+        self.spec_k = getattr(config, "spec_k", 0)
         self.waiting: deque[Sequence] = deque()
         self.running: deque[Sequence] = deque()
         # Device slots for on-device last-token feedback (async pipeline).
@@ -167,6 +172,7 @@ class Scheduler:
             return scheduled, True
 
         # Decode: schedule every running sequence, preempting under pressure.
+        deferred: list[Sequence] = []
         while self.running and len(scheduled) < self.max_num_seqs:
             seq = self.running.popleft()
             # Roll the window eviction forward BEFORE the capacity check: the
@@ -174,21 +180,52 @@ class Scheduler:
             # dead leading block (steady-state windowed decode never needs a
             # net-new block once past the window).
             self._evict_window(seq)
-            while not self.block_manager.can_append(seq):
-                if self.running:
-                    self.preempt(self.running.pop())
-                else:
-                    self.preempt(seq)
-                    seq = None
-                    break
-            if seq is None:
-                continue
+            if self.spec_k:
+                # Pessimistic-length gate: a sequence whose host (pessimistic)
+                # length reached its cap may still have accepted fewer tokens
+                # on device — park it until the next drain reconciles.
+                if seq.num_tokens >= self._seq_limit(seq):
+                    deferred.append(seq)
+                    continue
+                need = self._spec_blocks_needed(seq)
+                while not self.block_manager.can_extend_to(seq, need):
+                    if self.running:
+                        self.preempt(self.running.pop())
+                    else:
+                        self.preempt(seq)
+                        seq = None
+                        break
+                if seq is None:
+                    continue
+                self.block_manager.extend_to(seq, need)
+            else:
+                while not self.block_manager.can_append(seq):
+                    if self.running:
+                        self.preempt(self.running.pop())
+                    else:
+                        self.preempt(seq)
+                        seq = None
+                        break
+                if seq is None:
+                    continue
+                self.block_manager.may_append(seq)
             seq.num_scheduled_tokens = 1
-            self.block_manager.may_append(seq)
             scheduled.append(seq)
-        assert scheduled, "scheduler deadlock: no sequence can be scheduled"
-        self.running.extendleft(reversed(scheduled))
+        assert scheduled or deferred, (
+            "scheduler deadlock: no sequence can be scheduled"
+        )
+        self.running.extendleft(reversed(scheduled + deferred))
         return scheduled, False
+
+    def _seq_limit(self, seq: Sequence) -> int:
+        return min(seq.num_prompt_tokens + seq.max_tokens, self.max_model_len)
+
+    def _spec_blocks_needed(self, seq: Sequence) -> int:
+        """Blocks covering the pessimistic append frontier of one spec step:
+        positions up to min(num_tokens + spec_k, limit) - 1 (the device caps
+        appends at the sequence's length limit)."""
+        max_pos = min(seq.num_tokens + self.spec_k, self._seq_limit(seq) - 1)
+        return max_pos // self.block_manager.block_size + 1
 
     def _evict_window(self, seq: Sequence):
         """Rolling KV eviction (sliding-window models): release leading
@@ -252,23 +289,34 @@ class Scheduler:
     # token *values* arrive later in a batched device fetch. The synchronous
     # ``postprocess`` composes both (reference scheduler.py:81-92 semantics).
 
-    def postprocess_lengths(self, seqs: list[Sequence]) -> list[bool]:
-        """Advance per-seq bookkeeping for a dispatched step; returns one flag
-        per seq: True if a completion token (placeholder) was appended."""
+    def postprocess_lengths(
+        self, seqs: list[Sequence], is_prefill: bool | None = None
+    ) -> list[int]:
+        """Advance per-seq bookkeeping for a dispatched step; returns the
+        number of completion placeholders appended per seq (0 or 1; up to
+        spec_k+1 for speculative decode steps). In spec mode, decode-step
+        finish checks are DEFERRED to ring drains (host lengths are
+        pessimistic until the device's accepted counts arrive)."""
         appended = []
+        defer = bool(self.spec_k) and is_prefill is False
         for seq in seqs:
             if seq.is_finished:
-                appended.append(False)  # finished while the step was in flight
+                appended.append(0)  # finished while the step was in flight
                 continue
-            seq.num_cached_tokens += seq.num_scheduled_tokens
+            n_sched = seq.num_scheduled_tokens
+            seq.num_cached_tokens += n_sched
             seq.num_scheduled_tokens = 0
             self.block_manager.hash_new_full_blocks(seq)
             if seq.status == SequenceStatus.WAITING:
                 self._evict_window_prefill(seq)
-                appended.append(False)  # incomplete prefill chunk
+                appended.append(0)  # incomplete prefill chunk
                 continue
-            seq.append_placeholder()
-            appended.append(True)
+            k = n_sched if defer else 1
+            for _ in range(k):
+                seq.append_placeholder()
+            appended.append(k)
+            if defer:
+                continue
             if (
                 seq.num_completion_tokens >= seq.max_tokens
                 # Length cap: a sequence at max_model_len cannot append more
@@ -301,6 +349,70 @@ class Scheduler:
                 if seq.is_finished:
                     continue  # already finished by max_tokens; output trimmed
                 self.finish(seq)
+
+    def apply_spec_values(
+        self, seqs: list[Sequence], appended: list[int],
+        emitted, counts, lps=None,
+    ) -> int:
+        """Speculative-step drain reconciliation for ONE ring row:
+        ``emitted[i, :counts[i]]`` are the tokens the device actually kept
+        for seq i this step (accepted drafts + the bonus/corrective token);
+        ``appended[i]`` placeholders were reserved pessimistically. Patch the
+        accepted values, delete the rejected drafts' placeholders, and apply
+        the finish rules postprocess deferred (EOS / stop ids / max_tokens /
+        max_model_len). Returns the number of tokens applied (metrics)."""
+        applied_total = 0
+        for i, (seq, k) in enumerate(zip(seqs, appended)):
+            if not k:
+                continue
+            c = min(int(counts[i]), k)
+            applied = 0
+            ended = False
+            for j in range(c):
+                tok = int(emitted[i][j])
+                # Logprobs ride only fallback (1-token) rows in spec mode.
+                lp = lps[i] if (lps is not None and j == 0) else None
+                if not seq.apply_value(tok, lp):
+                    ended = True  # truncated by an earlier row's stop
+                    break
+                applied += 1
+                if (not seq.ignore_eos and tok in self.eos_ids) or (
+                    tok in seq.stop_token_ids
+                ):
+                    seq.truncate(seq.num_valued_tokens)
+                    if not seq.is_finished:
+                        self.finish(seq)
+                    ended = True
+                    break
+                if (
+                    seq.num_valued_tokens - seq.num_prompt_tokens
+                    >= seq.max_tokens
+                    or seq.num_valued_tokens >= self.max_model_len
+                ):
+                    seq.truncate(seq.num_valued_tokens)
+                    if not seq.is_finished:
+                        self.finish(seq)
+                    ended = True
+                    break
+            applied_total += applied
+            if not ended:
+                seq.drop_placeholders(k - applied)
+        return applied_total
+
+    def reconcile_spec(self, seqs):
+        """After a FULL drain (every dispatched step executed and its values
+        applied), restore the decode invariants the pessimistic bookkeeping
+        relaxed: resident KV covers everything but the last sampled token
+        (whose KV the next step writes), and newly-valued full blocks become
+        prefix-cache entries. Junk KV from rejected drafts sits only at
+        positions >= num_tokens - 1, which the hash watermark excludes."""
+        for seq in seqs:
+            if seq.is_finished or seq.status != SequenceStatus.RUNNING:
+                continue
+            if seq.num_valued_tokens < seq.num_tokens:
+                continue  # later pending rows still hold placeholders
+            seq.num_cached_tokens = seq.num_tokens - 1
+            self.block_manager.hash_new_full_blocks(seq)
 
     def postprocess(self, seqs: list[Sequence], token_ids: list[int]):
         appended = self.postprocess_lengths(seqs)

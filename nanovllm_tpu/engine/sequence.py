@@ -82,6 +82,9 @@ class Sequence:
         # already scanned, and the trimmed final text once a stop string hit.
         self.stop_checked = 0
         self.output_text: str | None = None
+        # TTFT recorded (spec drains can deliver several first tokens at once,
+        # so "exactly one completion value" no longer identifies the first).
+        self.ttft_recorded = False
 
     def __len__(self):
         return self.num_tokens
@@ -140,6 +143,19 @@ class Sequence:
         if self.logprobs and logprob is not None:
             self.logprob_values.append(float(logprob))
         return True
+
+    def drop_placeholders(self, n: int):
+        """Remove ``n`` unvalued placeholders at the valued watermark
+        (speculative decoding appends K+1 placeholders per step
+        pessimistically; drain reconciliation deletes the rejected drafts'
+        share — later steps' placeholders shift down)."""
+        if n <= 0:
+            return
+        assert self.num_valued_tokens + n <= self.num_tokens
+        del self.token_ids[self.num_valued_tokens: self.num_valued_tokens + n]
+        self.num_tokens -= n
+        if self.num_valued_tokens == self.num_tokens:
+            self.last_token = self.token_ids[-1]
 
     def truncate(self, num_tokens: int):
         """Drop the tail (late-discovered EOS): keep ``num_tokens`` tokens."""

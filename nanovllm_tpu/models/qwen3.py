@@ -430,6 +430,7 @@ def forward(
         tile_pos0=inputs.tile_pos0,
         pair_tile=inputs.pair_tile,
         pair_page=inputs.pair_page,
+        append_lens=getattr(inputs, "append_lens", None),
     )
 
     p1 = spec.norm_plus_one

@@ -47,6 +47,9 @@ class AttentionMeta(NamedTuple):
     tile_pos0: jax.Array      # i32[NT] q-tile row-0 absolute position
     pair_tile: jax.Array      # i32[NP] active (tile, page) worklist
     pair_page: jax.Array      # i32[NP]
+    # Speculative verify steps only (None otherwise): new KV rows to append
+    # per sequence (the decode kernel's q_len > 1 mode).
+    append_lens: jax.Array | None = None
 
 
 def write_kv(k_all, v_all, layer, k, v, slot_mapping):

@@ -181,7 +181,8 @@ def _decode_kernel(
     num_seqs_ref,      # i32[1]
     pair_grp_ref,      # i32[NP] flat worklist of live (group, page) pairs,
     pair_page_ref,     # i32[NP] group-major; padding pairs carry group S/GRP
-    *rest,             # [window_ref i32[1] when windowed], then the operands
+    *rest,             # [append_lens_ref i32[S] when q_len > 1],
+                       # [window_ref i32[1] when windowed], then the operands
                        # below (windowed is static; the window VALUE is a
                        # runtime scalar so per-layer local/global mixes share
                        # one compiled program — a huge value disables masking)
@@ -190,9 +191,14 @@ def _decode_kernel(
     quantized: bool,
     kv_bits: int,
     wb_tile: int,
+    wb_store: int,
+    q_len: int,
     windowed: bool,
     interpret: bool,
 ):
+    append_lens_ref = None
+    if q_len > 1:
+        append_lens_ref, rest = rest[0], rest[1:]
     if windowed:
         window_ref, rest = rest[0], rest[1:]
         window = window_ref[0]
@@ -384,11 +390,11 @@ def _decode_kernel(
     def _wait_lane_writes(i):
         # Waits must mirror the starts exactly (2 channels, 4 if quantized).
         pltpu.make_async_copy(
-            wk_buf.at[i], k_out_hbm.at[0, :, 0, pl.ds(0, wb_tile)],
+            wk_buf.at[i], k_out_hbm.at[0, :, 0, pl.ds(0, wb_store)],
             w_sems.at[0, i],
         ).wait()
         pltpu.make_async_copy(
-            wv_buf.at[i], v_out_hbm.at[0, :, 0, pl.ds(0, wb_tile)],
+            wv_buf.at[i], v_out_hbm.at[0, :, 0, pl.ds(0, wb_store)],
             w_sems.at[1, i],
         ).wait()
         if quantized:
@@ -438,7 +444,8 @@ def _decode_kernel(
         wait_group_page(g, j, slot)
         buf_idx_ref[0] = jnp.where(slot == 2, 0, slot + 1)
 
-        hkv, grp, groups, hd = q_ref.shape
+        hkv, grp, qlg, hd = q_ref.shape   # qlg = q_len * G
+        groups = qlg // q_len
 
         # First pair of this group (== j == 0 unless a sliding window dropped
         # the group's leading pages from the worklist).
@@ -453,19 +460,56 @@ def _decode_kernel(
             # per pair); history columns mask at kv_len-1 instead, and all
             # the work here is on tiny [Hkv, GRP, G|hd] tensors once per group.
             qg = q_ref[...].astype(jnp.float32) * sm_scale
-            kn = k_new_ref[...].astype(jnp.float32)   # [Hkv, GRP, 1, hd]
+            kn = k_new_ref[...].astype(jnp.float32)   # [Hkv, GRP, QL, hd]
             vn = v_new_ref[...].astype(jnp.float32)
-            if groups > 1:
-                # Mosaic cannot broadcast a size-1 *middle* dim; replicate
-                # by concatenation (static, tiny tensors).
-                kn = jnp.concatenate([kn] * groups, axis=2)
-                vn = jnp.concatenate([vn] * groups, axis=2)
-            qg2 = qg.reshape(hkv, grp * groups, hd)
-            kn2 = kn.reshape(hkv, grp * groups, hd)
-            s_new = jnp.sum(qg2 * kn2, axis=-1)       # [Hkv, GRP*G]
-            m_scr[...] = jnp.broadcast_to(s_new[:, :, None], m_scr.shape)
-            l_scr[...] = jnp.ones_like(l_scr)
-            acc_scr[...] = vn.reshape(hkv, grp * groups, hd)
+            if q_len == 1:
+                if groups > 1:
+                    # Mosaic cannot broadcast a size-1 *middle* dim; replicate
+                    # by concatenation (static, tiny tensors).
+                    kn = jnp.concatenate([kn] * groups, axis=2)
+                    vn = jnp.concatenate([vn] * groups, axis=2)
+                qg2 = qg.reshape(hkv, grp * groups, hd)
+                kn2 = kn.reshape(hkv, grp * groups, hd)
+                s_new = jnp.sum(qg2 * kn2, axis=-1)       # [Hkv, GRP*G]
+                m_scr[...] = jnp.broadcast_to(s_new[:, :, None], m_scr.shape)
+                l_scr[...] = jnp.ones_like(l_scr)
+                acc_scr[...] = vn.reshape(hkv, grp * groups, hd)
+            else:
+                # Spec verify: the chunk's q_len x q_len causal self-attention
+                # block, batched over the whole group as one small dot with
+                # block-diagonal + causal masking (row r of lane wl attends
+                # new rows 0..ql(r) of the SAME lane; history pages mask at
+                # kv_len - q_len, so new rows live only here).
+                m_rows = grp * qlg
+                n_cols = grp * q_len
+                q2 = qg.reshape(hkv, m_rows, hd)
+                kn2 = kn.reshape(hkv, n_cols, hd)
+                s_new = jax.lax.dot_general(
+                    q2, kn2,
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )                                        # [Hkv, M, N]
+                r2 = jax.lax.broadcasted_iota(
+                    jnp.int32, (m_rows, n_cols), 0
+                )
+                c2 = jax.lax.broadcasted_iota(
+                    jnp.int32, (m_rows, n_cols), 1
+                )
+                okm = (r2 // qlg == c2 // q_len) & (
+                    c2 % q_len <= (r2 % qlg) // groups
+                )
+                s_new = jnp.where(okm[None], s_new, MASK_VALUE)
+                m0 = jnp.max(s_new, axis=-1)             # [Hkv, M]
+                p0 = jnp.exp(s_new - m0[:, :, None])
+                l0 = jnp.sum(p0, axis=-1)
+                acc0 = jax.lax.dot_general(
+                    p0, vn.reshape(hkv, n_cols, hd),
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                m_scr[...] = jnp.broadcast_to(m0[:, :, None], m_scr.shape)
+                l_scr[...] = jnp.broadcast_to(l0[:, :, None], l_scr.shape)
+                acc_scr[...] = acc0
 
         def per_seq_scalar(shape, dim, div, fn):
             """Materialize fn(seq) across ``dim`` (where index // div is the
@@ -480,16 +524,16 @@ def _decode_kernel(
 
         # History-column validity, 2D [Hkv, GRP*block] (token dim on lanes —
         # cheap; anything materialized at the full [.., GRP*G, GRP*block]
-        # scores shape costs GRPx the VPU work). Position kv_len-1 is this
-        # step's own token — stale in the DMA'd page, covered by the
-        # self-term in _init_group — so history masks at kv_len-1.
+        # scores shape costs GRPx the VPU work). Positions kv_len-q_len..
+        # kv_len-1 are this step's own rows — stale in the DMA'd page,
+        # covered by the self-term in _init_group — so history masks there.
         n_cols = GRP * block_size
         col2 = jax.lax.broadcasted_iota(jnp.int32, (hkv, n_cols), 1)
         kvc2 = per_seq_scalar(
             (hkv, n_cols), 1, block_size, lambda s_: kv_lens_ref[s_]
         )
         pos2 = j * block_size + col2 % block_size
-        hist = pos2 < kvc2 - 1
+        hist = pos2 < kvc2 - q_len
         if window is not None:
             # Sliding window: the (single) query sits at position kv_len-1;
             # history keys in (kv_len-1 - window, kv_len-1). Static branch —
@@ -512,51 +556,103 @@ def _decode_kernel(
         # buffers; a lane's previous write is waited only when the lane
         # writes again (>= one full group later) or at the last grid step.
         for wl in range(GRP):
-            off = kv_lens_ref[g * GRP + wl] - 1 - j * block_size
+            # Row-0 in-page offset of this lane's appends (QL=1: the single
+            # new row at kv_len-1). Spec verify (q_len>1) appends
+            # append_lens[seq] rows starting there — possibly spilling into
+            # the next page, whose own pair visit writes the spilled part.
+            off = kv_lens_ref[g * GRP + wl] - q_len - j * block_size
+            if q_len == 1:
+                wb_cond = (off >= 0) & (off < block_size)
+                n_wr = jnp.int32(1)
+            else:
+                n_wr = append_lens_ref[g * GRP + wl]
+                wb_cond = (off + n_wr > 0) & (off < block_size) & (n_wr > 0)
 
-            @pl.when((off >= 0) & (off < block_size))
-            def _write_back(wl=wl, off=off):
+            @pl.when(wb_cond)
+            def _write_back(wl=wl, off=off, n_wr=n_wr):
                 @pl.when(wb_flags[wl] == 1)
                 def _drain_prev(wl=wl):
                     _wait_lane_writes(wl)
 
                 wb_flags[wl] = 1
-                offt = pl.multiple_of((off // wb_tile) * wb_tile, wb_tile)
-                r = off - offt
+                if q_len == 1:
+                    offt = pl.multiple_of((off // wb_tile) * wb_tile, wb_tile)
+                else:
+                    # Double-width window: any in-page run of <= q_len (<=
+                    # wb_tile) rows fits a 2*wb_tile aligned window clamped
+                    # to the page end.
+                    lo = jnp.maximum(off, 0)
+                    offt = pl.multiple_of(
+                        jnp.minimum(
+                            (lo // wb_tile) * wb_tile, block_size - wb_store
+                        ),
+                        wb_tile,
+                    )
                 base = wl * block_size
-                rows_k = k_buf[slot, :, pl.ds(base + offt, wb_tile), :]
-                rows_v = v_buf[slot, :, pl.ds(base + offt, wb_tile), :]
-                sel = jax.lax.broadcasted_iota(jnp.int32, rows_k.shape, 1) == r
-                wk_buf[wl] = jnp.where(
-                    sel, k_store_ref[:, wl].astype(rows_k.dtype), rows_k
-                )
-                wv_buf[wl] = jnp.where(
-                    sel, v_store_ref[:, wl].astype(rows_v.dtype), rows_v
-                )
+                rows_k = k_buf[slot, :, pl.ds(base + offt, wb_store), :]
+                rows_v = v_buf[slot, :, pl.ds(base + offt, wb_store), :]
+                ri = jax.lax.broadcasted_iota(jnp.int32, rows_k.shape, 1)
+                if q_len == 1:
+                    sel = ri == off - offt
+                    pk = jnp.where(
+                        sel, k_store_ref[:, wl].astype(rows_k.dtype), rows_k
+                    )
+                    pv = jnp.where(
+                        sel, v_store_ref[:, wl].astype(rows_v.dtype), rows_v
+                    )
+                else:
+                    pk, pv = rows_k, rows_v
+                    for ql in range(q_len):
+                        sel = (ri == off + ql - offt) & (n_wr > ql)
+                        pk = jnp.where(
+                            sel,
+                            k_store_ref[:, wl, ql: ql + 1].astype(pk.dtype),
+                            pk,
+                        )
+                        pv = jnp.where(
+                            sel,
+                            v_store_ref[:, wl, ql: ql + 1].astype(pv.dtype),
+                            pv,
+                        )
+                wk_buf[wl] = pk
+                wv_buf[wl] = pv
                 page_id = tables_ref[g * GRP + wl, j]
                 pltpu.make_async_copy(
                     wk_buf.at[wl],
-                    k_out_hbm.at[layer, :, page_id, pl.ds(offt, wb_tile)],
+                    k_out_hbm.at[layer, :, page_id, pl.ds(offt, wb_store)],
                     w_sems.at[0, wl],
                 ).start()
                 pltpu.make_async_copy(
                     wv_buf.at[wl],
-                    v_out_hbm.at[layer, :, page_id, pl.ds(offt, wb_tile)],
+                    v_out_hbm.at[layer, :, page_id, pl.ds(offt, wb_store)],
                     w_sems.at[1, wl],
                 ).start()
                 if quantized:
                     # Scale slabs are [Hkv, block] with block on the lane dim:
-                    # patch one lane in registers and rewrite the whole slab.
+                    # patch the appended lanes in registers and rewrite the
+                    # whole slab.
                     lane = jax.lax.broadcasted_iota(
                         jnp.int32, (hkv, block_size), 1
                     )
                     strip = pl.ds(base, block_size)
-                    wks_buf[wl] = jnp.where(
-                        lane == off, ks_new_ref[:, wl], ks_buf[slot, :, strip]
-                    )
-                    wvs_buf[wl] = jnp.where(
-                        lane == off, vs_new_ref[:, wl], vs_buf[slot, :, strip]
-                    )
+                    if q_len == 1:
+                        pks = jnp.where(
+                            lane == off, ks_new_ref[:, wl],
+                            ks_buf[slot, :, strip],
+                        )
+                        pvs = jnp.where(
+                            lane == off, vs_new_ref[:, wl],
+                            vs_buf[slot, :, strip],
+                        )
+                    else:
+                        pks = ks_buf[slot, :, strip]
+                        pvs = vs_buf[slot, :, strip]
+                        for ql in range(q_len):
+                            cnd = (lane == off + ql) & (n_wr > ql)
+                            pks = jnp.where(cnd, ks_new_ref[:, wl, ql], pks)
+                            pvs = jnp.where(cnd, vs_new_ref[:, wl, ql], pvs)
+                    wks_buf[wl] = pks
+                    wvs_buf[wl] = pvs
                     pltpu.make_async_copy(
                         wks_buf.at[wl], ks_out_hbm.at[layer, page_id],
                         w_sems.at[2, wl],
@@ -568,7 +664,7 @@ def _decode_kernel(
 
         # sm_scale folds into q (tiny tensor) instead of a pass over scores.
         q = (
-            q_ref[...].astype(jnp.float32).reshape(hkv, GRP * groups, hd)
+            q_ref[...].astype(jnp.float32).reshape(hkv, GRP * qlg, hd)
             * sm_scale
         ).astype(DOT_DTYPE)
         # Convert pages to a wide dtype BEFORE any select (narrow-dtype
@@ -605,9 +701,9 @@ def _decode_kernel(
         # ``hist``, the block-diagonal from a 2D [GRP*G, GRP*block] pattern.
         # (Broadcast ADDS of a size-1 middle dim crash Mosaic — selects with
         # the same broadcast lower fine, like the quantized scale folds.)
-        r2 = jax.lax.broadcasted_iota(jnp.int32, (GRP * groups, n_cols), 0)
-        c2 = jax.lax.broadcasted_iota(jnp.int32, (GRP * groups, n_cols), 1)
-        diag2 = r2 // groups == c2 // block_size
+        r2 = jax.lax.broadcasted_iota(jnp.int32, (GRP * qlg, n_cols), 0)
+        c2 = jax.lax.broadcasted_iota(jnp.int32, (GRP * qlg, n_cols), 1)
+        diag2 = r2 // qlg == c2 // block_size
         scores = jnp.where(hist[:, None, :], scores, MASK_VALUE)
         scores = jnp.where(diag2[None, :, :], scores, MASK_VALUE)
 
@@ -636,8 +732,8 @@ def _decode_kernel(
         def _store():
             l = l_scr[:, :, 0]
             l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-            out = acc_scr[...] * l_inv[:, :, None]    # [Hkv, GRP*G, hd]
-            o_ref[...] = out.reshape(hkv, GRP, groups, hd).astype(o_ref.dtype)
+            out = acc_scr[...] * l_inv[:, :, None]    # [Hkv, GRP*QL*G, hd]
+            o_ref[...] = out.reshape(hkv, GRP, qlg, hd).astype(o_ref.dtype)
 
     @pl.when(i == np_ - 1)
     def _drain_all_writes():
@@ -649,9 +745,9 @@ def _decode_kernel(
 
 
 def paged_decode_attention(
-    q: jax.Array,        # [S, Hq, hd] (one query token per sequence)
-    k_new: jax.Array,    # [S, Hkv, hd] new K rows (appended at kv_len-1)
-    v_new: jax.Array,
+    q: jax.Array,        # [S*q_len, Hq, hd] (q_len query tokens per sequence)
+    k_new: jax.Array,    # [S*q_len, Hkv, hd] new K rows (appended starting at
+    v_new: jax.Array,    #                    kv_len - q_len per sequence)
     k_cache,             # [L, Hkv, blocks, block, hd], or (values, scales)
     v_cache,
     layer,
@@ -659,16 +755,26 @@ def paged_decode_attention(
     *,
     sm_scale: float,
     window: int | None = None,
+    q_len: int = 1,
     interpret: bool = False,
 ):
-    """Returns (out [S, Hq, hd], k_cache, v_cache) — caches updated in place.
-    Quantized caches are (values, f32 per-token scales) pairs: int8 values
-    full-head, or uint8 nibble-packed int4 ([Hkv/2] bytes per head pair,
-    see quantize_kv_rows_int4). ``window``: sliding-window attention (keys
-    in (q_pos - window, q_pos]); pages the window has wholly rolled past are
-    skipped — dropped from the worklist when every lane of a group is past
-    them (build_step_inputs) and per-lane DMA-skipped inside visited pairs
-    (lane_rows)."""
+    """Returns (out [S*q_len, Hq, hd], k_cache, v_cache) — caches updated in
+    place. Quantized caches are (values, f32 per-token scales) pairs: int8
+    values full-head, or uint8 nibble-packed int4 ([Hkv/2] bytes per head
+    pair, see quantize_kv_rows_int4). ``window``: sliding-window attention
+    (keys in (q_pos - window, q_pos]); pages the window has wholly rolled
+    past are skipped — dropped from the worklist when every lane of a group
+    is past them (build_step_inputs) and per-lane DMA-skipped inside visited
+    pairs (lane_rows).
+
+    ``q_len > 1`` is the speculative-decoding verify mode: each sequence
+    contributes q_len consecutive query rows (its last token + drafts) at
+    positions [kv_len - q_len, kv_len - 1]; meta.kv_lens is the total INCLUDING
+    the chunk, history pages mask at kv_len - q_len, and the chunk's causal
+    self-attention folds into the accumulator init (the q_len x q_len new-row
+    block never touches HBM). meta.append_lens bounds the per-sequence fused
+    appends (rejected-draft rows past a sequence's length cap are skipped).
+    q_len == 1 compiles to exactly the r3 decode program."""
     quantized = _is_quantized(k_cache)
     if quantized:
         kc, ks = k_cache
@@ -678,32 +784,64 @@ def paged_decode_attention(
         kc, vc = k_cache, v_cache
         ks = vs = jnp.zeros((1, 1, 1, 1), jnp.float32)
         kv_bits = 0
-    S, Hq, hd = q.shape
+    T, Hq, hd = q.shape
+    S = T // q_len
+    assert S * q_len == T
     _, Hs, _, block_size, _ = kc.shape      # storage head count
     Hkv = 2 * Hs if kv_bits == 4 else Hs    # logical kv heads
     groups = Hq // Hkv
     assert S % GRP == 0, f"decode bucket {S} not a multiple of group {GRP}"
     wb_tile = 32 if quantized else 8
-    assert block_size % wb_tile == 0
-    q_hm = q.reshape(S, Hkv, groups, hd).transpose(1, 0, 2, 3)
-    k_new_hm = k_new.transpose(1, 0, 2)[:, :, None]
-    v_new_hm = v_new.transpose(1, 0, 2)[:, :, None]
+    # Multi-row appends stage a double-width aligned window (a run of up to
+    # q_len rows can straddle one wb_tile boundary).
+    wb_store = wb_tile if q_len == 1 else 2 * wb_tile
+    assert block_size % wb_tile == 0 and block_size >= wb_store
+    assert q_len <= wb_tile, f"q_len {q_len} exceeds staging tile {wb_tile}"
+    assert window is None or q_len == 1, "spec verify assumes full attention"
+    if q_len == 1:
+        q_hm = q.reshape(S, Hkv, groups, hd).transpose(1, 0, 2, 3)
+        k_new_hm = k_new.transpose(1, 0, 2)[:, :, None]
+        v_new_hm = v_new.transpose(1, 0, 2)[:, :, None]
+    else:
+        q_hm = (
+            q.reshape(S, q_len, Hkv, groups, hd)
+            .transpose(2, 0, 1, 3, 4)
+            .reshape(Hkv, S, q_len * groups, hd)
+        )
+        k_new_hm = k_new.reshape(S, q_len, Hkv, hd).transpose(2, 0, 1, 3)
+        v_new_hm = v_new.reshape(S, q_len, Hkv, hd).transpose(2, 0, 1, 3)
     if quantized:
         rowq = quantize_kv_rows_int4 if kv_bits == 4 else quantize_kv_rows
-        kq, ksc = rowq(k_new)   # [S, Hs, hd], [S, Hkv]
+        kq, ksc = rowq(k_new)   # [T, Hs, hd], [T, Hkv]
         vq, vsc = rowq(v_new)
-        k_store = kq.transpose(1, 0, 2)[:, :, None]
-        v_store = vq.transpose(1, 0, 2)[:, :, None]
-        ks_new = jnp.broadcast_to(
-            ksc.T[:, :, None], (Hkv, S, block_size)
-        )
-        vs_new = jnp.broadcast_to(
-            vsc.T[:, :, None], (Hkv, S, block_size)
-        )
+        if q_len == 1:
+            k_store = kq.transpose(1, 0, 2)[:, :, None]
+            v_store = vq.transpose(1, 0, 2)[:, :, None]
+            ks_new = jnp.broadcast_to(
+                ksc.T[:, :, None], (Hkv, S, block_size)
+            )
+            vs_new = jnp.broadcast_to(
+                vsc.T[:, :, None], (Hkv, S, block_size)
+            )
+        else:
+            k_store = kq.reshape(S, q_len, Hs, hd).transpose(2, 0, 1, 3)
+            v_store = vq.reshape(S, q_len, Hs, hd).transpose(2, 0, 1, 3)
+            ks_new = jnp.broadcast_to(
+                ksc.reshape(S, q_len, Hkv).transpose(2, 0, 1)[..., None],
+                (Hkv, S, q_len, block_size),
+            )
+            vs_new = jnp.broadcast_to(
+                vsc.reshape(S, q_len, Hkv).transpose(2, 0, 1)[..., None],
+                (Hkv, S, q_len, block_size),
+            )
     else:
         k_store = k_new_hm.astype(kc.dtype)
         v_store = v_new_hm.astype(vc.dtype)
-        ks_new = vs_new = jnp.zeros((Hkv, S, block_size), jnp.float32)
+        ks_shape = (
+            (Hkv, S, block_size) if q_len == 1
+            else (Hkv, S, q_len, block_size)
+        )
+        ks_new = vs_new = jnp.zeros(ks_shape, jnp.float32)
         k_new_hm = k_store
         v_new_hm = v_store
 
@@ -715,6 +853,10 @@ def paged_decode_attention(
     win_ops = (
         (jnp.reshape(jnp.asarray(window, jnp.int32), (1,)),) if windowed else ()
     )
+    # Per-sequence fused-append row counts (spec verify mode only).
+    al_ops = (
+        (meta.append_lens.astype(jnp.int32),) if q_len > 1 else ()
+    )
 
     def grp_index(i, layer_r, kv_lens_r, tables_r, num_seqs_r, pair_grp_r,
                   pair_page_r, *rest):
@@ -725,24 +867,34 @@ def paged_decode_attention(
         lambda i, *refs: (0, grp_index(i, *refs)) + (0,) * (len(shape) - 2),
         memory_space=pltpu.VMEM,
     )
+    new_block = (
+        (Hkv, GRP, 1, hd) if q_len == 1 else (Hkv, GRP, q_len, hd)
+    )
+    store_block = (
+        (Hs, GRP, 1, hd) if q_len == 1 else (Hs, GRP, q_len, hd)
+    )
+    scale_block = (
+        (Hkv, GRP, block_size) if q_len == 1
+        else (Hkv, GRP, q_len, block_size)
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6 + len(win_ops),
+        num_scalar_prefetch=6 + len(al_ops) + len(win_ops),
         grid=(NP,),
         in_specs=[
-            grp_block((Hkv, GRP, groups, hd)),   # q
-            grp_block((Hkv, GRP, 1, hd)),        # k_new (compute dtype)
-            grp_block((Hkv, GRP, 1, hd)),        # v_new
-            grp_block((Hs, GRP, 1, hd)),         # k_store (cache dtype)
-            grp_block((Hs, GRP, 1, hd)),         # v_store
-            grp_block((Hkv, GRP, block_size)),   # ks_new (lane-broadcast)
-            grp_block((Hkv, GRP, block_size)),   # vs_new
+            grp_block((Hkv, GRP, q_len * groups, hd)),   # q
+            grp_block(new_block),                # k_new (compute dtype)
+            grp_block(new_block),                # v_new
+            grp_block(store_block),              # k_store (cache dtype)
+            grp_block(store_block),              # v_store
+            grp_block(scale_block),              # ks_new (lane-broadcast)
+            grp_block(scale_block),              # vs_new
             pl.BlockSpec(memory_space=pl.ANY),   # k pages (HBM)
             pl.BlockSpec(memory_space=pl.ANY),   # v pages
             pl.BlockSpec(memory_space=pl.ANY),   # k scales
             pl.BlockSpec(memory_space=pl.ANY),   # v scales
         ],
         out_specs=[
-            grp_block((Hkv, GRP, groups, hd)),   # o
+            grp_block((Hkv, GRP, q_len * groups, hd)),   # o
             pl.BlockSpec(memory_space=pl.ANY),   # aliased caches
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -761,8 +913,8 @@ def paged_decode_attention(
             ),
             pltpu.SemaphoreType.DMA((4, 3, GRP)),
             pltpu.SemaphoreType.DMA((4, GRP)),
-            pltpu.VMEM((GRP, Hs, wb_tile, hd), kc.dtype),
-            pltpu.VMEM((GRP, Hs, wb_tile, hd), vc.dtype),
+            pltpu.VMEM((GRP, Hs, wb_store, hd), kc.dtype),
+            pltpu.VMEM((GRP, Hs, wb_store, hd), vc.dtype),
             pltpu.VMEM(
                 (GRP, Hkv, block_size) if quantized else (1, 1, 1), jnp.float32
             ),
@@ -771,20 +923,21 @@ def paged_decode_attention(
             ),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SMEM((GRP,), jnp.int32),
-            pltpu.VMEM((Hkv, GRP * groups, 128), jnp.float32),
-            pltpu.VMEM((Hkv, GRP * groups, 128), jnp.float32),
-            pltpu.VMEM((Hkv, GRP * groups, hd), jnp.float32),
+            pltpu.VMEM((Hkv, GRP * q_len * groups, 128), jnp.float32),
+            pltpu.VMEM((Hkv, GRP * q_len * groups, 128), jnp.float32),
+            pltpu.VMEM((Hkv, GRP * q_len * groups, hd), jnp.float32),
         ],
     )
     kernel = functools.partial(
         _decode_kernel, block_size=block_size, sm_scale=sm_scale,
         quantized=quantized, kv_bits=kv_bits, wb_tile=wb_tile,
-        windowed=windowed, interpret=interpret,
+        wb_store=wb_store, q_len=q_len, windowed=windowed,
+        interpret=interpret,
     )
     # Inputs count from the start of the scalar-prefetch operands: 6 scalars
-    # (+1 window), then q k_new v_new k_store v_store ks_new vs_new, then
-    # the aliased HBM caches k/v/ks/vs.
-    base = 13 + len(win_ops)
+    # (+1 append_lens in spec mode, +1 window), then q k_new v_new k_store
+    # v_store ks_new vs_new, then the aliased HBM caches k/v/ks/vs.
+    base = 13 + len(al_ops) + len(win_ops)
     aliases = {base: 1, base + 1: 2}
     if quantized:
         aliases.update({base + 2: 3, base + 3: 4})
@@ -792,7 +945,7 @@ def paged_decode_attention(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((Hkv, S, groups, hd), q.dtype),
+            jax.ShapeDtypeStruct((Hkv, S, q_len * groups, hd), q.dtype),
             jax.ShapeDtypeStruct(kc.shape, kc.dtype),
             jax.ShapeDtypeStruct(vc.shape, vc.dtype),
             jax.ShapeDtypeStruct(ks.shape, ks.dtype),
@@ -807,11 +960,18 @@ def paged_decode_attention(
     )(
         jnp.reshape(jnp.asarray(layer, jnp.int32), (1,)),
         meta.kv_lens, meta.block_tables, meta.num_seqs,
-        meta.pair_tile, meta.pair_page, *win_ops,
+        meta.pair_tile, meta.pair_page, *al_ops, *win_ops,
         q_hm, k_new_hm, v_new_hm, k_store, v_store, ks_new, vs_new,
         kc, vc, ks, vs,
     )
-    out = out.transpose(1, 0, 2, 3).reshape(S, Hq, hd)
+    if q_len == 1:
+        out = out.transpose(1, 0, 2, 3).reshape(S, Hq, hd)
+    else:
+        out = (
+            out.reshape(Hkv, S, q_len, groups, hd)
+            .transpose(1, 2, 0, 3, 4)
+            .reshape(T, Hq, hd)
+        )
     if quantized:
         return out, (kc, ks), (vc, vs)
     return out, kc, vc

@@ -51,8 +51,9 @@ def ngram_propose(hist: jax.Array, lens: jax.Array, k: int) -> jax.Array:
     return jnp.where(ok, drafts, -1)
 
 
-def head_argmax(h: jax.Array, w, chunk: int = 8192) -> jax.Array:
-    """Greedy next-token ids: argmax_v of ``h @ w[v].T`` WITHOUT
+def head_argmax(h: jax.Array, w, chunk: int = 8192):
+    """Greedy next-token (max logit, argmax id) per row: argmax_v of
+    ``h @ w[v].T`` WITHOUT
     materializing the [rows, V] logits (the verify pass scores
     S*(K+1) rows — full f32 logits would be GBs at bench shapes).
 
@@ -86,7 +87,27 @@ def head_argmax(h: jax.Array, w, chunk: int = 8192) -> jax.Array:
     best = jnp.full((h.shape[0],), -jnp.inf, jnp.float32)
     idx = jnp.zeros((h.shape[0],), jnp.int32)
     best, idx = jax.lax.fori_loop(0, n_chunks, body, (best, idx))
-    return idx
+    return best, idx
+
+
+def head_argmax_tp(h: jax.Array, w, axis: str | None,
+                   chunk: int = 8192) -> jax.Array:
+    """``head_argmax`` under tensor parallelism: inside a shard_map each rank
+    holds a rank-blocked vocab shard of ``w`` (rank r owns global rows
+    [r*Vs, (r+1)*Vs) — utils/loader.py fuses rank-blocked, and the normal
+    logits path all-gathers shards back into global order). Combine local
+    (max, argmax) across ranks: the all-gathered rank axis is ordered, so
+    taking the first maximal rank preserves jnp.argmax's lowest-global-index
+    tie-breaking."""
+    best, idx = head_argmax(h, w, chunk=chunk)
+    if axis is None:
+        return idx
+    vs = quant.shape_of(w)[0]  # local (per-rank) vocab rows
+    idx = idx + jax.lax.axis_index(axis).astype(jnp.int32) * vs
+    bests = jax.lax.all_gather(best, axis)           # [tp, rows]
+    idxs = jax.lax.all_gather(idx, axis)
+    r = jnp.argmax(bests, axis=0)                    # first max: lowest rank
+    return jnp.take_along_axis(idxs, r[None, :], axis=0)[0]
 
 
 def accept_drafts(qtok: jax.Array, am: jax.Array, eligible: jax.Array,

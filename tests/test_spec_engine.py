@@ -1,0 +1,159 @@
+"""End-to-end speculative decoding: token identity with the non-spec engine.
+
+Spec-decode CORRECTNESS is weight-independent: greedy acceptance only keeps a
+draft when it equals the model's own argmax, so the emitted stream must be
+bit-identical to the spec_k=0 run whatever the weights propose. Random tiny
+models routinely fall into greedy cycles, which the ngram drafter then
+predicts — so these tests exercise real accepted-draft paths, not just the
+all-rejected degenerate case (asserted below).
+"""
+
+import numpy as np
+import pytest
+
+from nanovllm_tpu import LLM, SamplingParams
+
+
+def _gen(path, prompts, params, **kw):
+    llm = LLM(
+        path,
+        max_num_batched_tokens=256,
+        max_model_len=256,
+        max_num_seqs=8,
+        kvcache_block_size=16,
+        enforce_eager=True,
+        **kw,
+    )
+    try:
+        return llm.generate(prompts, params, use_tqdm=False), llm
+    finally:
+        llm.exit()
+
+
+PROMPTS = [
+    [3, 4, 5, 3, 4, 5, 3, 4],        # repetitive: ngram matches in-prompt
+    [7, 8, 9, 10, 11],
+    [2, 2, 2, 2],
+    [5, 9, 5, 9, 5, 9],
+    [11, 12, 13],
+]
+
+
+def test_spec_greedy_token_identity(tiny_qwen3_dir):
+    sp = SamplingParams(temperature=0.0, max_tokens=48, ignore_eos=True)
+    base, _ = _gen(tiny_qwen3_dir, PROMPTS, sp)
+    for k in (1, 3):
+        out, llm = _gen(tiny_qwen3_dir, PROMPTS, sp, spec_k=k)
+        for i, (b, o) in enumerate(zip(base, out)):
+            assert o["token_ids"] == b["token_ids"], (i, k)
+
+
+def test_spec_accepts_drafts(tiny_qwen3_dir):
+    """Greedy runs of tiny random models cycle; the drafter must ride the
+    cycle: strictly fewer decode steps than emitted tokens."""
+    sp = SamplingParams(temperature=0.0, max_tokens=64, ignore_eos=True)
+    llm = LLM(
+        tiny_qwen3_dir, max_num_batched_tokens=256, max_model_len=256,
+        max_num_seqs=8, kvcache_block_size=16, enforce_eager=True, spec_k=3,
+    )
+    try:
+        llm.generate(PROMPTS, sp, use_tqdm=False)
+        m = llm.metrics
+        total = len(PROMPTS) * 64
+        assert m.num_decode_steps < total, (
+            f"no drafts accepted: {m.num_decode_steps} steps for {total} toks"
+        )
+    finally:
+        llm.exit()
+
+
+def test_spec_max_tokens_exact(tiny_qwen3_dir):
+    """Length caps must hold exactly even when they land mid-accepted-pack."""
+    params = [
+        SamplingParams(temperature=0.0, max_tokens=m, ignore_eos=True)
+        for m in (1, 2, 3, 5, 17)
+    ]
+    base, _ = _gen(tiny_qwen3_dir, PROMPTS, params)
+    out, _ = _gen(tiny_qwen3_dir, PROMPTS, params, spec_k=3)
+    for i, (b, o) in enumerate(zip(base, out)):
+        assert o["token_ids"] == b["token_ids"], i
+        assert len(o["token_ids"]) == (1, 2, 3, 5, 17)[i]
+
+
+def test_spec_mixed_temperature_batch(tiny_qwen3_dir):
+    """Non-greedy rows fall back to 1 token/step inside the spec program;
+    greedy rows must still match the baseline exactly."""
+    params = [
+        SamplingParams(temperature=0.0 if i % 2 == 0 else 0.8,
+                       max_tokens=32, ignore_eos=True)
+        for i in range(len(PROMPTS))
+    ]
+    base, _ = _gen(tiny_qwen3_dir, PROMPTS, params)
+    out, _ = _gen(tiny_qwen3_dir, PROMPTS, params, spec_k=2)
+    for i in range(0, len(PROMPTS), 2):  # greedy rows only
+        assert out[i]["token_ids"] == base[i]["token_ids"], i
+    for i in range(1, len(PROMPTS), 2):  # sampled rows: right length
+        assert len(out[i]["token_ids"]) == 32
+
+
+def test_spec_fallback_features(tiny_qwen3_dir):
+    """A logprobs / top-k request forces the whole batch onto the fallback
+    decode variant for its steps; everything stays exact."""
+    params = [
+        SamplingParams(temperature=0.0, max_tokens=24, ignore_eos=True),
+        SamplingParams(temperature=0.0, max_tokens=24, ignore_eos=True,
+                       logprobs=True),
+        SamplingParams(temperature=0.7, max_tokens=24, ignore_eos=True,
+                       top_k=8),
+    ]
+    prompts = PROMPTS[:3]
+    base, _ = _gen(tiny_qwen3_dir, prompts, params)
+    out, _ = _gen(tiny_qwen3_dir, prompts, params, spec_k=3)
+    assert out[0]["token_ids"] == base[0]["token_ids"]
+    assert out[1]["token_ids"] == base[1]["token_ids"]
+    assert len(out[1]["logprobs"]) == 24
+    assert len(out[2]["token_ids"]) == 24
+
+
+def test_spec_preemption_identity(tiny_qwen3_dir):
+    """A KV pool too small for the whole batch forces preempt-by-recompute
+    mid-generation; outputs stay identical to the unconstrained baseline."""
+    sp = SamplingParams(temperature=0.0, max_tokens=40, ignore_eos=True)
+    base, _ = _gen(tiny_qwen3_dir, PROMPTS, sp)
+    out, _ = _gen(
+        tiny_qwen3_dir, PROMPTS, sp, spec_k=3, num_kvcache_blocks=24
+    )
+    for i, (b, o) in enumerate(zip(base, out)):
+        assert o["token_ids"] == b["token_ids"], i
+
+
+def test_spec_prefix_cache_identity(tiny_qwen3_dir):
+    """Prefix-cache hits skip re-embedding (stale history rows may degrade
+    draft quality but never correctness)."""
+    long_prompt = list(range(2, 13)) * 5  # > 2 full 16-token blocks
+    sp = SamplingParams(temperature=0.0, max_tokens=24, ignore_eos=True)
+    llm = LLM(
+        tiny_qwen3_dir, max_num_batched_tokens=256, max_model_len=256,
+        max_num_seqs=8, kvcache_block_size=16, enforce_eager=True, spec_k=3,
+    )
+    try:
+        first = llm.generate([long_prompt], sp, use_tqdm=False)
+        second = llm.generate([long_prompt], sp, use_tqdm=False)  # cache hit
+        assert first[0]["token_ids"] == second[0]["token_ids"]
+        bm = llm.scheduler.block_manager
+        assert bm.cached_prompt_tokens > 0  # the second run actually hit
+    finally:
+        llm.exit()
+
+
+def test_spec_seeded_and_min_tokens_run(tiny_qwen3_dir):
+    """Seeded sampling reproduces its trace through the fallback variant,
+    and min_tokens still suppresses EOS (conservatively) under spec."""
+    sp = SamplingParams(temperature=0.9, max_tokens=16, seed=7,
+                        ignore_eos=True)
+    a, _ = _gen(tiny_qwen3_dir, PROMPTS[:2], sp, spec_k=2)
+    b, _ = _gen(tiny_qwen3_dir, PROMPTS[:2], sp, spec_k=2)
+    assert a[0]["token_ids"] == b[0]["token_ids"]
+    sp2 = SamplingParams(temperature=0.0, max_tokens=12, min_tokens=12)
+    out, _ = _gen(tiny_qwen3_dir, PROMPTS[:1], sp2, spec_k=2)
+    assert len(out[0]["token_ids"]) == 12

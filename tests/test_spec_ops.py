@@ -56,7 +56,7 @@ def test_head_argmax_matches_full_logits(mode):
     exp = np.asarray(jnp.argmax(quant.head_matmul(h, w), axis=-1))
     # chunk=300 also exercises the clamped-overlap last chunk (1000 % 300).
     for chunk in (128, 300, 8192):
-        got = np.asarray(head_argmax(h, w, chunk=chunk))
+        got = np.asarray(head_argmax(h, w, chunk=chunk)[1])
         np.testing.assert_array_equal(got, exp)
 
 
