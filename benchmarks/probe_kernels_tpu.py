@@ -386,3 +386,70 @@ d = np.abs(np.asarray(out, np.float32)[live]
 print("gemma prefill int8-KV max diff:", d)
 assert d < 0.07, d
 print("GEMMA TPU PROBE PASS")
+
+# ---- speculative verify mode: decode kernel with q_len = 4 -----------------
+# Chunks of 4 rows per sequence (last token + 3 drafts): in-register causal
+# new-row block, history mask at kv_len - q_len, multi-row write-back with a
+# page-boundary spill (start 254 writes rows 254..257), and an append_lens=1
+# (ineligible) lane whose draft rows are junk (row 0 compared only).
+QL = 4
+starts4 = [254, 2, 511, 300, 70]          # row-0 positions
+appends4 = [4, 4, 4, 4, 1]
+reqs = []
+nb4 = 25
+for s0 in starts4:
+    pages = -(-(s0 + QL) // BLOCK)
+    reqs.append(dict(token_ids=[1] * QL, start=s0, kv_len=s0 + QL,
+                     block_table=list(range(nb4, nb4 + pages)),
+                     temperature=1.0))
+    nb4 += pages
+inputs = build_step_inputs(reqs, block_size=BLOCK, num_tokens_bucket=8 * QL,
+                           num_seqs_bucket=8, max_blocks_per_seq=3,
+                           rng=np.zeros(2, np.uint32), group_pairs=GRP)
+smap = np.asarray(inputs.slot_mapping).copy()
+al = np.zeros(8, np.int32)
+for i, n in enumerate(appends4):
+    al[i] = n
+    smap[i * QL + n: (i + 1) * QL] = -1
+inputs = inputs._replace(slot_mapping=smap)
+meta = meta_of(inputs)._replace(append_lens=jnp.asarray(al))
+q = jnp.asarray(rng.standard_normal((8 * QL, HQ, HD)), jnp.bfloat16)
+kn = jnp.asarray(rng.standard_normal((8 * QL, HKV, HD)), jnp.bfloat16)
+vn = jnp.asarray(rng.standard_normal((8 * QL, HKV, HD)), jnp.bfloat16)
+ref, kr, vr = ragged_paged_attention_ref(q, kn, vn, kc, vc, 0, meta, sm_scale=SM)
+out, ko, vo = jax.jit(
+    lambda *a: paged_decode_attention(*a, 0, meta, sm_scale=SM, q_len=QL)
+)(q, kn, vn, kc, vc)
+rows = [r for i, n in enumerate(appends4) for r in range(i * QL, i * QL + n)]
+d = np.abs(np.asarray(out, np.float32)[rows]
+           - np.asarray(ref, np.float32)[rows]).max()
+print("decode spec q_len=4 max diff:", d)
+assert d < 0.05, d
+slots = smap
+live = slots >= 0
+kf = np.asarray(ko, np.float32)[0].reshape(HKV, -1, HD)
+np.testing.assert_allclose(kf[:, slots[live]],
+                           np.asarray(kn, np.float32)[live].transpose(1, 0, 2),
+                           rtol=0, atol=1e-2)
+print("spec multi-row write-back ok (incl. page spill)")
+
+# int8-KV spec verify
+ksc8 = (jnp.asarray(np.clip(rng.standard_normal((2, HKV, NB, BLOCK, HD)) * 40,
+                            -127, 127), jnp.int8),
+        jnp.asarray(rng.uniform(0.005, 0.02, (2, NB, HKV, BLOCK)), jnp.float32))
+vsc8 = (jnp.asarray(np.clip(rng.standard_normal((2, HKV, NB, BLOCK, HD)) * 40,
+                            -127, 127), jnp.int8),
+        jnp.asarray(rng.uniform(0.005, 0.02, (2, NB, HKV, BLOCK)), jnp.float32))
+ref, kr, vr = ragged_paged_attention_ref(q, kn, vn, ksc8, vsc8, 0, meta,
+                                         sm_scale=SM)
+out, ko, vo = jax.jit(
+    lambda *a: paged_decode_attention(*a, 0, meta, sm_scale=SM, q_len=QL)
+)(q, kn, vn, ksc8, vsc8)
+d = np.abs(np.asarray(out, np.float32)[rows]
+           - np.asarray(ref, np.float32)[rows]).max()
+print("decode spec q_len=4 int8-kv max diff:", d)
+assert d < 0.08, d
+np.testing.assert_array_equal(
+    np.asarray(ko[0])[0].reshape(HKV, -1, HD)[:, slots[live]],
+    np.asarray(kr[0])[0].reshape(HKV, -1, HD)[:, slots[live]])
+print("SPEC TPU PROBE PASS")

@@ -109,9 +109,14 @@ class Config:
             self.hf_config = AutoConfig.from_pretrained(self.model)
         max_pos = getattr(self.hf_config, "max_position_embeddings", self.max_model_len)
         self.max_model_len = min(self.max_model_len, max_pos)
-        assert self.max_num_batched_tokens >= self.max_model_len, (
-            "max_num_batched_tokens must cover max_model_len so any prompt fits "
-            "in one (possibly chunked) prefill budget"
+        # The prefill budget may be SMALLER than max_model_len (the
+        # reference's chunked prefill runs budget < prompt across steps,
+        # scheduler.py:42-51; a small budget is the standard knob for
+        # bounding prefill's interference with decode latency) — it just
+        # must admit at least one page-aligned chunk per step.
+        assert self.max_num_batched_tokens >= self.kvcache_block_size, (
+            "max_num_batched_tokens must cover at least one KV block so "
+            "chunked prefill can make progress"
         )
         assert self.max_num_batched_tokens % self.kvcache_block_size == 0, (
             "prefill budget must be a multiple of the KV block size so chunk "

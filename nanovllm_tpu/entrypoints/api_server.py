@@ -72,8 +72,14 @@ class ServingEngine:
     next prefill opportunity without draining the batch.
     """
 
-    def __init__(self, engine):
+    def __init__(self, engine, multihost: bool = False):
         self.engine = engine
+        # Multi-host serving (rank-0 request distribution, SURVEY §5): this
+        # process (0) owns the HTTP surface and broadcasts every admission /
+        # cancel / step decision; every other host runs ``serve_follower``
+        # and replays them, so the SPMD step stays lock-stepped while only
+        # one host needs the request stream.
+        self.multihost = multihost
         self.intake: queue.Queue = queue.Queue()
         self.active: dict[int, _StreamState] = {}
         self._stop = False
@@ -100,11 +106,16 @@ class ServingEngine:
 
     # ----------------------------------------------------- engine thread
 
-    def _admit(self, block: bool):
+    def _admit(self, block: bool) -> list:
+        """Apply queued submits/cancels in arrival order. Returns the replay
+        list for multi-host broadcast: ("submit", prompt, sp, seq_id) /
+        ("cancel", seq_id) — followers re-apply in the same order, and the
+        deterministic Sequence counter keeps seq ids aligned (asserted)."""
+        replay: list = []
         try:
             item = self.intake.get(timeout=0.05) if block else self.intake.get_nowait()
         except queue.Empty:
-            return
+            return replay
         while True:
             if item is not None and item[0] == "submit":
                 _, prompt, sp, out, handle = item
@@ -112,6 +123,7 @@ class ServingEngine:
                     seq = self.engine.add_request(prompt, sp)
                     handle["seq"] = seq
                     self.active[seq.seq_id] = _StreamState(seq, out)
+                    replay.append(("submit", prompt, sp, seq.seq_id))
                 except Exception as e:  # oversized prompt etc.
                     out.put({"error": str(e)})
                     out.put(_SENTINEL)
@@ -122,23 +134,37 @@ class ServingEngine:
                     st = self.active.pop(seq.seq_id)
                     st.out.put(_SENTINEL)
                     self.engine._emitted.pop(seq.seq_id, None)
+                    replay.append(("cancel", seq.seq_id))
             try:
                 item = self.intake.get_nowait()
             except queue.Empty:
-                return
+                return replay
 
     def _loop(self):
         engine = self.engine
+        bcast = None
+        if self.multihost:
+            from nanovllm_tpu.utils.distributed import broadcast_from_host0
+
+            bcast = broadcast_from_host0
         while not self._stop:
             # Block for work only when fully idle; otherwise just fold in
             # whatever has arrived and keep stepping.
-            self._admit(block=engine.is_finished())
+            replay = self._admit(block=engine.is_finished())
+            if bcast is not None:
+                do_step = not engine.is_finished()
+                if replay or do_step:
+                    bcast(("work", replay, do_step))
+                else:
+                    bcast(("idle",))
             if engine.is_finished():
                 continue
             drains_before = engine._drain_count
             engine.step()
             if engine._drain_count != drains_before:
                 self._emit()
+        if bcast is not None:
+            bcast(("stop",))
         for st in self.active.values():
             st.out.put(_SENTINEL)
 
@@ -633,16 +659,74 @@ def _make_handler(serving: ServingEngine):
     return Handler
 
 
-def serve(llm, host: str = "0.0.0.0", port: int = 8000):
+def serve(llm, host: str = "0.0.0.0", port: int = 8000,
+          multihost: bool = False):
     """Serve an existing LLM/LLMEngine — or a LIST of engine replicas
     (data-parallel pool; see ServingPool) — returns (server, serving).
-    Call ``server.serve_forever()`` (blocking) or drive it from a thread."""
+    Call ``server.serve_forever()`` (blocking) or drive it from a thread.
+    ``multihost``: this is process 0 of a multi-host SPMD deployment — every
+    admission/step broadcasts to the ``serve_follower`` loops on the other
+    hosts (rank-0 request distribution; only this host needs clients)."""
     if isinstance(llm, (list, tuple)):
         serving = ServingPool(list(llm))
     else:
-        serving = ServingEngine(llm)
+        serving = ServingEngine(llm, multihost=multihost)
     server = ThreadingHTTPServer((host, port), _make_handler(serving))
     return server, serving
+
+
+def serve_follower(engine, on_finish=None):
+    """Multi-host serving, hosts with ``jax.process_index() > 0``: replay
+    process 0's admission/cancel/step decisions so the SPMD step programs
+    stay lock-stepped. Blocks until the driver broadcasts shutdown.
+
+        init_multihost(...)                       # every host
+        llm = LLM(model, tensor_parallel_size=jax.device_count(), ...)
+        if jax.process_index() == 0:
+            server, serving = serve(llm, multihost=True)
+            server.serve_forever()
+        else:
+            serve_follower(llm)
+
+    Request values never touch hosts > 0: prompts/params arrive via the
+    broadcast, and sequence ids stay aligned because admissions replay in
+    the driver's order against the same deterministic engine (asserted).
+    """
+    from nanovllm_tpu.utils.distributed import broadcast_from_host0
+
+    live: dict[int, object] = {}
+    while True:
+        cmd = broadcast_from_host0()
+        if cmd[0] == "stop":
+            return
+        if cmd[0] == "idle":
+            continue
+        _, replay, do_step = cmd
+        for item in replay:
+            if item[0] == "submit":
+                _, prompt, sp, sid = item
+                seq = engine.add_request(prompt, sp)
+                assert seq.seq_id == sid, (
+                    f"follower sequence counter diverged: {seq.seq_id} != "
+                    f"{sid} (did this process create sequences outside the "
+                    f"replay?)"
+                )
+                live[sid] = seq
+            else:
+                seq = live.pop(item[1], None)
+                if seq is not None:
+                    engine.abort_request(seq)
+        if do_step:
+            engine.step()
+        done = [
+            k for k, s in live.items()
+            if s.is_finished and s.num_valued_tokens == s.num_tokens
+        ]
+        for sid in done:
+            seq = live.pop(sid)
+            engine._emitted.pop(sid, None)
+            if on_finish is not None:
+                on_finish(sid, seq.completion_token_ids)
 
 
 def main(argv=None):
@@ -668,6 +752,12 @@ def main(argv=None):
              "(device_offset = replica * tensor_parallel_size)",
     )
     ap.add_argument(
+        "--multihost", action="store_true",
+        help="multi-host SPMD serving: initialize jax.distributed (TPU pod "
+             "auto-detect), serve HTTP from process 0 and run the follower "
+             "replay loop on every other host (rank-0 request distribution)",
+    )
+    ap.add_argument(
         "--config", nargs="*", default=[],
         help="LLM config overrides as key=value (ints/floats auto-cast)",
     )
@@ -682,16 +772,30 @@ def main(argv=None):
             except ValueError:
                 continue
         kwargs[k] = v
-    if args.data_parallel > 1:
+    if args.multihost:
+        import jax
+
+        from nanovllm_tpu.utils.distributed import init_multihost
+
+        assert args.data_parallel == 1, "--multihost serves one SPMD engine"
+        init_multihost()  # TPU pods auto-detect coordinator/ranks
+        kwargs.setdefault("tensor_parallel_size", jax.device_count())
+        llm = LLM(args.model, **kwargs)
+        if jax.process_index() > 0:
+            serve_follower(llm)
+            return
+        server, serving = serve(llm, args.host, args.port, multihost=True)
+    elif args.data_parallel > 1:
         tp = int(kwargs.get("tensor_parallel_size", 1))
         llm = [
             LLM(args.model, device_offset=r * tp,
                 data_parallel_size=args.data_parallel, **kwargs)
             for r in range(args.data_parallel)
         ]
+        server, serving = serve(llm, args.host, args.port)
     else:
         llm = LLM(args.model, **kwargs)
-    server, serving = serve(llm, args.host, args.port)
+        server, serving = serve(llm, args.host, args.port)
     print(f"serving {args.model} on {args.host}:{args.port}")
     try:
         server.serve_forever()

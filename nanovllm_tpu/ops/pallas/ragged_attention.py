@@ -793,8 +793,9 @@ def paged_decode_attention(
     assert S % GRP == 0, f"decode bucket {S} not a multiple of group {GRP}"
     wb_tile = 32 if quantized else 8
     # Multi-row appends stage a double-width aligned window (a run of up to
-    # q_len rows can straddle one wb_tile boundary).
-    wb_store = wb_tile if q_len == 1 else 2 * wb_tile
+    # q_len rows can straddle one wb_tile boundary); a whole page suffices
+    # when pages are that small.
+    wb_store = wb_tile if q_len == 1 else min(2 * wb_tile, block_size)
     assert block_size % wb_tile == 0 and block_size >= wb_store
     assert q_len <= wb_tile, f"q_len {q_len} exceeds staging tile {wb_tile}"
     assert window is None or q_len == 1, "spec verify assumes full attention"

@@ -54,3 +54,51 @@ def _already_initialized() -> bool:
 def is_main_host() -> bool:
     """True on the host that should own user-facing output (progress bars)."""
     return jax.process_index() == 0
+
+
+# --------------------------------------------- rank-0 request distribution
+#
+# SPMD needs every host to run the same engine program on the same request
+# stream; these helpers let ONLY process 0 hold the stream (SURVEY §5: "rank-0
+# host broadcasts schedule / request distribution"). Objects pickle onto a
+# padded uint8 buffer broadcast via a device collective (gloo on CPU, DCN on
+# pods); buffer lengths round to 4 KiB buckets so repeated broadcasts reuse a
+# handful of compiled programs.
+
+_BCAST_BUCKET = 4096
+
+
+def broadcast_from_host0(obj=None):
+    """Broadcast any picklable object from process 0 to every host; other
+    hosts' ``obj`` argument is ignored. No-op on single-process runs."""
+    if jax.process_count() == 1:
+        return obj
+    import pickle
+
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    if jax.process_index() == 0:
+        data = np.frombuffer(pickle.dumps(obj), np.uint8)
+        n = data.size
+    else:
+        data = np.zeros(0, np.uint8)
+        n = 0
+    n = int(multihost_utils.broadcast_one_to_all(np.int32(n)))
+    padded = -(-max(n, 1) // _BCAST_BUCKET) * _BCAST_BUCKET
+    buf = np.zeros(padded, np.uint8)
+    buf[: data.size] = data
+    out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return pickle.loads(out[:n].tobytes())
+
+
+def distribute_requests(prompts=None, sampling_params=None):
+    """Offline-batch helper: process 0 passes the real (prompts,
+    sampling_params); every other host calls with no arguments and receives
+    them. All hosts then run the identical ``llm.generate(...)``:
+
+        prompts, params = distribute_requests(prompts, params)  # host 0
+        prompts, params = distribute_requests()                 # hosts > 0
+        out = llm.generate(prompts, params, use_tqdm=is_main_host())
+    """
+    return broadcast_from_host0((prompts, sampling_params))

@@ -111,6 +111,25 @@ def test_chunked_prefill_e2e(tiny_qwen3_dir):
     assert outs[1]["token_ids"] == hf_greedy(tiny_qwen3_dir, prompts[1], 6)
 
 
+def test_small_prefill_budget_below_model_len(tiny_qwen3_dir):
+    """Reference parity (scheduler.py:42-51): the prefill budget may be far
+    below max_model_len — long prompts chunk across steps and produce tokens
+    identical to the roomy-budget run."""
+    kw = {**ENGINE_KW, "max_model_len": 256, "kvcache_block_size": 16,
+          "prefill_buckets": (), "num_kvcache_blocks": 128}
+    prompt = np.random.default_rng(9).integers(2, 500, size=150).tolist()
+    prompts = [prompt, prompt[:37], [7, 8, 9]]
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    big = LLM(tiny_qwen3_dir, **{**kw, "max_num_batched_tokens": 256})
+    base = big.generate(prompts, sp, use_tqdm=False)
+    big.exit()
+    small = LLM(tiny_qwen3_dir, **{**kw, "max_num_batched_tokens": 32})
+    outs = small.generate(prompts, sp, use_tqdm=False)
+    small.exit()
+    for i, (b, o) in enumerate(zip(base, outs)):
+        assert o["token_ids"] == b["token_ids"], i
+
+
 def test_sampling_temperature_smoke(llm):
     rng = np.random.default_rng(5)
     prompts = [rng.integers(2, 500, size=10).tolist() for _ in range(3)]

@@ -986,3 +986,123 @@ def test_prefill_window_gates_pairs_on_full_worklist(quantized):
     )
     if not quantized:
         assert_written(ko, vo, kn, vn, inputs)
+
+
+# ------------------------------------------------ spec verify mode (q_len>1)
+
+
+def _spec_meta(reqs, ql, s_bucket, w, append_lens):
+    """Decode-kernel spec mode: ql-token chunks per seq, kv_len includes the
+    chunk; rows whose append the device masks carry slot -1 so the oracle's
+    scatter matches the kernel's append_lens-capped writes."""
+    inputs = build_step_inputs(
+        reqs, block_size=BLOCK, num_tokens_bucket=s_bucket * ql,
+        num_seqs_bucket=s_bucket, max_blocks_per_seq=w,
+        rng=np.zeros(2, np.uint32), group_pairs=GRP,
+    )
+    sm = np.asarray(inputs.slot_mapping).copy()
+    al = np.zeros(s_bucket, np.int32)
+    for i, n in enumerate(append_lens):
+        al[i] = n
+        sm[i * ql + n: (i + 1) * ql] = -1
+    inputs = inputs._replace(slot_mapping=sm)
+    return inputs, meta_from_inputs(inputs)._replace(
+        append_lens=jnp.asarray(al)
+    )
+
+
+def test_decode_spec_qlen_matches_oracle():
+    """q_len=4 verify chunks: in-register causal new-row block + history
+    masking at kv_len - q_len + multi-row write-back. Covers a chunk
+    crossing a page boundary (start 14 in 16-token pages), a short history,
+    an exact page multiple, and an append_lens=1 (ineligible) row whose
+    draft rows are junk (only row 0 compared)."""
+    ql = 4
+    rng = np.random.default_rng(31)
+    kc, vc = make_cache(rng, num_blocks=24)
+    # (row0 position + 1, appends): kv_len passed = start + ql.
+    starts = [14, 2, 31, 20, 5]
+    appends = [4, 4, 4, 4, 1]
+    reqs = []
+    nb = 0
+    for s0 in starts:
+        pages = -(-(s0 + ql) // BLOCK)
+        reqs.append(dict(token_ids=[1] * ql, start=s0, kv_len=s0 + ql,
+                         block_table=list(range(nb, nb + pages)),
+                         temperature=1.0))
+        nb += pages
+    inputs, meta = _spec_meta(reqs, ql, 8, 3, appends)
+    q = jnp.asarray(rng.standard_normal((8 * ql, HQ, HD), np.float32))
+    kn, vn = new_kv(rng, 8 * ql)
+
+    ref, kr, vr = ragged_paged_attention_ref(
+        q, kn, vn, kc, vc, 0, meta, sm_scale=SM
+    )
+    out, ko, vo = paged_decode_attention(
+        q, kn, vn, kc, vc, 0, meta, sm_scale=SM, q_len=ql, interpret=True
+    )
+    rows = []
+    for i, n in enumerate(appends):
+        rows += list(range(i * ql, i * ql + n))  # appended rows are exact
+    np.testing.assert_allclose(
+        np.asarray(out)[rows], np.asarray(ref)[rows], rtol=2e-2, atol=2e-2
+    )
+    assert_written(ko, vo, kn, vn, inputs)
+    np.testing.assert_allclose(np.asarray(ko), np.asarray(kr),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vo), np.asarray(vr),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_decode_spec_qlen_int8_kv():
+    """Spec verify over an int8 cache: scale-slab lane patches for several
+    appended rows per page, incl. a page-boundary spill (block 32)."""
+    block, ql = 32, 3
+    rng = np.random.default_rng(32)
+    kq = np.clip(rng.standard_normal((1, HKV, 16, block, HD)) * 40, -127, 127)
+    vq = np.clip(rng.standard_normal((1, HKV, 16, block, HD)) * 40, -127, 127)
+    kc = (jnp.asarray(kq, jnp.int8), jnp.asarray(
+        rng.uniform(0.005, 0.02, (1, 16, HKV, block)), jnp.float32))
+    vc = (jnp.asarray(vq, jnp.int8), jnp.asarray(
+        rng.uniform(0.005, 0.02, (1, 16, HKV, block)), jnp.float32))
+    starts = [30, 4, 63, 33]   # 30: spill 31,32,33 across the page boundary
+    appends = [3, 3, 3, 1]
+    reqs = []
+    nb = 0
+    for s0 in starts:
+        pages = -(-(s0 + ql) // block)
+        reqs.append(dict(token_ids=[1] * ql, start=s0, kv_len=s0 + ql,
+                         block_table=list(range(nb, nb + pages)),
+                         temperature=1.0))
+        nb += pages
+    inputs = build_step_inputs(
+        reqs, block_size=block, num_tokens_bucket=8 * ql, num_seqs_bucket=8,
+        max_blocks_per_seq=3, rng=np.zeros(2, np.uint32), group_pairs=GRP,
+    )
+    sm = np.asarray(inputs.slot_mapping).copy()
+    al = np.zeros(8, np.int32)
+    for i, n in enumerate(appends):
+        al[i] = n
+        sm[i * ql + n: (i + 1) * ql] = -1
+    inputs = inputs._replace(slot_mapping=sm)
+    meta = meta_from_inputs(inputs)._replace(append_lens=jnp.asarray(al))
+    q = jnp.asarray(rng.standard_normal((8 * ql, HQ, HD), np.float32))
+    kn, vn = new_kv(rng, 8 * ql)
+
+    ref, kr, vr = ragged_paged_attention_ref(
+        q, kn, vn, kc, vc, 0, meta, sm_scale=SM
+    )
+    out, ko, vo = paged_decode_attention(
+        q, kn, vn, kc, vc, 0, meta, sm_scale=SM, q_len=ql, interpret=True
+    )
+    rows = []
+    for i, n in enumerate(appends):
+        rows += list(range(i * ql, i * ql + n))
+    np.testing.assert_allclose(
+        np.asarray(out)[rows], np.asarray(ref)[rows], rtol=3e-2, atol=3e-2
+    )
+    np.testing.assert_array_equal(np.asarray(ko[0]), np.asarray(kr[0]))
+    np.testing.assert_allclose(np.asarray(ko[1]), np.asarray(kr[1]),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vo[1]), np.asarray(vr[1]),
+                               rtol=1e-6, atol=1e-6)
