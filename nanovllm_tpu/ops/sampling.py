@@ -13,9 +13,11 @@ trick). Extensions beyond the reference:
 import jax
 import jax.numpy as jnp
 
-# Static candidate-window width for top-k/top-p: lax.top_k needs a static k,
-# so requested top_k values clamp to this, and top_p nucleus mass is computed
-# within the window (covers p up to ~0.99 for typical peaked distributions).
+# Static candidate-window width for the FAST top-k/top-p path (lax.top_k
+# needs a static k). Sampling stays EXACT for any top_k/top_p: rows whose
+# active bounds all close inside the window sample from it with true
+# (full-softmax) probabilities; otherwise the step falls into a full-vocab
+# sorted path under lax.cond — peaked distributions never pay for it.
 TOPK_WINDOW = 64
 
 
@@ -74,38 +76,100 @@ def sample_topk_topp(
     positions: jax.Array | None = None,  # i32[S] sampled-token positions
     min_ps: jax.Array | None = None,     # f32[S]; 0.0 means "no p floor"
 ) -> jax.Array:
-    """Gumbel sampling restricted to each row's top-k / top-p / min-p
-    candidate set.
+    """EXACT Gumbel sampling restricted to each row's top-k / top-p / min-p
+    candidate set (vLLM semantics over the full vocabulary).
 
-    Candidates come from the row's TOPK_WINDOW highest logits; rank masks
+    ONE full-vocab Gumbel stream is drawn per step and shared by every path
+    (the window and sorted paths gather it by token id), so a row's sample is
+    a function of its own logits, bounds, and (seed, position) only — never
+    of which branch a batchmate forced.
+
+    Fast path: candidates come from the row's TOPK_WINDOW highest logits
+    with TRUE probabilities (full-row softmax normalization); rank masks
     implement top-k (rank < k), top-p (tokens whose *preceding* cumulative
     probability, after temperature, is below p — the first token always
-    survives), and min-p (vLLM semantics: drop tokens whose probability is
-    below min_p times the row's max probability). Greedy rows (T == 0)
-    return the argmax.
+    survives), and min-p (drop tokens below min_p times the row's max
+    probability). A row is window-exact iff SOME active bound provably
+    closes inside the window (k <= window; window mass >= p; min_p floor
+    above the window's last probability). Unfiltered rows (no k, no p, no
+    min_p — e.g. sharing a batch with filtered requests) take a plain
+    full-vocab Gumbel argmax, which is exact without any sort. Only rows
+    whose bounds genuinely stay open past the window — flat / high-
+    temperature distributions, top_k > window — fall into a full-vocab
+    sorted path under ``lax.cond`` (compiled once, executed only when
+    needed). Greedy rows (T == 0) return the argmax either way.
     """
     S, V = logits.shape
     k_win = min(TOPK_WINDOW, V)
     logits = logits.astype(jnp.float32)
-    vals, idx = jax.lax.top_k(logits, k_win)          # [S, K] desc
     temps = temperatures[:, None]
-    scaled = vals / jnp.maximum(temps, 1e-6)
+    scaled_full = logits / jnp.maximum(temps, 1e-6)
+    g_full = _row_gumbel(key, (S, V), seeds, positions)  # shared noise
+    vals, idx = jax.lax.top_k(scaled_full, k_win)     # [S, K] desc
+    # True temperature-scaled probabilities: normalize by the FULL row
+    # (window-local softmax would inflate nucleus masses by 1/window-mass).
+    lse = jax.scipy.special.logsumexp(scaled_full, axis=-1, keepdims=True)
+    probs = jnp.exp(vals - lse)                       # [S, K]
 
     rank = jax.lax.broadcasted_iota(jnp.int32, (S, k_win), 1)
-    ks = jnp.where(top_ks <= 0, k_win, jnp.minimum(top_ks, k_win))[:, None]
-    keep = rank < ks
+    ks_full = jnp.where(top_ks <= 0, V, top_ks)[:, None]   # [S, 1]
+    keep = rank < jnp.minimum(ks_full, k_win)
 
-    probs = jax.nn.softmax(scaled, axis=-1)
     cum_before = jnp.cumsum(probs, axis=-1) - probs   # exclusive prefix sum
     keep &= cum_before < top_ps[:, None]
-    if min_ps is not None:
-        # Window column 0 holds the row max, so probs[:, :1] is p_max.
-        keep &= probs >= min_ps[:, None] * probs[:, :1]
+    mps = (
+        jnp.zeros((S, 1), jnp.float32) if min_ps is None else min_ps[:, None]
+    )
+    keep &= probs >= mps * probs[:, :1]
 
-    masked = jnp.where(keep, scaled, -jnp.inf)
-    gumbel = _row_gumbel(key, masked.shape, seeds, positions)
-    noisy = jnp.where(temps > 0.0, masked + gumbel, vals)
+    masked = jnp.where(keep, vals, -jnp.inf)
+    g_win = jnp.take_along_axis(g_full, idx, axis=1)
+    noisy = jnp.where(temps > 0.0, masked + g_win, vals)
     choice = jnp.argmax(noisy, axis=-1)               # window-local
-    return jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0].astype(
-        jnp.int32
+    window_tokens = jnp.take_along_axis(idx, choice[:, None], axis=1)[
+        :, 0
+    ].astype(jnp.int32)
+
+    # Unfiltered rows: plain Gumbel argmax over the vocab is exact, no sort.
+    unfiltered = (ks_full >= V) & (top_ps[:, None] >= 1.0) & (mps <= 0.0)
+    plain_tokens = jnp.argmax(scaled_full + g_full, axis=-1).astype(jnp.int32)
+    base_tokens = jnp.where(
+        unfiltered[:, 0] & (temperatures > 0.0), plain_tokens, window_tokens
+    )
+
+    # Window-exactness per row: every token OUTSIDE the window has value
+    # <= vals[:, -1], preceding-cumulative >= the whole window mass, and
+    # probability <= probs[:, -1] — so one closing bound excludes them all.
+    k_closes = ks_full <= k_win
+    mass = cum_before[:, -1:] + probs[:, -1:]
+    p_closes = mass >= top_ps[:, None]
+    minp_closes = (mps > 0) & (mps * probs[:, :1] > probs[:, -1:])
+    needs_exact = ~(unfiltered | k_closes | p_closes | minp_closes)[:, 0]
+    needs_exact &= temperatures > 0.0  # greedy/padding rows: argmax is exact
+    if k_win == V:
+        return base_tokens
+
+    def _exact(_):
+        order = jnp.argsort(-scaled_full, axis=-1)    # [S, V] desc
+        svals = jnp.take_along_axis(scaled_full, order, axis=-1)
+        sprobs = jnp.exp(svals - lse)
+        r = jax.lax.broadcasted_iota(jnp.int32, (S, V), 1)
+        k2 = r < ks_full
+        cb = jnp.cumsum(sprobs, axis=-1) - sprobs
+        k2 &= cb < top_ps[:, None]
+        k2 &= sprobs >= mps * sprobs[:, :1]
+        m2 = jnp.where(k2, svals, -jnp.inf)
+        g2 = jnp.take_along_axis(g_full, order, axis=1)
+        n2 = jnp.where(temps > 0.0, m2 + g2, svals)
+        c2 = jnp.argmax(n2, axis=-1)
+        exact_tokens = jnp.take_along_axis(order, c2[:, None], axis=1)[
+            :, 0
+        ].astype(jnp.int32)
+        # Rows already exact keep their fast-path sample: the shared noise
+        # stream makes both computations pick the same token, and the select
+        # keeps every row's trace independent of batchmates' branches.
+        return jnp.where(needs_exact, exact_tokens, base_tokens)
+
+    return jax.lax.cond(
+        jnp.any(needs_exact), _exact, lambda _: base_tokens, None
     )

@@ -26,16 +26,18 @@ class SamplingParams:
     temperature: float = 1.0
     max_tokens: int = 64
     ignore_eos: bool = False
-    # 0 disables top-k; values above ops.sampling.TOPK_WINDOW (64) clamp to
-    # it (lax.top_k needs a static window).
+    # 0 disables top-k. EXACT for any k: rows whose k exceeds the fast
+    # 64-candidate window fall into a full-vocab sorted path (ops/sampling).
     top_k: int = 0
     # 1.0 disables nucleus filtering; smaller values keep the smallest prefix
-    # of the (temperature-scaled) distribution with cumulative mass >= top_p,
-    # evaluated within the top-TOPK_WINDOW candidate window.
+    # of the (temperature-scaled) distribution with cumulative mass >= top_p.
+    # EXACT over the full vocabulary: probabilities use full-row softmax, and
+    # rows whose nucleus is not provably contained in the fast 64-candidate
+    # window take the full-vocab path.
     top_p: float = 1.0
     # 0.0 disables min-p; otherwise drop candidates whose probability is
     # below min_p * (probability of the most likely token) — vLLM min_p
-    # semantics, evaluated within the top-TOPK_WINDOW candidate window.
+    # semantics, exact over the full vocabulary (see top_p).
     min_p: float = 0.0
     # Suppress the model's EOS set until this many completion tokens exist
     # (vLLM min_tokens): implemented host-side by injecting -inf logit biases

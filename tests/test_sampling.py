@@ -12,6 +12,11 @@ import pytest
 
 from nanovllm_tpu.ops.sampling import TOPK_WINDOW, sample, sample_topk_topp
 
+# The engine always calls the sampler under jit; eager calls would re-trace
+# the exact-path lax.cond branches every invocation (minutes over the
+# sampling loops below).
+sample_topk_topp = jax.jit(sample_topk_topp)
+
 S, V = 4, 97
 
 
@@ -52,9 +57,10 @@ def test_topk_restricts_support():
     assert sets[0] == {int(order[0, 0])}
     assert sets[1] <= set(order[1, :2].tolist()) and len(sets[1]) == 2
     assert sets[2] <= set(order[2, :5].tolist()) and len(sets[2]) >= 3
-    # k=0 disables the limit -> support bounded only by the candidate window.
+    # k=0 disables the limit entirely (exact full-vocab sampling — the row
+    # forces the exact branch, and that must not disturb the k-limited rows
+    # above, which stay on their window samples).
     assert len(sets[3]) > 5
-    assert sets[3] <= set(order[3, :TOPK_WINDOW].tolist())
 
 
 def test_topp_restricts_to_nucleus():
@@ -119,11 +125,6 @@ def test_sampling_params_validation():
 def test_min_p_masks_low_probability_candidates():
     """vLLM min_p: candidates below min_p * p_max are dropped. min_p=1.0
     leaves only the argmax (sampling becomes greedy); min_p=0 is a no-op."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-    from nanovllm_tpu.ops.sampling import sample_topk_topp
-
     rng = np.random.default_rng(0)
     logits = jnp.asarray(rng.standard_normal((6, 128)), jnp.float32)
     temps = jnp.ones((6,), jnp.float32)
@@ -141,3 +142,75 @@ def test_min_p_masks_low_probability_candidates():
                          min_ps=jnp.zeros((6,), jnp.float32))
     b = sample_topk_topp(logits, temps, key, ks, ps)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_exact_path_flat_distribution():
+    """The r3 window path mis-sampled here: 1000 near-equal logits with
+    top_p=0.9 have a ~900-token nucleus, far wider than the 64 window. The
+    exact path must (a) reach tokens outside the window and (b) stay inside
+    the numpy-oracle nucleus."""
+    v = 1000
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(0, 0.01, (S, v)), jnp.float32)
+    temps = jnp.ones(S)
+    ps = jnp.full(S, 0.9)
+    seen = [set() for _ in range(S)]
+    for i in range(400):
+        toks = np.asarray(sample_topk_topp(
+            logits, temps, jax.random.PRNGKey(i),
+            jnp.zeros(S, jnp.int32), ps,
+        ))
+        for r in range(S):
+            seen[r].add(int(toks[r]))
+    probs = np.asarray(jax.nn.softmax(logits, -1), np.float64)
+    for r in range(S):
+        order = np.argsort(-probs[r], kind="stable")
+        cum = np.cumsum(probs[r][order])
+        n = int(np.searchsorted(cum, 0.9)) + 1
+        nucleus = set(order[:n].tolist())
+        assert seen[r] <= nucleus, r
+        # ~300 distinct draws over a ~900-token nucleus: far beyond any
+        # 64-token window with overwhelming probability.
+        assert len(seen[r]) > TOPK_WINDOW, (r, len(seen[r]))
+
+
+def test_exact_path_large_top_k():
+    """top_k > TOPK_WINDOW was silently clamped in r3; now exact."""
+    v = 500
+    rng = np.random.default_rng(1)
+    logits = jnp.asarray(rng.normal(0, 0.01, (S, v)), jnp.float32)
+    temps = jnp.ones(S)
+    ks = jnp.full(S, 200, jnp.int32)
+    seen = [set() for _ in range(S)]
+    for i in range(400):
+        toks = np.asarray(sample_topk_topp(
+            logits, temps, jax.random.PRNGKey(i), ks, jnp.ones(S)))
+        for r in range(S):
+            seen[r].add(int(toks[r]))
+    for r in range(S):
+        order = np.argsort(-np.asarray(logits[r]), kind="stable")
+        allowed = set(order[:200].tolist())
+        assert seen[r] <= allowed, r
+        assert len(seen[r]) > TOPK_WINDOW, (r, len(seen[r]))
+
+
+def test_window_path_true_normalization():
+    """The fast path must use full-softmax probabilities: a peaked
+    distribution with top_p covering only the first two tokens in TRUE mass.
+    (Window-local softmax would inflate their mass and shrink the nucleus.)"""
+    v = 300
+    base = np.full((1, v), -3.0, np.float32)
+    base[0, 0] = 3.0
+    base[0, 1] = 2.0
+    base[0, 2] = 1.8
+    logits = jnp.asarray(np.repeat(base, S, 0))
+    probs = np.asarray(jax.nn.softmax(logits[0]), np.float64)
+    # p just above p0 + p1: the TRUE nucleus is {0, 1, 2}.
+    p = float(probs[0] + probs[1]) + 1e-4
+    seen = set()
+    for i in range(300):
+        toks = np.asarray(sample_topk_topp(
+            logits, jnp.ones(S), jax.random.PRNGKey(i),
+            jnp.zeros(S, jnp.int32), jnp.full(S, p)))
+        seen |= set(int(t) for t in toks)
+    assert seen == {0, 1, 2}, seen
