@@ -37,6 +37,13 @@ def main():
     fetch_interval = int(os.environ.get("BENCH_FETCH_INTERVAL", 64))
     block = int(os.environ.get("BENCH_BLOCK", 256))
     hbm_util = float(os.environ.get("BENCH_HBM_UTIL", 0.9))
+    # Speculative decoding (ngram prompt-lookup): 0 disables. Random-weight
+    # sampled runs accept ~nothing (the overhead measurement); BENCH_GREEDY=1
+    # makes the trace greedy — random-weight greedy decode falls into
+    # repetition cycles that ngram drafting predicts, the high-acceptance
+    # regime.
+    spec_k = int(os.environ.get("BENCH_SPEC_K", 0))
+    greedy = os.environ.get("BENCH_GREEDY", "") == "1"
 
     from nanovllm_tpu import LLM, SamplingParams
 
@@ -66,6 +73,7 @@ def main():
         fetch_interval=fetch_interval,
         kvcache_block_size=block,
         hbm_utilization=hbm_util,
+        spec_k=spec_k,
     )
 
     rng = np.random.default_rng(0)
@@ -75,7 +83,7 @@ def main():
     ]
     sampling_params = [
         SamplingParams(
-            temperature=0.6,
+            temperature=0.0 if greedy else 0.6,
             ignore_eos=True,
             max_tokens=int(rng.integers(min_len, max_len)),
         )

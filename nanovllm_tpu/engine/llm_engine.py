@@ -169,6 +169,15 @@ class LLMEngine:
                     # Dispatch metered one token per decode row; credit the
                     # extra accepted drafts (or debit in-flight finishes).
                     self.metrics.decode_tokens += applied - len(seqs)
+                    # Acceptance accounting: spec rows reserved k+1 slots per
+                    # seq (fallback rows 1); stops may truncate `applied`, so
+                    # this undercounts acceptance slightly at sequence ends.
+                    drafted = sum(a - 1 for a in appended if a)
+                    if drafted:
+                        self.metrics.spec_drafted += drafted
+                        self.metrics.spec_accepted += max(
+                            0, applied - sum(1 for a in appended if a)
+                        )
                 for seq in seqs:
                     touched[seq.seq_id] = seq
             else:

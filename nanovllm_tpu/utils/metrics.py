@@ -42,6 +42,10 @@ class EngineMetrics:
     decode_time: float = 0.0    # s of drained (device-true) decode work
     num_prefill_steps: int = 0
     num_decode_steps: int = 0
+    # Speculative decoding (spec_k > 0): drafts offered vs accepted across
+    # spec decode rows (acceptance rate = accepted / drafted).
+    spec_drafted: int = 0
+    spec_accepted: int = 0
     # Free-form gauges merged into summary() (e.g. prefix-cache hit counts,
     # refreshed by the engine before reporting).
     extra: dict = field(default_factory=dict)
@@ -113,5 +117,15 @@ class EngineMetrics:
             "e2e_p50_s": round(_percentile(self.e2e_latencies, 50), 4),
             "num_prefill_steps": self.num_prefill_steps,
             "num_decode_steps": self.num_decode_steps,
+            **(
+                {
+                    "spec_drafted": self.spec_drafted,
+                    "spec_accepted": self.spec_accepted,
+                    "spec_acceptance": round(
+                        self.spec_accepted / self.spec_drafted, 4
+                    ),
+                }
+                if self.spec_drafted else {}
+            ),
             **self.extra,
         }
