@@ -192,8 +192,14 @@ def main():
             scale = l_real / args.layers if (
                 leaf.ndim >= 1 and leaf.shape[0] == args.layers
             ) else 1.0
-            w_bytes += leaf.size * leaf.dtype.itemsize * \
-                shard_fraction(sh, tp) * scale
+            # jnp.int4 reports itemsize 1 (numpy has no sub-byte); on the TPU
+            # the resident form is packed — 0.5 B/element. (k-nibble-packed
+            # expert int8 bytes already hold two values per byte: their
+            # element count is halved instead, so itemsize 1 is correct.)
+            itemsize = leaf.dtype.itemsize
+            if str(leaf.dtype) in ("int4", "uint4"):
+                itemsize = 0.5
+            w_bytes += leaf.size * itemsize * shard_fraction(sh, tp) * scale
         spec = runner.spec
         kv_tok = 2 * l_real * real["num_key_value_heads"] * spec.head_dim
         kv_bytes = args.batch * args.avg_ctx * kv_tok / tp  # int8 KV = 1B

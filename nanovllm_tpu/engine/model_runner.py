@@ -45,7 +45,7 @@ from nanovllm_tpu.ops import quant
 from nanovllm_tpu.ops import spec as spec_ops
 from nanovllm_tpu.ops.quant import QuantWeight
 from nanovllm_tpu.ops.pallas.ragged_attention import GRP
-from nanovllm_tpu.ops.sampling import sample, sample_topk_topp
+from nanovllm_tpu.ops.sampling import sample, sample_topk_topp, sample_tp
 from nanovllm_tpu.utils.loader import stream_params_to_device
 from nanovllm_tpu.utils.quant_ckpt import read_quant_meta
 
@@ -853,12 +853,16 @@ class ModelRunner:
                 # every position's argmax feeds greedy acceptance.
                 idx0 = jnp.arange(S, dtype=jnp.int32) * QL
                 logits = quant.head_matmul(hidden[idx0], w)
-                if axis is not None:
-                    logits = jax.lax.all_gather(
-                        logits, axis, axis=1, tiled=True
-                    )
                 key = jax.random.wrap_key_data(inputs.rng)
-                sampled0 = sample(logits, inputs.temperatures, key)
+                if axis is None:
+                    sampled0 = sample(logits, inputs.temperatures, key)
+                else:
+                    # Vocab stays sharded: local noisy argmax + a [tp, S]
+                    # scalar reduce instead of gathering [S, V] logits.
+                    sampled0 = sample_tp(
+                        logits, inputs.temperatures, key, axis,
+                        logits.shape[1] * tp,
+                    )
                 am = spec_ops.head_argmax_tp(hidden, w, axis).reshape(S, QL)
                 emitted, cnt = spec_ops.accept_drafts(
                     qtok, am, eligible, sampled0
@@ -901,7 +905,17 @@ class ModelRunner:
             # Last-token-only before the LM-head matmul (embed_head.py:56-60).
             last_h = hidden[inputs.last_token_idx]  # [S, D]
             logits = quant.head_matmul(last_h, w)
-            if axis is not None:
+            # Plain/seeded sampling never needs the global logits: the
+            # distributed Gumbel argmax (ops/sampling.sample_tp) replaces the
+            # [S, V] all-gather — the dominant per-step collective at large
+            # batch (~155 MB at S=256, V=152k) — with a [tp, S] scalar
+            # reduce, bit-identically. Variants that transform or read the
+            # full distribution (penalties, logit_bias, top-k/p, logprobs)
+            # still gather.
+            dist_sample = axis is not None and not (
+                penalized or biased or filtered or want_lp
+            )
+            if axis is not None and not dist_sample:
                 # Vocab shards are rank-blocked: all-gather restores global
                 # order (TPU: all_gather over ICI beats the reference's
                 # gather-to-rank-0, embed_head.py:62-66).
@@ -936,6 +950,11 @@ class ModelRunner:
                 tokens = sample_topk_topp(
                     logits, inputs.temperatures, key, inputs.top_ks,
                     inputs.top_ps, seeds, pos, inputs.min_ps,
+                )
+            elif dist_sample:
+                tokens = sample_tp(
+                    logits, inputs.temperatures, key, axis,
+                    logits.shape[1] * tp, seeds, pos,
                 )
             else:
                 tokens = sample(logits, inputs.temperatures, key, seeds, pos)

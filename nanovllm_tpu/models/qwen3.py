@@ -474,7 +474,14 @@ def forward(
             o, k_all, v_all = attn_impl(q, k, v, k_all, v_all, i, meta)
         o = quant.matmul(o.reshape(t, q_size), lp["o_proj"])
         if axis is not None:
-            o = lax.psum(o, axis)
+            # Wire the partial sums in the PARAMETER dtype: activations run
+            # f32 on-chip (f32 dots measured faster than operand converts,
+            # benchmarks/README r3), but a bf16 model's layer output is
+            # bf16-precise anyway and f32 payloads double the dominant
+            # per-step ICI term (2 x [T, D] per layer — see
+            # benchmarks/predict_scaling.py). f32 checkpoints keep f32
+            # payloads, so TP-vs-single-chip token equality tests are exact.
+            o = lax.psum(o.astype(dtype), axis)
         if spec.sandwich_norms:  # norm the summed attention output
             o = rms_norm(o, lp["post_attn_norm"], spec.rms_eps, p1)
         h = resid + o
@@ -487,7 +494,7 @@ def forward(
             g, u = jnp.split(gu, 2, axis=-1)
             h = quant.matmul(act_fn(g) * u, lp["down_proj"])
         if axis is not None:
-            h = lax.psum(h, axis)
+            h = lax.psum(h.astype(dtype), axis)  # see the o_proj psum note
         if spec.sandwich_norms:
             h = rms_norm(h, lp["post_ffn_norm"], spec.rms_eps, p1)
         h = resid + h

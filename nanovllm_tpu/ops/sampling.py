@@ -66,6 +66,44 @@ def sample(logits: jax.Array, temperatures: jax.Array, key: jax.Array,
     return jnp.argmax(noisy, axis=-1).astype(jnp.int32)
 
 
+def sample_tp(
+    logits: jax.Array,        # f[S, Vlocal] — this rank's vocab shard
+    temperatures: jax.Array,  # f32[S]
+    key: jax.Array,
+    axis: str,                # shard_map mesh axis name
+    v_total: int,             # padded global vocab (Vlocal * tp)
+    seeds: jax.Array | None = None,
+    positions: jax.Array | None = None,
+) -> jax.Array:
+    """``sample`` over vocab-sharded logits WITHOUT gathering the [S, V]
+    logits (the all-gather is the dominant per-step collective at large
+    batch: ~155 MB for S=256 at a 152k vocab — vs ~2*S*tp scalars here).
+
+    Bit-identical to ``sample(all_gather(logits, tiled))``: each rank slices
+    its shard's columns out of the SAME counter-based full-vocab noise
+    stream (XLA fuses the slice into the threefry elementwise graph, so only
+    the shard's noise is materialized), takes a local noisy argmax, and the
+    global winner is the max over ranks. Vocab shards are rank-blocked
+    (rank r owns global columns [r*Vl, (r+1)*Vl)), so "first maximal rank,
+    lowest local index" is exactly jnp.argmax's lowest-global-index
+    tie-break. Greedy rows (T == 0) reduce to the exact argmax."""
+    S, v_local = logits.shape
+    logits = logits.astype(jnp.float32)
+    temps = temperatures[:, None]
+    scaled = logits / jnp.maximum(temps, 1e-6)
+    v_start = jax.lax.axis_index(axis).astype(jnp.int32) * v_local
+    g_full = _row_gumbel(key, (S, v_total), seeds, positions)
+    g = jax.lax.dynamic_slice_in_dim(g_full, v_start, v_local, axis=1)
+    noisy = scaled + jnp.where(temps > 0.0, g, 0.0)
+    loc = jnp.argmax(noisy, axis=-1)
+    best = jnp.take_along_axis(noisy, loc[:, None], axis=1)[:, 0]
+    gidx = loc.astype(jnp.int32) + v_start
+    bests = jax.lax.all_gather(best, axis)            # [tp, S]
+    idxs = jax.lax.all_gather(gidx, axis)
+    r = jnp.argmax(bests, axis=0)                     # first max: lowest rank
+    return jnp.take_along_axis(idxs, r[None, :], axis=0)[0]
+
+
 def sample_topk_topp(
     logits: jax.Array,        # f[S, V]
     temperatures: jax.Array,  # f32[S]

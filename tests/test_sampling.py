@@ -194,6 +194,42 @@ def test_exact_path_large_top_k():
         assert len(seen[r]) > TOPK_WINDOW, (r, len(seen[r]))
 
 
+def test_sample_tp_bit_identical_to_gathered():
+    """Distributed Gumbel argmax over vocab shards (the plain TP decode path
+    drops the [S, V] logits all-gather) must reproduce ``sample`` on the
+    gathered logits BIT-identically: each rank slices the same counter-based
+    noise stream, and rank-blocked (first-max-rank, lowest-local) combining
+    is jnp.argmax's lowest-global-index tie-break."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from nanovllm_tpu.ops.sampling import sample_tp
+
+    devs = jax.devices()[:4]
+    mesh = Mesh(np.asarray(devs), ("tp",))
+    s, v = 6, 256
+    logits = jax.random.normal(jax.random.PRNGKey(7), (s, v)) * 2.0
+    temps = jnp.asarray([0.0, 0.3, 1.0, 1.7, 0.0, 2.5])
+    seeds = jnp.asarray([5, -1, 9, -1, -1, 3], jnp.int32)
+    pos = jnp.asarray([3, 0, 11, 2, 8, 1], jnp.int32)
+    for i in range(12):
+        key = jax.random.PRNGKey(100 + i)
+        want = sample(logits, temps, key)
+        got = shard_map(
+            lambda l: sample_tp(l, temps, key, "tp", v),
+            mesh=mesh, in_specs=P(None, "tp"), out_specs=P(None),
+            check_rep=False,
+        )(logits)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want), i)
+        want_s = sample(logits, temps, key, seeds, pos)
+        got_s = shard_map(
+            lambda l: sample_tp(l, temps, key, "tp", v, seeds, pos),
+            mesh=mesh, in_specs=P(None, "tp"), out_specs=P(None),
+            check_rep=False,
+        )(logits)
+        np.testing.assert_array_equal(np.asarray(got_s), np.asarray(want_s))
+
+
 def test_window_path_true_normalization():
     """The fast path must use full-softmax probabilities: a peaked
     distribution with top_p covering only the first two tokens in TRUE mass.
