@@ -90,6 +90,12 @@ def extract_collectives(hlo: str):
                 b = _op_bytes(line)
                 if re.search(rf"\b{kind}-start\(", line):
                     b /= 2  # start result aliases (operand, result)
+                if "_promoted" in line:
+                    # The CPU backend PROMOTES sub-f32 reductions to f32
+                    # (to_apply=%region_N_promoted); TPU backends reduce
+                    # bf16 natively, so the wire payload is half what this
+                    # compiled-for-CPU module shows.
+                    b /= 2
                 out.append((kind, comp, b, comp in while_bodies))
                 break
     return out

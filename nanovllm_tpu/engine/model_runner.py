@@ -45,7 +45,8 @@ from nanovllm_tpu.ops import quant
 from nanovllm_tpu.ops import spec as spec_ops
 from nanovllm_tpu.ops.quant import QuantWeight
 from nanovllm_tpu.ops.pallas.ragged_attention import GRP
-from nanovllm_tpu.ops.sampling import sample, sample_topk_topp, sample_tp
+from nanovllm_tpu.ops import sampling as ops_sampling
+from nanovllm_tpu.ops.sampling import sample, sample_topk_topp
 from nanovllm_tpu.utils.loader import stream_params_to_device
 from nanovllm_tpu.utils.quant_ckpt import read_quant_meta
 
@@ -852,17 +853,14 @@ class ModelRunner:
                 # row samples normally (it is the step's guaranteed token);
                 # every position's argmax feeds greedy acceptance.
                 idx0 = jnp.arange(S, dtype=jnp.int32) * QL
-                logits = quant.head_matmul(hidden[idx0], w)
                 key = jax.random.wrap_key_data(inputs.rng)
-                if axis is None:
-                    sampled0 = sample(logits, inputs.temperatures, key)
-                else:
-                    # Vocab stays sharded: local noisy argmax + a [tp, S]
-                    # scalar reduce instead of gathering [S, V] logits.
-                    sampled0 = sample_tp(
-                        logits, inputs.temperatures, key, axis,
-                        logits.shape[1] * tp,
-                    )
+                # Fused chunked head+sampler: no [S, V] logits materialize,
+                # and under TP the vocab stays sharded (a [tp, S] scalar
+                # reduce replaces the logits all-gather).
+                sampled0 = ops_sampling.head_sample(
+                    hidden[idx0], w, inputs.temperatures, key, axis=axis,
+                    v_total=quant.shape_of(w)[0] * tp,
+                )
                 am = spec_ops.head_argmax_tp(hidden, w, axis).reshape(S, QL)
                 emitted, cnt = spec_ops.accept_drafts(
                     qtok, am, eligible, sampled0
@@ -904,22 +902,25 @@ class ModelRunner:
                 return kv, tuple(out_state)
             # Last-token-only before the LM-head matmul (embed_head.py:56-60).
             last_h = hidden[inputs.last_token_idx]  # [S, D]
-            logits = quant.head_matmul(last_h, w)
-            # Plain/seeded sampling never needs the global logits: the
-            # distributed Gumbel argmax (ops/sampling.sample_tp) replaces the
-            # [S, V] all-gather — the dominant per-step collective at large
-            # batch (~155 MB at S=256, V=152k) — with a [tp, S] scalar
-            # reduce, bit-identically. Variants that transform or read the
-            # full distribution (penalties, logit_bias, top-k/p, logprobs)
-            # still gather.
-            dist_sample = axis is not None and not (
-                penalized or biased or filtered or want_lp
-            )
-            if axis is not None and not dist_sample:
-                # Vocab shards are rank-blocked: all-gather restores global
-                # order (TPU: all_gather over ICI beats the reference's
-                # gather-to-rank-0, embed_head.py:62-66).
-                logits = jax.lax.all_gather(logits, axis, axis=1, tiled=True)
+            # Plain/seeded sampling never materializes [S, V] logits at all:
+            # head_sample fuses the chunked head matmul with the Gumbel
+            # argmax (the unfused tail measured ~1.5 ms/step in the r4
+            # xplane decode profile), and under TP the vocab stays sharded —
+            # a [tp, S] scalar reduce replaces the [S, V] logits all-gather
+            # (the second-largest per-step collective at large batch:
+            # ~155 MB at S=256, V=152k), bit-identically. Variants that
+            # transform or read the full distribution (penalties,
+            # logit_bias, top-k/p, logprobs) compute and gather logits.
+            fused_sample = not (penalized or biased or filtered or want_lp)
+            if not fused_sample:
+                logits = quant.head_matmul(last_h, w)
+                if axis is not None:
+                    # Vocab shards are rank-blocked: all-gather restores
+                    # global order (TPU: all_gather over ICI beats the
+                    # reference's gather-to-rank-0, embed_head.py:62-66).
+                    logits = jax.lax.all_gather(
+                        logits, axis, axis=1, tiled=True
+                    )
             if penalized:
                 # vLLM order: penalties before logit_bias / temperature /
                 # filtering. Rows without penalties gather the dead slab row
@@ -951,10 +952,11 @@ class ModelRunner:
                     logits, inputs.temperatures, key, inputs.top_ks,
                     inputs.top_ps, seeds, pos, inputs.min_ps,
                 )
-            elif dist_sample:
-                tokens = sample_tp(
-                    logits, inputs.temperatures, key, axis,
-                    logits.shape[1] * tp, seeds, pos,
+            elif fused_sample:
+                tokens = ops_sampling.head_sample(
+                    last_h, w, inputs.temperatures, key, axis=axis,
+                    v_total=quant.shape_of(w)[0] * tp, seeds=seeds,
+                    positions=pos,
                 )
             else:
                 tokens = sample(logits, inputs.temperatures, key, seeds, pos)

@@ -13,6 +13,8 @@ trick). Extensions beyond the reference:
 import jax
 import jax.numpy as jnp
 
+from nanovllm_tpu.ops import quant
+
 # Static candidate-window width for the FAST top-k/top-p path (lax.top_k
 # needs a static k). Sampling stays EXACT for any top_k/top_p: rows whose
 # active bounds all close inside the window sample from it with true
@@ -98,6 +100,80 @@ def sample_tp(
     loc = jnp.argmax(noisy, axis=-1)
     best = jnp.take_along_axis(noisy, loc[:, None], axis=1)[:, 0]
     gidx = loc.astype(jnp.int32) + v_start
+    bests = jax.lax.all_gather(best, axis)            # [tp, S]
+    idxs = jax.lax.all_gather(gidx, axis)
+    r = jnp.argmax(bests, axis=0)                     # first max: lowest rank
+    return jnp.take_along_axis(idxs, r[None, :], axis=0)[0]
+
+
+def head_sample(
+    h: jax.Array,             # f[S, D] final hidden states
+    w,                        # LM head [V(/tp), D] (plain or QuantWeight)
+    temperatures: jax.Array,  # f32[S]
+    key: jax.Array,
+    *,
+    axis: str | None = None,  # shard_map axis when the vocab is sharded
+    v_total: int | None = None,
+    seeds: jax.Array | None = None,
+    positions: jax.Array | None = None,
+    chunk: int = 8192,
+) -> jax.Array:
+    """Fused LM-head matmul + Gumbel sampling, chunked over the vocab.
+
+    ``sample(head_matmul(h, w))`` materializes several [S, V] f32 tensors
+    (~100 MB each at S=160, V=152k — the xplane decode profile measured
+    ~1.5 ms/step in this tail); chunking keeps per-chunk logits in VMEM so
+    HBM traffic is the head-weight read plus one [S, V] noise pass.
+
+    BIT-identical to the unfused path: each chunk's logits are the same dots,
+    the noise is a dynamic slice of the same counter-based [S, v_total]
+    stream (seeded rows included), the clamped last chunk's overlap rows
+    recompute identical (value, noise) pairs, and the running strict-``>``
+    max keeps the first maximum — jnp.argmax's lowest-index tie-break.
+    Under ``axis`` the local winner combines across ranks exactly like
+    ``sample_tp``. Greedy rows (T == 0) reduce to the exact argmax."""
+    S = h.shape[0]
+    v_local = quant.shape_of(w)[0]
+    if v_total is None:
+        v_total = v_local
+    temps = temperatures[:, None]
+    g_full = _row_gumbel(key, (S, v_total), seeds, positions)
+    v_rank = (
+        jnp.int32(0) if axis is None
+        else jax.lax.axis_index(axis).astype(jnp.int32) * v_local
+    )
+    chunk = min(chunk, v_local)
+    n_chunks = -(-v_local // chunk)
+
+    def slice_w(start):
+        if isinstance(w, quant.QuantWeight):
+            return quant.QuantWeight(
+                q=jax.lax.dynamic_slice_in_dim(w.q, start, chunk, 0),
+                scale=jax.lax.dynamic_slice_in_dim(w.scale, start, chunk, 0),
+                mode=w.mode,
+            )
+        return jax.lax.dynamic_slice_in_dim(w, start, chunk, 0)
+
+    def body(i, carry):
+        best, idx = carry
+        start = jnp.minimum(i * chunk, v_local - chunk)
+        logits = quant.head_matmul(h, slice_w(start)).astype(jnp.float32)
+        scaled = logits / jnp.maximum(temps, 1e-6)
+        g = jax.lax.dynamic_slice(
+            g_full, (jnp.int32(0), v_rank + start), (S, chunk)
+        )
+        noisy = scaled + jnp.where(temps > 0.0, g, 0.0)
+        cbest = jnp.max(noisy, axis=-1)
+        cidx = jnp.argmax(noisy, axis=-1).astype(jnp.int32) + start
+        take = cbest > best
+        return jnp.where(take, cbest, best), jnp.where(take, cidx, idx)
+
+    best = jnp.full((S,), -jnp.inf, jnp.float32)
+    idx = jnp.zeros((S,), jnp.int32)
+    best, idx = jax.lax.fori_loop(0, n_chunks, body, (best, idx))
+    if axis is None:
+        return idx
+    gidx = idx + v_rank
     bests = jax.lax.all_gather(best, axis)            # [tp, S]
     idxs = jax.lax.all_gather(gidx, axis)
     r = jnp.argmax(bests, axis=0)                     # first max: lowest rank

@@ -230,6 +230,62 @@ def test_sample_tp_bit_identical_to_gathered():
         np.testing.assert_array_equal(np.asarray(got_s), np.asarray(want_s))
 
 
+def test_head_sample_bit_identical_to_unfused():
+    """The fused chunked head+sampler must reproduce sample(head_matmul(..))
+    BIT-identically — same dots per chunk, same sliced noise stream, strict->
+    running max = jnp.argmax tie-break — including the clamped last chunk's
+    overlap (V=300, chunk=128 -> starts 0/128/172) and seeded rows."""
+    from nanovllm_tpu.ops import quant
+    from nanovllm_tpu.ops.sampling import head_sample
+
+    rng = np.random.default_rng(3)
+    s, d, v = 5, 16, 300
+    h = jnp.asarray(rng.standard_normal((s, d)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((v, d)), jnp.float32)
+    logits = quant.head_matmul(h, w)
+    temps = jnp.asarray([0.0, 0.5, 1.0, 2.0, 1.0])
+    seeds = jnp.asarray([3, -1, -1, 9, -1], jnp.int32)
+    pos = jnp.asarray([1, 2, 3, 4, 5], jnp.int32)
+    for i in range(8):
+        key = jax.random.PRNGKey(40 + i)
+        want = sample(logits, temps, key)
+        got = head_sample(h, w, temps, key, chunk=128)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want), i)
+        want_s = sample(logits, temps, key, seeds, pos)
+        got_s = head_sample(h, w, temps, key, chunk=128, seeds=seeds,
+                            positions=pos)
+        np.testing.assert_array_equal(np.asarray(got_s), np.asarray(want_s))
+
+
+def test_head_sample_tp_matches_single_chip():
+    """Vocab-sharded head_sample (4 ranks) == the unsharded sampler on the
+    same weights: the per-rank noise slices come from one global stream and
+    the rank combine keeps lowest-global-index ties."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from nanovllm_tpu.ops import quant
+    from nanovllm_tpu.ops.sampling import head_sample
+
+    rng = np.random.default_rng(4)
+    s, d, v = 4, 16, 256
+    h = jnp.asarray(rng.standard_normal((s, d)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((v, d)), jnp.float32)
+    logits = quant.head_matmul(h, w)
+    temps = jnp.asarray([0.0, 0.7, 1.3, 1.0])
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("tp",))
+    for i in range(8):
+        key = jax.random.PRNGKey(60 + i)
+        want = sample(logits, temps, key)
+        got = shard_map(
+            lambda wl: head_sample(h, wl, temps, key, axis="tp",
+                                   v_total=v, chunk=32),
+            mesh=mesh, in_specs=P("tp", None), out_specs=P(None),
+            check_rep=False,
+        )(w)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want), i)
+
+
 def test_window_path_true_normalization():
     """The fast path must use full-softmax probabilities: a peaked
     distribution with top_p covering only the first two tokens in TRUE mass.
