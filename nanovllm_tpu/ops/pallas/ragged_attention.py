@@ -1317,7 +1317,13 @@ def _prefill_kernel(
         # kernel): a 4D dot with lhs non-contracting (BQ, G) lowers with
         # M = G rows per MXU pass looping over BQ — measured 20 us/pair vs
         # ~2 us with M = BQ*G (G is 2-4 on these models).
-        q = q_ref[...].astype(PREFILL_DOT_DTYPE).reshape(hkv, m, hd)
+        # sm_scale folds into q (one [Hkv, M, hd] pass fused into the dot-
+        # dtype convert) instead of a post-dot pass over the 2x-larger score
+        # tensor — the kernel is VPU-pass-bound over scores (r4 profile:
+        # ~8.8 us/pair vs ~1.4 us of MXU time).
+        q = (q_ref[...] * sm_scale).astype(
+            PREFILL_DOT_DTYPE
+        ).reshape(hkv, m, hd)
         if kv_bits == 4:
             # Nibble-packed pages: [Hkv/2] bytes unpack to [Hkv] values.
             k = unpack_int4_heads(k_buf[slot]).astype(PREFILL_DOT_DTYPE)
@@ -1333,20 +1339,22 @@ def _prefill_kernel(
             q, k,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ) * sm_scale  # [Hkv, BQ*G, block]
+        )  # [Hkv, BQ*G, block]
         if quantized:
             scores = scores * ks_buf[slot][:, None, :]
 
+        # 2D mask, broadcast across the (identical) kv heads: the 3D i32
+        # iota/compare tensors were full score-sized VPU passes x Hkv.
         kv_pos = j * block_size + jax.lax.broadcasted_iota(
-            jnp.int32, scores.shape, 2
+            jnp.int32, (m, block_size), 1
         )
         q_pos = pos0 + jax.lax.broadcasted_iota(
-            jnp.int32, scores.shape, 1
+            jnp.int32, (m, block_size), 0
         ) // groups
         mask = (kv_pos <= q_pos) & (kv_pos < kv_len)
         if window is not None:
             mask &= kv_pos > q_pos - window
-        scores = jnp.where(mask, scores, MASK_VALUE)
+        scores = jnp.where(mask[None], scores, MASK_VALUE)
 
         m_prev = m_scr[:, :, 0]                          # [Hkv, BQ*G]
         l_prev = l_scr[:, :, 0]
