@@ -81,7 +81,7 @@ o, kc, vc = f1(q, kn, vn, kc, vc); jax.block_until_ready(o)
 import glob
 from collections import defaultdict
 
-N = 20
+N = 5  # 20 chained donated iterations under the tunnel profiler hung once
 trace_dir = "/tmp/nanovllm_prefill_kernel_trace"
 with jax.profiler.trace(trace_dir):
     for _ in range(N):

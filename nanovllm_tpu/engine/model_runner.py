@@ -912,9 +912,17 @@ class ModelRunner:
             # transform or read the full distribution (penalties,
             # logit_bias, top-k/p, logprobs) compute and gather logits.
             fused_sample = not (penalized or biased or filtered or want_lp)
+            # Filtered batches under TP keep the vocab sharded too
+            # (per-rank top-window + lse partials, ~1 MB gathered;
+            # sample_topk_topp_tp) unless penalties/bias/logprobs must
+            # transform or read the full distribution.
+            shard_filter = (
+                filtered and axis is not None
+                and not (penalized or biased or want_lp)
+            )
             if not fused_sample:
                 logits = quant.head_matmul(last_h, w)
-                if axis is not None:
+                if axis is not None and not shard_filter:
                     # Vocab shards are rank-blocked: all-gather restores
                     # global order (TPU: all_gather over ICI beats the
                     # reference's gather-to-rank-0, embed_head.py:62-66).
@@ -945,7 +953,13 @@ class ModelRunner:
             # by (seed, sampled position) — see ops.sampling._row_gumbel.
             seeds = inputs.seeds if seeded else None
             pos = inputs.kv_lens if seeded else None
-            if filtered:
+            if shard_filter:
+                tokens = ops_sampling.sample_topk_topp_tp(
+                    logits, inputs.temperatures, key, inputs.top_ks,
+                    inputs.top_ps, axis, quant.shape_of(w)[0] * tp,
+                    seeds, pos, inputs.min_ps,
+                )
+            elif filtered:
                 # Separate compiled variant: requests without
                 # top-k/top-p/min-p never pay for the lax.top_k window.
                 tokens = sample_topk_topp(

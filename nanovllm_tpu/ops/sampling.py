@@ -106,6 +106,126 @@ def sample_tp(
     return jnp.take_along_axis(idxs, r[None, :], axis=0)[0]
 
 
+def sample_topk_topp_tp(
+    logits: jax.Array,        # f[S, Vlocal] — this rank's vocab shard
+    temperatures: jax.Array,  # f32[S]
+    key: jax.Array,
+    top_ks: jax.Array,        # i32[S]; <= 0 means "no k limit"
+    top_ps: jax.Array,        # f32[S]; 1.0 means "no nucleus limit"
+    axis: str,
+    v_total: int,
+    seeds: jax.Array | None = None,
+    positions: jax.Array | None = None,
+    min_ps: jax.Array | None = None,
+) -> jax.Array:
+    """``sample_topk_topp`` over vocab-sharded logits without gathering the
+    [S, V] logits in the common case: each rank contributes its local
+    top-``TOPK_WINDOW`` candidates and a partial logsumexp (a
+    [tp, S, window]-candidate + [tp, S]-scalar gather, ~1 MB at S=256/tp=8
+    vs ~155 MB for full logits); the merged global window then runs the
+    EXACT same bound-proof fast path as the unsharded sampler. Only when
+    some row's bounds stay open past the window does a ``lax.cond`` branch
+    gather the full logits and run the full-vocab sorted path.
+
+    Semantics are identical to the unsharded sampler (same candidate values,
+    same shared noise stream, same bound proofs); the row normalizer is
+    logsumexp-of-partials, which is mathematically equal but not bit-equal
+    to the full-row reduction, so filtered SAMPLED rows are not guaranteed
+    bit-identical across topologies (greedy rows are — their argmax never
+    reads the normalizer). Unfiltered rows take the distributed plain
+    Gumbel argmax (``sample_tp``'s combine), bit-identical to tp=1."""
+    S, v_local = logits.shape
+    tp = v_total // v_local
+    k_win = min(TOPK_WINDOW, v_total)
+    logits = logits.astype(jnp.float32)
+    temps = temperatures[:, None]
+    scaled_l = logits / jnp.maximum(temps, 1e-6)
+    g_full = _row_gumbel(key, (S, v_total), seeds, positions)  # same stream
+    v_rank = jax.lax.axis_index(axis).astype(jnp.int32) * v_local
+
+    kl = min(k_win, v_local)
+    vals_l, idx_l = jax.lax.top_k(scaled_l, kl)       # [S, kl] desc
+    idx_l = idx_l.astype(jnp.int32) + v_rank
+    lse_l = jax.scipy.special.logsumexp(scaled_l, axis=-1)      # [S]
+    vals_g = jax.lax.all_gather(vals_l, axis)         # [tp, S, kl]
+    idx_g = jax.lax.all_gather(idx_l, axis)
+    lse_g = jax.lax.all_gather(lse_l, axis)           # [tp, S]
+    lse = jax.scipy.special.logsumexp(lse_g, axis=0)[:, None]   # [S, 1]
+    cand_v = jnp.transpose(vals_g, (1, 0, 2)).reshape(S, tp * kl)
+    cand_i = jnp.transpose(idx_g, (1, 0, 2)).reshape(S, tp * kl)
+    vals, sel = jax.lax.top_k(cand_v, k_win)          # merged global window
+    idx = jnp.take_along_axis(cand_i, sel, axis=1)
+    # Ties: top_k breaks by candidate position; candidates are rank-major
+    # and in-rank descending-value (ties by global id), so equal values
+    # resolve to the lowest global id — matching the unsharded top_k.
+    probs = jnp.exp(vals - lse)
+
+    rank = jax.lax.broadcasted_iota(jnp.int32, (S, k_win), 1)
+    ks_full = jnp.where(top_ks <= 0, v_total, top_ks)[:, None]
+    keep = rank < jnp.minimum(ks_full, k_win)
+    cum_before = jnp.cumsum(probs, axis=-1) - probs
+    keep &= cum_before < top_ps[:, None]
+    mps = (
+        jnp.zeros((S, 1), jnp.float32) if min_ps is None else min_ps[:, None]
+    )
+    keep &= probs >= mps * probs[:, :1]
+
+    masked = jnp.where(keep, vals, -jnp.inf)
+    g_win = jnp.take_along_axis(g_full, idx, axis=1)
+    noisy = jnp.where(temps > 0.0, masked + g_win, vals)
+    choice = jnp.argmax(noisy, axis=-1)
+    window_tokens = jnp.take_along_axis(idx, choice[:, None], axis=1)[
+        :, 0
+    ].astype(jnp.int32)
+
+    # Unfiltered rows: distributed plain Gumbel argmax (see sample_tp).
+    unfiltered = (ks_full >= v_total) & (top_ps[:, None] >= 1.0) & (mps <= 0.0)
+    g_l = jax.lax.dynamic_slice_in_dim(g_full, v_rank, v_local, axis=1)
+    noisy_l = scaled_l + g_l
+    loc = jnp.argmax(noisy_l, axis=-1)
+    best_l = jnp.take_along_axis(noisy_l, loc[:, None], axis=1)[:, 0]
+    bests = jax.lax.all_gather(best_l, axis)
+    bidx = jax.lax.all_gather(loc.astype(jnp.int32) + v_rank, axis)
+    r = jnp.argmax(bests, axis=0)
+    plain_tokens = jnp.take_along_axis(bidx, r[None, :], axis=0)[0]
+    base_tokens = jnp.where(
+        unfiltered[:, 0] & (temperatures > 0.0), plain_tokens, window_tokens
+    )
+
+    k_closes = ks_full <= k_win
+    mass = cum_before[:, -1:] + probs[:, -1:]
+    p_closes = mass >= top_ps[:, None]
+    minp_closes = (mps > 0) & (mps * probs[:, :1] > probs[:, -1:])
+    needs_exact = ~(unfiltered | k_closes | p_closes | minp_closes)[:, 0]
+    needs_exact &= temperatures > 0.0
+
+    def _exact(_):
+        # Rare branch: gather the full logits and run the full-vocab sorted
+        # path (identical math to the unsharded exact branch).
+        full = jax.lax.all_gather(logits, axis, axis=1, tiled=True)
+        scaled_full = full / jnp.maximum(temps, 1e-6)
+        order = jnp.argsort(-scaled_full, axis=-1)
+        svals = jnp.take_along_axis(scaled_full, order, axis=-1)
+        sprobs = jnp.exp(svals - lse)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (S, v_total), 1)
+        k2 = rr < ks_full
+        cb = jnp.cumsum(sprobs, axis=-1) - sprobs
+        k2 &= cb < top_ps[:, None]
+        k2 &= sprobs >= mps * sprobs[:, :1]
+        m2 = jnp.where(k2, svals, -jnp.inf)
+        g2 = jnp.take_along_axis(g_full, order, axis=1)
+        n2 = jnp.where(temps > 0.0, m2 + g2, svals)
+        c2 = jnp.argmax(n2, axis=-1)
+        exact_tokens = jnp.take_along_axis(order, c2[:, None], axis=1)[
+            :, 0
+        ].astype(jnp.int32)
+        return jnp.where(needs_exact, exact_tokens, base_tokens)
+
+    return jax.lax.cond(
+        jnp.any(needs_exact), _exact, lambda _: base_tokens, None
+    )
+
+
 def head_sample(
     h: jax.Array,             # f[S, D] final hidden states
     w,                        # LM head [V(/tp), D] (plain or QuantWeight)

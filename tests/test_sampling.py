@@ -230,6 +230,71 @@ def test_sample_tp_bit_identical_to_gathered():
         np.testing.assert_array_equal(np.asarray(got_s), np.asarray(want_s))
 
 
+def test_sample_topk_topp_tp_matches_unsharded():
+    """Sharded filtered sampling (per-rank top-window + lse partials) must
+    reproduce the unsharded sampler: candidate values and noise are
+    identical, only the normalizer is logsumexp-of-partials — so with
+    well-separated logits (no nucleus-boundary ulp ties) tokens match
+    exactly, and greedy rows match unconditionally."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from nanovllm_tpu.ops.sampling import sample_topk_topp_tp
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("tp",))
+    s, v = 6, 256
+    logits = jax.random.normal(jax.random.PRNGKey(11), (s, v)) * 3.0
+    temps = jnp.asarray([0.0, 0.8, 1.0, 1.4, 0.0, 1.0])
+    ks = jnp.asarray([5, 0, 20, 3, 7, 0], jnp.int32)
+    ps = jnp.asarray([1.0, 0.7, 0.9, 1.0, 0.5, 1.0])
+    mps = jnp.asarray([0.0, 0.0, 0.05, 0.0, 0.0, 0.0])
+    for i in range(10):
+        key = jax.random.PRNGKey(200 + i)
+        want = sample_topk_topp(logits, temps, key, ks, ps, min_ps=mps)
+        got = shard_map(
+            lambda l: sample_topk_topp_tp(
+                l, temps, key, ks, ps, "tp", v, min_ps=mps),
+            mesh=mesh, in_specs=P(None, "tp"), out_specs=P(None),
+            check_rep=False,
+        )(logits)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want), i)
+
+
+def test_sample_topk_topp_tp_exact_branch():
+    """Flat logits with top_p=0.9: the nucleus is far wider than the window,
+    so the sharded path must take its gather+sort branch and stay inside the
+    numpy-oracle nucleus while reaching far beyond the window."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from nanovllm_tpu.ops.sampling import sample_topk_topp_tp
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("tp",))
+    s, v = 4, 1024
+    rng = np.random.default_rng(5)
+    logits = jnp.asarray(rng.normal(0, 0.01, (s, v)), jnp.float32)
+    temps = jnp.ones(s)
+    ks = jnp.zeros(s, jnp.int32)
+    ps = jnp.full(s, 0.9)
+    fn = jax.jit(shard_map(
+        lambda l, key: sample_topk_topp_tp(l, temps, key, ks, ps, "tp", v),
+        mesh=mesh, in_specs=(P(None, "tp"), P()), out_specs=P(None),
+        check_rep=False,
+    ))
+    seen = [set() for _ in range(s)]
+    for i in range(300):
+        toks = np.asarray(fn(logits, jax.random.PRNGKey(i)))
+        for r in range(s):
+            seen[r].add(int(toks[r]))
+    probs = np.asarray(jax.nn.softmax(logits, -1), np.float64)
+    for r in range(s):
+        order = np.argsort(-probs[r], kind="stable")
+        cum = np.cumsum(probs[r][order])
+        n = int(np.searchsorted(cum, 0.9)) + 1
+        assert seen[r] <= set(order[:n].tolist()), r
+        assert len(seen[r]) > TOPK_WINDOW, (r, len(seen[r]))
+
+
 def test_head_sample_bit_identical_to_unfused():
     """The fused chunked head+sampler must reproduce sample(head_matmul(..))
     BIT-identically — same dots per chunk, same sliced noise stream, strict->

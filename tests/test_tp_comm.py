@@ -37,6 +37,34 @@ def test_sampled_tp_matches_single_chip(tiny_qwen3_dir):
         assert o["token_ids"] == r["token_ids"]
 
 
+def test_filtered_tp_matches_single_chip(tiny_qwen3_dir):
+    """top-k/top-p requests under TP=2 match the single-chip trace (peaked
+    tiny-model logits: all bounds close inside the window, no nucleus-
+    boundary ulp ties)."""
+    from nanovllm_tpu import LLM, SamplingParams
+
+    prompts = [[3, 4, 5, 6], [9, 8, 7]]
+    params = [
+        SamplingParams(temperature=1.0, top_k=8, max_tokens=6,
+                       ignore_eos=True),
+        SamplingParams(temperature=0.9, top_p=0.8, max_tokens=6,
+                       ignore_eos=True),
+    ]
+    kwargs = dict(
+        dtype="float32", max_model_len=128, max_num_batched_tokens=128,
+        max_num_seqs=4, kvcache_block_size=16, num_kvcache_blocks=32,
+        decode_buckets=(4,), prefill_buckets=(128,), rng_seed=3,
+    )
+    one = LLM(tiny_qwen3_dir, tensor_parallel_size=1, **kwargs)
+    ref = one.generate(prompts, params, use_tqdm=False)
+    one.exit()
+    two = LLM(tiny_qwen3_dir, tensor_parallel_size=2, **kwargs)
+    out = two.generate(prompts, params, use_tqdm=False)
+    two.exit()
+    for o, r in zip(out, ref):
+        assert o["token_ids"] == r["token_ids"]
+
+
 def test_plain_tp_step_has_no_logits_allgather(tiny_qwen3_dir):
     """The plain decode variant under TP must not gather [S, V] logits: the
     only all-gathers left are the [tp, S]-scalar sample combine (and none
