@@ -45,7 +45,7 @@ def score_logprobs(runner: ModelRunner, token_ids: np.ndarray) -> np.ndarray:
     table = list(range(-(-n // bs)))
     assert len(table) <= cfg.num_kvcache_blocks
 
-    prefill_impl, _ = runner._attn_impls()
+    prefill_impl = runner._attn_impls()[0]
 
     @jax.jit
     def chunk_logprobs(params, kv, inputs, targets):
