@@ -24,7 +24,10 @@ from nanovllm_tpu.utils.testing import QWEN3_0_6B, make_qwen3_dir
 d = make_qwen3_dir("/tmp/qwen3-0.6b-bench", QWEN3_0_6B)
 config = Config(d, max_model_len=4096, max_num_seqs=256,
                 kv_cache_dtype=os.environ.get("KV", "int8"),
-                quantization=os.environ.get("QUANT", "int8") or None)
+                quantization=os.environ.get("QUANT", "int8") or None,
+                # SPEC_K > 0 profiles the PLAIN decode variant of a spec
+                # build (adds the per-step history-slab maintenance).
+                spec_k=int(os.environ.get("SPEC_K", "0")))
 runner = ModelRunner(config, random_weights=True)
 
 Sequence.block_size = config.kvcache_block_size

@@ -95,6 +95,20 @@ class Config:
     # seeded / biased / penalized sampling or logprobs fall back to the
     # normal decode step for that step (still exact, just unaccelerated).
     spec_k: int = 0
+    # Acceptance-adaptive speculation (cf. vLLM's dynamic speculative
+    # decoding): drafting only pays when drafts get accepted. The engine
+    # tracks the per-drain acceptance rate (EWMA); below spec_min_acceptance
+    # it stops issuing spec steps (plain decode; the on-device spec state is
+    # still maintained) and re-probes with a single spec step every
+    # spec_probe_interval eligible decode steps, so a workload shift back to
+    # a predictable phase re-enables drafting. Measured r4 on chip: an
+    # acceptance≈0 sampled trace ran ~10x SLOWER with always-on drafting —
+    # pessimistic +k host lengths park every sequence at its cap, forcing
+    # pipeline-flushing drains, and phantom block reservations trigger
+    # preemptions. The gate bounds that cost to the probe cadence.
+    # spec_min_acceptance=0.0 restores always-on drafting.
+    spec_min_acceptance: float = 0.1
+    spec_probe_interval: int = 256
     # When set, generate() runs under jax.profiler.trace writing an xplane
     # trace here (view with tensorboard-plugin-profile / xprof).
     profile_dir: str | None = None
@@ -128,6 +142,8 @@ class Config:
         # the decode kernel; its multi-row write-back patches a 2*wb_tile
         # staging window, which covers runs of up to wb_tile (8) rows.
         assert 0 <= self.spec_k <= 7, "spec_k must be in [0, 7]"
+        assert 0.0 <= self.spec_min_acceptance < 1.0, self.spec_min_acceptance
+        assert self.spec_probe_interval > 0, self.spec_probe_interval
         if self.kv_cache_dtype == "auto":
             self.kv_cache_dtype = self.dtype
         # int8 KV stores values in 1 byte with an f32 scale per (token, head)

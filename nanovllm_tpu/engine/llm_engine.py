@@ -74,6 +74,16 @@ class LLMEngine:
         self.pending: list[tuple] = []
         self._emitted: dict[int, list[int]] = {}
         self._drain_count = 0  # generate_stream wakes on ring drains
+        # Acceptance-adaptive speculation (Config.spec_min_acceptance):
+        # per-drain acceptance EWMA decides whether decode steps draft.
+        self._spec_accept_ewma: float | None = None
+        self._spec_off = False
+        self._spec_steps_since_probe = 0
+        # Draft/accept tallies accumulate across drains until there are
+        # enough samples for a stable rate estimate (single probe steps and
+        # small tail batches would otherwise flip the gate on noise).
+        self._spec_pending_drafted = 0
+        self._spec_pending_accepted = 0
         atexit.register(self.exit)
 
     def exit(self):
@@ -151,6 +161,7 @@ class LLMEngine:
         spec_mode = self.config.spec_k > 0
         ql = self.config.spec_k + 1
         touched: dict[int, object] = {}
+        drain_drafted = drain_accepted = 0
         outputs = []
         for row, (seqs, appended, was_prefill) in enumerate(self.pending):
             done_t = row_times[row] if row < len(row_times) else perf_counter()
@@ -174,10 +185,13 @@ class LLMEngine:
                     # this undercounts acceptance slightly at sequence ends.
                     drafted = sum(a - 1 for a in appended if a)
                     if drafted:
-                        self.metrics.spec_drafted += drafted
-                        self.metrics.spec_accepted += max(
+                        accepted = max(
                             0, applied - sum(1 for a in appended if a)
                         )
+                        self.metrics.spec_drafted += drafted
+                        self.metrics.spec_accepted += accepted
+                        drain_drafted += drafted
+                        drain_accepted += accepted
                 for seq in seqs:
                     touched[seq.seq_id] = seq
             else:
@@ -214,6 +228,19 @@ class LLMEngine:
             # restore the exact decode invariants (resident-KV watermark,
             # prefix-cache hashing) the pessimistic bookkeeping relaxed.
             self.scheduler.reconcile_spec(touched.values())
+            self._spec_pending_drafted += drain_drafted
+            self._spec_pending_accepted += drain_accepted
+            if self._spec_pending_drafted >= 64:
+                acc = self._spec_pending_accepted / self._spec_pending_drafted
+                self._spec_pending_drafted = self._spec_pending_accepted = 0
+                self._spec_accept_ewma = (
+                    acc if self._spec_accept_ewma is None
+                    else 0.7 * self._spec_accept_ewma + 0.3 * acc
+                )
+                thresh = self.config.spec_min_acceptance
+                self._spec_off = (
+                    thresh > 0.0 and self._spec_accept_ewma < thresh
+                )
         return outputs
 
     def final_text(self, seq: Sequence) -> str:
@@ -287,6 +314,15 @@ class LLMEngine:
                 )
                 for s in seqs
             )
+            if spec_step and self._spec_off:
+                # Acceptance gate tripped: plain decode, except one probe
+                # spec step per spec_probe_interval eligible steps so a
+                # workload shift back to predictability re-enables drafting.
+                self._spec_steps_since_probe += 1
+                if self._spec_steps_since_probe >= self.config.spec_probe_interval:
+                    self._spec_steps_since_probe = 0
+                else:
+                    spec_step = False
             if spec_step:
                 for s in seqs:
                     s.num_scheduled_tokens = self.config.spec_k + 1

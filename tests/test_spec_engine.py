@@ -146,6 +146,48 @@ def test_spec_prefix_cache_identity(tiny_qwen3_dir):
         llm.exit()
 
 
+def test_spec_gate_disables_on_low_acceptance(tiny_qwen3_dir):
+    """A sampled (temperature 1.0) trace accepts ~nothing: the acceptance
+    gate must trip after the first drain and stop issuing spec steps (r4
+    chip measurement: always-on drafting at acceptance≈0 ran ~10x slower —
+    pessimistic lengths park sequences, forcing pipeline drains)."""
+    sp = SamplingParams(temperature=1.0, max_tokens=64, ignore_eos=True)
+    out, llm = _gen(tiny_qwen3_dir, PROMPTS, sp, spec_k=3,
+                    spec_probe_interval=16)
+    assert llm._spec_off, "gate should trip on an acceptance≈0 trace"
+    m = llm.metrics
+    # Un-gated, every decode step drafts ~3*len(PROMPTS) tokens; with the
+    # gate only the pre-first-drain window and sparse probes draft.
+    assert m.spec_drafted < m.num_decode_steps * 3 * len(PROMPTS) / 2, (
+        m.spec_drafted, m.num_decode_steps)
+    assert all(len(o["token_ids"]) == 64 for o in out)
+
+
+def test_spec_gate_probes_after_tripping(tiny_qwen3_dir):
+    """While off, one probe spec step per spec_probe_interval keeps the
+    acceptance estimate fresh (a shifted workload can re-enable drafting)."""
+    sp = SamplingParams(temperature=1.0, max_tokens=96, ignore_eos=True)
+    _, llm = _gen(tiny_qwen3_dir, PROMPTS, sp, spec_k=3,
+                  spec_probe_interval=3)
+    # With a 3-step probe cadence the post-trip probes keep drafting: well
+    # more drafted tokens than the pre-trip window (≈ fetch_interval steps
+    # × 3 drafts × 5 seqs ≈ 120) alone could produce.
+    assert llm._spec_off
+    assert llm.metrics.spec_drafted > 200, llm.metrics.spec_drafted
+
+
+def test_spec_gate_always_on_when_threshold_zero(tiny_qwen3_dir):
+    """spec_min_acceptance=0.0 restores unconditional drafting."""
+    sp = SamplingParams(temperature=1.0, max_tokens=32, ignore_eos=True)
+    _, llm = _gen(tiny_qwen3_dir, PROMPTS, sp, spec_k=3,
+                  spec_min_acceptance=0.0)
+    assert not llm._spec_off
+    m = llm.metrics
+    # Every decode step drafted (placeholder caps may trim the tail rows).
+    assert m.spec_drafted >= m.num_decode_steps * len(PROMPTS), (
+        m.spec_drafted, m.num_decode_steps)
+
+
 def test_spec_seeded_and_min_tokens_run(tiny_qwen3_dir):
     """Seeded sampling reproduces its trace through the fallback variant,
     and min_tokens still suppresses EOS (conservatively) under spec."""
