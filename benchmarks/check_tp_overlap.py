@@ -63,7 +63,8 @@ def main():
     inputs = runner._dummy_inputs(8, 8, False)
     compiled = runner._step.lower(
         runner.params, runner.kv, runner.token_state, runner.rope, inputs,
-        None, None, False, False, False, False, False, False, False,
+        None, None, None, None, False, False, False, False, False, False,
+        False, False,
     ).compile()
     hlo = compiled.as_text()
 

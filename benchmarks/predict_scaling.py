@@ -174,8 +174,8 @@ def main():
         inputs = runner._dummy_inputs(args.batch, args.batch, False)
         compiled = runner._step.lower(
             runner.params, runner.kv, runner.token_state, runner.rope,
-            inputs, None, None, False, False, False, False, False, False,
-            False,
+            inputs, None, None, None, None, False, False, False, False, False,
+            False, False, False,
         ).compile()
         hlo = compiled.as_text()
 

@@ -95,6 +95,14 @@ class Config:
     # seeded / biased / penalized sampling or logprobs fall back to the
     # normal decode step for that step (still exact, just unaccelerated).
     spec_k: int = 0
+    # Guided decoding (JSON mode): compile the on-device JSON pushdown
+    # automaton at startup (ops/guided.py) so requests may set
+    # SamplingParams(guided="json"). Costs a one-time host mask compilation
+    # (~seconds at a 152k vocab), ~10 MB of device tables, and per-slot
+    # state slabs; guided batches run a separate full-logits step variant
+    # (like penalized ones). False (default) keeps every compiled step
+    # program byte-identical to the non-guided build.
+    guided_json: bool = False
     # Acceptance-adaptive speculation (cf. vLLM's dynamic speculative
     # decoding): drafting only pays when drafts get accepted. The engine
     # tracks the per-drain acceptance rate (EWMA); below spec_min_acceptance

@@ -98,6 +98,64 @@ class SpecInputs(NamedTuple):
                             # joins the sequence (chunk completes the prompt)
 
 
+class GuidedInputs(NamedTuple):
+    """Per-step metadata for guided-decoding builds (Config.guided_json).
+    Passed as a separate jit argument (None when the feature is off). In
+    guided builds EVERY variant receives it: prefill steps clear/arm the
+    per-slot automaton state; guided decode variants mask logits and walk
+    the sampled tokens (ops/guided.py). The slabs' last row is the dead
+    row, like the penalty slabs."""
+    clear_slots: jax.Array  # i32[S] slots whose guided state resets to
+                            # inactive this step (every seq's first prefill
+                            # chunk — clears stale state from a prior slot
+                            # owner; dead otherwise)
+    set_slots: jax.Array    # i32[S] slots armed this step (final prefill
+                            # chunk of a guided seq; dead otherwise)
+    set_state: jax.Array    # i32[S] automaton state for set_slots (resumed
+                            # via a host re-walk on re-prefill)
+    set_depth: jax.Array    # i32[S]
+    set_stack: jax.Array    # i32[S, DEPTH_CAP]
+
+
+def build_guided_inputs(
+    seqs, *, num_seqs_bucket: int, dead_slot: int, is_prefill: bool,
+    resume_fn=None,
+) -> GuidedInputs:
+    """``resume_fn(seq) -> (state, depth, stack_list)`` re-walks a
+    re-prefilled guided sequence's existing completion tokens on the host
+    (preemption re-admission happens after a drain, so their values are
+    known); fresh prompts arm at the automaton start state."""
+    from nanovllm_tpu.ops.guided import DEPTH_CAP
+
+    s = num_seqs_bucket
+    clear_slots = np.full(s, dead_slot, np.int32)
+    set_slots = np.full(s, dead_slot, np.int32)
+    set_state = np.zeros(s, np.int32)
+    set_depth = np.zeros(s, np.int32)
+    set_stack = np.zeros((s, DEPTH_CAP), np.int32)
+    if is_prefill:
+        for i, seq in enumerate(seqs):
+            if seq.num_cached_tokens == 0:
+                clear_slots[i] = seq.device_slot
+            done = (
+                seq.num_cached_tokens + seq.num_scheduled_tokens
+                == seq.num_tokens
+            )
+            if done and getattr(seq, "guided", None):
+                set_slots[i] = seq.device_slot
+                st, depth, stack = (1, 0, [])  # VAL, empty stack
+                if resume_fn is not None and \
+                        seq.num_tokens > seq.num_prompt_tokens:
+                    st, depth, stack = resume_fn(seq)
+                set_state[i] = st
+                set_depth[i] = depth
+                set_stack[i, : len(stack)] = stack[:DEPTH_CAP]
+    return GuidedInputs(
+        clear_slots=clear_slots, set_slots=set_slots, set_state=set_state,
+        set_depth=set_depth, set_stack=set_stack,
+    )
+
+
 def build_spec_inputs(
     seqs, *, num_seqs_bucket: int, max_model_len: int, is_prefill: bool
 ) -> SpecInputs:

@@ -42,7 +42,9 @@ class LLMEngine:
         )
         self.config = config
         Sequence.block_size = config.kvcache_block_size
-        self.model_runner = ModelRunner(config, **runner_kwargs)
+        # Tokenizer + EOS resolution BEFORE the runner: guided-decoding
+        # builds compile their token masks (which exclude EOS outside accept
+        # states) during runner construction/warmup.
         self.tokenizer = AutoTokenizer.from_pretrained(config.model, use_fast=True)
         if config.eos == -1:
             config.eos = self.tokenizer.eos_token_id
@@ -65,6 +67,9 @@ class LLMEngine:
             except OSError:
                 pass  # no generation_config.json (tests, bare checkpoints)
             config.eos_ids = tuple(sorted(eos_ids))
+        if config.guided_json:
+            runner_kwargs["tokenizer"] = self.tokenizer
+        self.model_runner = ModelRunner(config, **runner_kwargs)
         # Scheduler after the runner: KV sizing fills num_kvcache_blocks.
         self.scheduler = Scheduler(config)
         self.metrics = EngineMetrics()
@@ -110,6 +115,11 @@ class LLMEngine:
                 "logit_bias entries + the model's EOS set exceed the "
                 f"{LOGIT_BIAS_K}-entry device slab (min_tokens injects an "
                 "EOS-suppressing bias per EOS id)"
+            )
+        if sampling_params.guided:
+            assert self.config.guided_json, (
+                "guided requests require Config(guided_json=True) — the "
+                "on-device automaton tables are compiled at engine startup"
             )
         if sampling_params.uses_penalties:
             # Penalty counts live in fixed-size on-device slabs; the feature
@@ -306,7 +316,7 @@ class LLMEngine:
             # to the (state-maintaining) normal decode variant this step.
             spec_step = not any(
                 s.uses_filtering or s.logprobs or s.seed is not None
-                or s.penalty_slot >= 0 or s.logit_bias
+                or s.penalty_slot >= 0 or s.logit_bias or s.guided
                 or (
                     s.min_tokens
                     and s.num_valued_tokens - s.num_prompt_tokens

@@ -30,9 +30,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from nanovllm_tpu.config import Config
 from nanovllm_tpu.engine.inputs import (
+    GuidedInputs,
     PenaltyInputs,
     SpecInputs,
     StepInputs,
+    build_guided_inputs,
     build_penalty_inputs,
     build_spec_inputs,
     build_step_inputs,
@@ -42,6 +44,7 @@ from nanovllm_tpu.models import get_model_family
 from nanovllm_tpu.ops import attention as attn_ops
 from nanovllm_tpu.ops import penalties as penalty_ops
 from nanovllm_tpu.ops import quant
+from nanovllm_tpu.ops import guided as guided_ops
 from nanovllm_tpu.ops import spec as spec_ops
 from nanovllm_tpu.ops.quant import QuantWeight
 from nanovllm_tpu.ops.pallas.ragged_attention import GRP
@@ -87,8 +90,10 @@ def _shard_map(fn, *, mesh, in_specs, out_specs):
 class ModelRunner:
     """Owns device state: parameters, paged KV cache, compiled step fns."""
 
-    def __init__(self, config: Config, *, random_weights: bool = False):
+    def __init__(self, config: Config, *, random_weights: bool = False,
+                 tokenizer=None):
         self.config = config
+        self._guided_tokenizer = tokenizer
         self.spec = get_model_family(config.hf_config).spec_from_hf(config.hf_config)
         self.family = get_model_family(config.hf_config)
         # Offline-quantized checkpoint (tools/quantize_checkpoint.py): adopt
@@ -136,6 +141,7 @@ class ModelRunner:
 
         self._load_params(random_weights)
         self._alloc_token_state()
+        self._init_guided()
         self._init_rope()
         # Step fns are built (not compiled) before the KV pool is sized: auto
         # sizing probe-compiles the largest prefill bucket against a tiny
@@ -402,9 +408,14 @@ class ModelRunner:
                 [], num_seqs_bucket=cfg.max_num_seqs,
                 max_model_len=cfg.max_model_len, is_prefill=True,
             )
+        gin = self._empty_guided_inputs(cfg.max_num_seqs, True)
+        # Guided builds probe the GUIDED prefill variant: its full-logits
+        # mask path has strictly larger temporaries than the fused-sampler
+        # plain step, so KV sizing stays safe.
         compiled = self._step.lower(
             self.params, kv, self.token_state, self.rope, inputs,
-            None, sp, True, False, False, False, False, False, False,
+            None, sp, self.gtab, gin, True, False, False, False, False,
+            False, False, cfg.guided_json,
         ).compile()
         ma = compiled.memory_analysis()
         summed = (
@@ -503,10 +514,12 @@ class ModelRunner:
         )
 
     @staticmethod
-    def _device_zeros(shape, dtype, sharding):
-        """Allocate a zeroed (possibly multi-host) sharded buffer on device —
+    def _device_zeros(shape, dtype, sharding, fill=0):
+        """Allocate a filled (possibly multi-host) sharded buffer on device —
         no host materialization or transfer."""
-        return jax.jit(lambda: jnp.zeros(shape, dtype), out_shardings=sharding)()
+        return jax.jit(
+            lambda: jnp.full(shape, fill, dtype), out_shardings=sharding
+        )()
 
     def _alloc_token_state(self):
         """On-device sampled-token state for the async pipeline:
@@ -551,6 +564,23 @@ class ModelRunner:
             v = self.spec.vocab_size
             state.append(self._device_zeros((rows, v), jnp.int32, rep))
             state.append(self._device_zeros((rows, v), jnp.int8, rep))
+        if cfg.guided_json:
+            # Guided-decoding automaton state (ops/guided.py): per-slot
+            # state (-1 = unguided/inactive), stack depth, and the container
+            # stack. Last row = dead slot for masked scatters.
+            from nanovllm_tpu.ops.guided import DEPTH_CAP
+
+            state.append(
+                self._device_zeros((self.num_slots,), jnp.int32, rep, fill=-1)
+            )
+            state.append(
+                self._device_zeros((self.num_slots,), jnp.int32, rep)
+            )
+            state.append(
+                self._device_zeros(
+                    (self.num_slots, DEPTH_CAP), jnp.int32, rep
+                )
+            )
         if cfg.spec_k > 0:
             # Speculative decoding device state (ops/spec.py): per-slot TRUE
             # sequence lengths (host lengths are pessimistic between drains)
@@ -565,6 +595,54 @@ class ModelRunner:
                 )
             )
         self.token_state = tuple(state)
+
+    def _init_guided(self):
+        """Compile the guided-decoding (JSON) automaton tables and place the
+        device copies (ops/guided.py). Host copies stay for the re-prefill
+        resume walk (a preempted guided sequence's completion tokens are
+        known at re-admission, so the host rebuilds its automaton state)."""
+        self.gtab = None
+        self._guided_host = None
+        if not self.config.guided_json:
+            return
+        assert self._guided_tokenizer is not None, (
+            "guided_json=True requires the tokenizer at runner construction "
+            "(the LLMEngine passes it; direct ModelRunner users must too)"
+        )
+        from nanovllm_tpu.ops import guided as guided_ops
+
+        eos_ids = tuple(self.config.eos_ids or ()) or (
+            (self.config.eos,) if self.config.eos >= 0 else ()
+        )
+        t = guided_ops.build_engine_tables(
+            self._guided_tokenizer, self.spec.vocab_size, eos_ids
+        )
+        self._guided_host = t
+        rep = NamedSharding(self.mesh, P())
+
+        def put(a):  # multihost-safe replicated placement
+            return jax.make_array_from_callback(
+                np.shape(a), rep, lambda idx: np.asarray(a)[idx]
+            )
+
+        self.gtab = (
+            put(t["trans"]), put(t["maskbits"]), put(t["token_bytes"]),
+        )
+
+    def _guided_resume(self, seq):
+        """(state, depth, stack) after the completion tokens emitted so far —
+        the host-side walk backing re-prefill resumes."""
+        from nanovllm_tpu.ops import guided as guided_ops
+
+        t = self._guided_host
+        w = guided_ops.HostWalker(
+            t["trans"], t["accept"], t["token_bytes"], t["token_len"],
+            depth_cap=guided_ops.DEPTH_CAP,
+        )
+        for tok in seq.token_ids[seq.num_prompt_tokens: seq.num_tokens]:
+            if not w.feed_token(int(tok)):
+                break  # parked in DEAD: the device walk will agree
+        return w.state, len(w.stack), list(w.stack)
 
     def _init_rope(self):
         """Precompute the RoPE cos/sin tables once, replicated on device, and
@@ -688,15 +766,34 @@ class ModelRunner:
 
         spec_build = cfg.spec_k > 0
         QL = cfg.spec_k + 1
-        spec_base = 3 + (2 if cfg.num_penalty_slots > 0 else 0)
+        guided_build = cfg.guided_json
+        gbase = 3 + (2 if cfg.num_penalty_slots > 0 else 0)
+        spec_base = gbase + (3 if guided_build else 0)
 
         def local_step(params, kv, tstate, rope, inputs: StepInputs,
                        pen: PenaltyInputs | None, sp: SpecInputs | None,
+                       gtab, gin: GuidedInputs | None,
                        is_prefill: bool, filtered: bool, want_lp: bool,
                        biased: bool, seeded: bool, penalized: bool,
-                       spec_step: bool):
+                       spec_step: bool, guided: bool):
             """Per-device program (the whole program when tp == 1)."""
             last_buf, ring, lp_ring = tstate[0], tstate[1], tstate[2]
+            gstate = gdepth = gstack = None
+            if guided_build:
+                # Guided-decoding automaton state (ops/guided.py). Prefill
+                # steps clear stale slot state and arm completing guided
+                # rows (program order: clear, then arm, then mask/walk).
+                gstate, gdepth, gstack = tstate[gbase: gbase + 3]
+                gdead = gstate.shape[0] - 1
+                if is_prefill:
+                    gstate = gstate.at[gin.clear_slots].set(-1)
+                    gdepth = gdepth.at[gin.clear_slots].set(0)
+                    gstack = gstack.at[gin.clear_slots].set(0)
+                    gstate = gstate.at[gin.set_slots].set(gin.set_state)
+                    gdepth = gdepth.at[gin.set_slots].set(gin.set_depth)
+                    gstack = gstack.at[gin.set_slots].set(gin.set_stack)
+                    # The dead row must stay inactive whatever landed on it.
+                    gstate = gstate.at[gdead].set(-1)
             seq_lens_buf = hist_buf = None
             if spec_build:
                 # Speculative state (device truth): per-slot lengths + token
@@ -911,14 +1008,16 @@ class ModelRunner:
             # ~155 MB at S=256, V=152k), bit-identically. Variants that
             # transform or read the full distribution (penalties,
             # logit_bias, top-k/p, logprobs) compute and gather logits.
-            fused_sample = not (penalized or biased or filtered or want_lp)
+            fused_sample = not (
+                penalized or biased or filtered or want_lp or guided
+            )
             # Filtered batches under TP keep the vocab sharded too
             # (per-rank top-window + lse partials, ~1 MB gathered;
             # sample_topk_topp_tp) unless penalties/bias/logprobs must
             # transform or read the full distribution.
             shard_filter = (
                 filtered and axis is not None
-                and not (penalized or biased or want_lp)
+                and not (penalized or biased or want_lp or guided)
             )
             if not fused_sample:
                 logits = quant.head_matmul(last_h, w)
@@ -929,6 +1028,14 @@ class ModelRunner:
                     logits = jax.lax.all_gather(
                         logits, axis, axis=1, tiled=True
                     )
+            if guided:
+                # JSON-mode -inf masking by each row's (state, top) allowed
+                # set, BEFORE penalties/bias/temperature (ops/guided.py);
+                # unguided rows (state -1) pass through untouched.
+                logits = guided_ops.mask_logits(
+                    logits, gstate, gdepth, gstack, inputs.slot_ids,
+                    gtab[1],
+                )
             if penalized:
                 # vLLM order: penalties before logit_bias / temperature /
                 # filtering. Rows without penalties gather the dead slab row
@@ -978,6 +1085,14 @@ class ModelRunner:
                 # Count the sampled token BEFORE the next chained decode step
                 # reads the slab (append_inc masks incomplete-chunk samples).
                 pcounts = pcounts.at[prows, tokens].add(pen.append_inc)
+            if guided:
+                # Advance each guided row's automaton by its sampled token —
+                # the exact pushdown walk (real stack), so the next chained
+                # step's mask is ready without any host sync.
+                gstate, gdepth, gstack = guided_ops.walk_sampled(
+                    gstate, gdepth, gstack, inputs.slot_ids, tokens,
+                    gtab[0], gtab[2], gdead,
+                )
             last_buf = last_buf.at[inputs.slot_ids].set(tokens)
             if spec_build:
                 # Maintain the spec device state on every variant so spec and
@@ -1026,6 +1141,8 @@ class ModelRunner:
                     [pcounts, pmask] if penalized
                     else list(tstate[3:5])  # slabs ride the donation
                 )
+            if guided_build:
+                out_state += [gstate, gdepth, gstack]
             if spec_build:
                 out_state += [seq_lens_buf, hist_buf]
             return kv, tuple(out_state)
@@ -1039,16 +1156,21 @@ class ModelRunner:
             pen_spec = PenaltyInputs(*([P()] * len(PenaltyInputs._fields)))
 
             sp_spec = SpecInputs(*([P()] * len(SpecInputs._fields)))
+            gtab_spec = (P(), P(), P())
+            gin_spec = GuidedInputs(*([P()] * len(GuidedInputs._fields)))
 
-            def step(params, kv, tstate, rope, inputs, pen, sp, is_prefill,
-                     filtered, want_lp, biased, seeded, penalized, spec_step):
+            def step(params, kv, tstate, rope, inputs, pen, sp, gtab, gin,
+                     is_prefill, filtered, want_lp, biased, seeded,
+                     penalized, spec_step, guided):
                 def inner(p, k, t, r, i, *rest):
                     rest = list(rest)
                     pn = rest.pop(0) if pen is not None else None
                     spv = rest.pop(0) if sp is not None else None
-                    return local_step(p, k, t, r, i, pn, spv, is_prefill,
-                                      filtered, want_lp, biased, seeded,
-                                      penalized, spec_step)
+                    gt = rest.pop(0) if gtab is not None else None
+                    gv = rest.pop(0) if gin is not None else None
+                    return local_step(p, k, t, r, i, pn, spv, gt, gv,
+                                      is_prefill, filtered, want_lp, biased,
+                                      seeded, penalized, spec_step, guided)
 
                 extra, extra_spec = (), ()
                 if pen is not None:
@@ -1057,6 +1179,9 @@ class ModelRunner:
                 if sp is not None:
                     extra += (sp,)
                     extra_spec += (sp_spec,)
+                if gtab is not None:
+                    extra += (gtab, gin)
+                    extra_spec += (gtab_spec, gin_spec)
                 return _shard_map(
                     inner,
                     mesh=self.mesh,
@@ -1071,13 +1196,21 @@ class ModelRunner:
         self._step_fn = step  # raw (un-jitted) for AOT/lowering consumers
         self._step = jax.jit(
             step, donate_argnums=(1, 2),
-            static_argnums=(7, 8, 9, 10, 11, 12, 13),
+            static_argnums=(9, 10, 11, 12, 13, 14, 15, 16),
         )
         # AOT executables per (t_bucket, s_bucket, is_prefill); filled by
         # warmup(). Misses fall back to the jit path (compile on first hit).
         self._compiled = {}
 
     # -------------------------------------------------------------- warmup
+
+    def _empty_guided_inputs(self, s_bucket: int, is_prefill: bool):
+        if not self.config.guided_json:
+            return None
+        return build_guided_inputs(
+            [], num_seqs_bucket=s_bucket, dead_slot=self.num_slots - 1,
+            is_prefill=is_prefill,
+        )
 
     def _dummy_inputs(self, t_bucket: int, s_bucket: int, is_prefill: bool,
                       p_bucket: int = 1, spec_step: bool = False):
@@ -1146,7 +1279,22 @@ class ModelRunner:
                 ):
                     shapes.append((b * (cfg.spec_k + 1), b, pb, False, False,
                                    True))
-        for t_bucket, s_bucket, p_bucket, is_prefill, penalized, sstep in shapes:
+        shapes = [s + (False,) for s in shapes]
+        if cfg.guided_json:
+            # Guided (JSON-mode) variants: the decode ladder + the largest
+            # prefill bucket (the completing chunk of a guided prompt runs
+            # the guided prefill variant), mirroring the penalized coverage.
+            for b in cfg.decode_buckets:
+                for pb in (
+                    self.decode_pair_buckets[b] if self.use_pallas else (1,)
+                ):
+                    shapes.append((b, b, pb, False, False, False, True))
+            t = max(self.prefill_token_buckets)
+            for pb in (self.prefill_pair_buckets[t] if self.use_pallas else (1,)):
+                shapes.append((t, cfg.max_num_seqs, pb, True, False, False,
+                               True))
+        for (t_bucket, s_bucket, p_bucket, is_prefill, penalized, sstep,
+             guided) in shapes:
             t0 = perf_counter()
             inputs = self._dummy_inputs(
                 t_bucket, s_bucket, is_prefill, p_bucket, spec_step=sstep
@@ -1165,12 +1313,13 @@ class ModelRunner:
                     [], num_seqs_bucket=s_bucket,
                     max_model_len=cfg.max_model_len, is_prefill=is_prefill,
                 )
+            gin = self._empty_guided_inputs(s_bucket, is_prefill)
             key = (t_bucket, s_bucket, p_bucket, is_prefill,
-                   False, False, False, False, penalized, sstep)
+                   False, False, False, False, penalized, sstep, guided)
             self._compiled[key] = self._step.lower(
                 self.params, self.kv, self.token_state, self.rope, inputs,
-                pen, sp, is_prefill, False, False, False, False, penalized,
-                sstep,
+                pen, sp, self.gtab, gin, is_prefill, False, False, False,
+                False, penalized, sstep, guided,
             ).compile()
             mode = "prefill" if is_prefill else "decode"
             if jax.process_index() == 0:
@@ -1179,6 +1328,7 @@ class ModelRunner:
                     f"pairs={p_bucket}"
                     + (" penalized" if penalized else "")
                     + (" spec" if sstep else "")
+                    + (" guided" if guided else "")
                     + f": {perf_counter() - t0:.1f}s"
                 )
 
@@ -1203,6 +1353,17 @@ class ModelRunner:
         # penalized requests; the engine rejects them when the feature is
         # off, so this never trips on an unallocated slab).
         penalized = any(seq.penalty_slot >= 0 for seq in seqs)
+        # Guided (JSON-mode) variant: decode batches holding a guided row,
+        # and prefill steps where a guided prompt's final chunk completes
+        # (its first sampled token must already be masked).
+        guided = cfg.guided_json and any(
+            seq.guided and (
+                not is_prefill
+                or seq.num_cached_tokens + seq.num_scheduled_tokens
+                == seq.num_tokens
+            )
+            for seq in seqs
+        )
         # min_tokens (vLLM): while a completion is shorter than min_tokens,
         # suppress the model's EOS set by injecting -inf biases — rides the
         # existing logit_bias step variant, no dedicated machinery. The token
@@ -1345,30 +1506,37 @@ class ModelRunner:
                 seqs, num_seqs_bucket=s_bucket,
                 max_model_len=cfg.max_model_len, is_prefill=is_prefill,
             )
+        gin = None
+        if cfg.guided_json:
+            gin = build_guided_inputs(
+                seqs, num_seqs_bucket=s_bucket,
+                dead_slot=self.num_slots - 1, is_prefill=is_prefill,
+                resume_fn=self._guided_resume,
+            )
         if self.n_proc > 1:
             # Multi-host: every host builds identical StepInputs (deterministic
             # scheduler + shared rng seed); wrap them as globally-replicated
             # arrays so the global-mesh jit accepts them.
             rep = NamedSharding(self.mesh, P())
-            inputs, pen, sp = jax.tree.map(
+            inputs, pen, sp, gin = jax.tree.map(
                 lambda a: jax.make_array_from_callback(
                     np.shape(a), rep, lambda idx, a=a: np.asarray(a)[idx]
                 ),
-                (inputs, pen, sp),
+                (inputs, pen, sp, gin),
             )
         key = (t_bucket, s_bucket, p_bucket, is_prefill, filtered, want_lp,
-               biased, seeded, penalized, spec_step)
+               biased, seeded, penalized, spec_step, guided)
         compiled = self._compiled.get(key)
         if compiled is not None:
             self.kv, self.token_state = compiled(
                 self.params, self.kv, self.token_state, self.rope, inputs,
-                pen, sp,
+                pen, sp, self.gtab, gin,
             )
         else:
             self.kv, self.token_state = self._step(
                 self.params, self.kv, self.token_state, self.rope, inputs,
-                pen, sp, is_prefill, filtered, want_lp, biased, seeded,
-                penalized, spec_step,
+                pen, sp, self.gtab, gin, is_prefill, filtered, want_lp,
+                biased, seeded, penalized, spec_step, guided,
             )
 
     def fetch_ring(self) -> np.ndarray:

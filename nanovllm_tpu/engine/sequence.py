@@ -72,6 +72,7 @@ class Sequence:
         self.frequency_penalty = sampling_params.frequency_penalty
         self.repetition_penalty = sampling_params.repetition_penalty
         self.uses_penalties = sampling_params.uses_penalties
+        self.guided = sampling_params.guided
         # Row of the on-device penalty-count slabs (assigned by the scheduler
         # while the sequence runs; -1 = none).
         self.penalty_slot = -1

@@ -370,6 +370,7 @@ def _make_handler(serving: ServingEngine):
                     repetition_penalty=float(
                         req.get("repetition_penalty", 1.0)
                     ),
+                    guided=req.get("guided"),
                 )
             except (KeyError, ValueError, TypeError, AssertionError,
                     json.JSONDecodeError) as e:
@@ -465,6 +466,15 @@ def _make_handler(serving: ServingEngine):
                     frequency_penalty=float(req.get("frequency_penalty", 0.0)),
                     repetition_penalty=float(
                         req.get("repetition_penalty", 1.0)
+                    ),
+                    # OpenAI response_format json_object -> guided JSON
+                    # (requires the server started with
+                    # --config guided_json=True).
+                    guided=(
+                        "json"
+                        if (req.get("response_format") or {}).get("type")
+                        in ("json_object",)
+                        else req.get("guided")
                     ),
                 )
                 n_choices = int(req.get("n", 1))

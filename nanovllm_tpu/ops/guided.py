@@ -200,9 +200,12 @@ def token_byte_table(tokenizer, vocab_size: int, max_len: int = 16):
     tb = np.full((vocab_size, max_len), PAD_BYTE, dtype=np.int32)
     tl = np.full(vocab_size, -1, dtype=np.int32)
     specials = set(getattr(tokenizer, "all_special_ids", []) or [])
+    # The model's (padded) vocab can exceed the tokenizer's id space; ids
+    # past it stay unmaskable (-1).
+    n = min(vocab_size, len(tokenizer))
     # Batch-decode for speed (one Python call per id is minutes at 152k).
     texts = tokenizer.batch_decode(
-        [[i] for i in range(vocab_size)], skip_special_tokens=False
+        [[i] for i in range(n)], skip_special_tokens=False
     )
     for i, t in enumerate(texts):
         if i in specials:
@@ -298,6 +301,122 @@ def pack_mask_bits(allowed: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # Host reference walker (tests / oracle)
 # ---------------------------------------------------------------------------
+
+def build_engine_tables(tokenizer, vocab_size: int, eos_ids):
+    """Everything the engine needs, as host numpy: the automaton, packed
+    masks, token byte tables. ~seconds at a 152k vocab (vectorized walks);
+    tiny-vocab test fixtures are instant."""
+    trans, accept, _ = build_json_automaton()
+    tb, tl = token_byte_table(tokenizer, vocab_size)
+    packed, _ = compile_masks(trans, accept, tb, tl, eos_ids=eos_ids)
+    return dict(
+        trans=trans.astype(np.int32), accept=accept,
+        maskbits=packed, token_bytes=tb, token_len=tl,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Device side (JAX): logit masking + exact sampled-token walk
+# ---------------------------------------------------------------------------
+
+DEPTH_CAP = 32  # device stack depth; past it the walk parks in DEAD
+
+
+def mask_logits(logits, gstate, gdepth, gstack, slot_ids, maskbits,
+                v_offset=0):
+    """-inf-mask ``logits`` [S, Vl] by each row's (state, top) allowed set.
+
+    ``maskbits`` i32[n_states, 4, W] packed bits; ``v_offset`` is this
+    rank's global vocab offset (vocab-sharded logits gather their own word
+    window — W need not align to rank boundaries). Rows with state < 0
+    (unguided) pass through untouched."""
+    import jax
+    import jax.numpy as jnp
+
+    S, Vl = logits.shape
+    slot = slot_ids[:S]
+    st = gstate[slot]
+    active = st >= 0
+    depth = gdepth[slot]
+    top = jnp.where(
+        depth > 0,
+        jnp.take_along_axis(
+            gstack[slot], jnp.clip(depth - 1, 0, gstack.shape[1] - 1)[:, None],
+            axis=1,
+        )[:, 0],
+        TOP_NONE,
+    )
+    rows = maskbits[jnp.clip(st, 0, maskbits.shape[0] - 1), top]  # [S, W]
+    vidx = jnp.arange(Vl, dtype=jnp.int32) + v_offset
+    words = jnp.take_along_axis(
+        rows, jnp.broadcast_to(vidx // 32, (S, Vl)), axis=1
+    )
+    ok = (words >> (vidx % 32)[None, :]) & 1
+    bad = (ok == 0) & active[:, None]
+    return jnp.where(bad, jnp.float32(-1e30), logits.astype(jnp.float32))
+
+
+def walk_sampled(gstate, gdepth, gstack, slot_ids, tokens, trans, tok_bytes,
+                 dead_slot, update_mask=None):
+    """Advance per-slot automaton state by each row's sampled token.
+
+    The exact pushdown walk (real stack, depth-capped to DEAD): 16 fixed
+    char steps through ``trans`` i32[n_states, 4, 257]; padding bytes are
+    self-edges. Rows with state < 0 (or excluded by ``update_mask``) write
+    to ``dead_slot``."""
+    import jax
+    import jax.numpy as jnp
+
+    S = tokens.shape[0]
+    slot = slot_ids[:S]
+    st = gstate[slot]
+    active = st >= 0
+    if update_mask is not None:
+        active = active & update_mask
+    depth = gdepth[slot]
+    stack = gstack[slot]                       # [S, D]
+    D = stack.shape[1]
+    chars = tok_bytes[tokens]                  # [S, L]
+    n_states = trans.shape[0]
+
+    def body(p, carry):
+        st, depth, stack = carry
+        ch = jax.lax.dynamic_index_in_dim(chars.T, p, 0, keepdims=False)
+        top = jnp.where(
+            depth > 0,
+            jnp.take_along_axis(
+                stack, jnp.clip(depth - 1, 0, D - 1)[:, None], axis=1
+            )[:, 0],
+            TOP_NONE,
+        )
+        e = trans[jnp.clip(st, 0, n_states - 1), top, ch]
+        nxt = e % ACT_LSB
+        act = e // ACT_LSB
+        push = (act == ACT_PUSH_OBJ) | (act == ACT_PUSH_ARR)
+        at_cap = push & (depth >= D)
+        sym = jnp.where(act == ACT_PUSH_OBJ, TOP_OBJ, TOP_ARR)
+        wcol = jnp.clip(depth, 0, D - 1)
+        cur = jnp.take_along_axis(stack, wcol[:, None], axis=1)[:, 0]
+        newv = jnp.where(push & ~at_cap, sym, cur)
+        stack = jax.vmap(
+            lambda row, c, v: row.at[c].set(v)
+        )(stack, wcol, newv)
+        depth = depth + jnp.where(push & ~at_cap, 1, 0)
+        depth = depth - jnp.where((act == ACT_POP) & (depth > 0), 1, 0)
+        st = jnp.where(at_cap, DEAD, nxt)
+        return st, depth, stack
+
+    st2, depth2, stack2 = jax.lax.fori_loop(
+        0, chars.shape[1], body, (st, depth, stack)
+    )
+    wslot = jnp.where(active, slot, dead_slot)
+    gstate = gstate.at[wslot].set(jnp.where(active, st2, 0))
+    gdepth = gdepth.at[wslot].set(jnp.where(active, depth2, 0))
+    gstack = gstack.at[wslot].set(
+        jnp.where(active[:, None], stack2, 0)
+    )
+    return gstate, gdepth, gstack
+
 
 class HostWalker:
     """Pure-Python mirror of the device walk — the test oracle."""

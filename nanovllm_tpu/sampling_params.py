@@ -81,6 +81,13 @@ class SamplingParams:
     presence_penalty: float = 0.0    # [-2, 2]; subtract once per seen token
     frequency_penalty: float = 0.0   # [-2, 2]; subtract per occurrence
     repetition_penalty: float = 1.0  # > 0; divide positive / multiply negative
+    # Guided decoding (vLLM guided_json analogue): "json" constrains the
+    # completion to a syntactically valid JSON value via an ON-DEVICE
+    # pushdown automaton (ops/guided.py) — no per-step host sync, so the
+    # async pipeline is preserved. Requires ``Config(guided_json=True)``
+    # (the engine compiles the token masks at startup). EOS is only
+    # sampleable once the value is complete; max_tokens still truncates.
+    guided: str | None = None
 
     def __post_init__(self):
         assert self.temperature >= 0.0, "temperature must be non-negative"
@@ -122,6 +129,9 @@ class SamplingParams:
         )
         assert self.repetition_penalty > 0.0, (
             "repetition_penalty must be positive (1.0 disables)"
+        )
+        assert self.guided in (None, "json"), (
+            f"guided={self.guided!r}: only 'json' is supported"
         )
 
 

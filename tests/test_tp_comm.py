@@ -82,7 +82,8 @@ def test_plain_tp_step_has_no_logits_allgather(tiny_qwen3_dir):
     inputs = runner._dummy_inputs(4, 4, False)
     hlo = runner._step.lower(
         runner.params, runner.kv, runner.token_state, runner.rope, inputs,
-        None, None, False, False, False, False, False, False, False,
+        None, None, None, None, False, False, False, False, False, False,
+        False, False,
     ).compile().as_text()
     vocab = 512
     for line in hlo.splitlines():
@@ -113,7 +114,8 @@ def test_bf16_model_psums_ride_bf16(tiny_qwen3_dir):
     # backend passes; TPU backends reduce bf16 natively.
     hlo = runner._step.lower(
         runner.params, runner.kv, runner.token_state, runner.rope, inputs,
-        None, None, False, False, False, False, False, False, False,
+        None, None, None, None, False, False, False, False, False, False,
+        False, False,
     ).as_text()
     # A stablehlo.all_reduce is a multi-line block; its operand/result type
     # sits on the closing `}) : (tensor<...>) -> tensor<...>` line.
