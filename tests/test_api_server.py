@@ -398,3 +398,71 @@ def test_seeded_n_choices_distinct(server):
     r = _post(port, dict(prompt=prompt, max_tokens=4,
                          logit_bias={str(2**40): 1.0}))
     assert r.status == 400
+
+
+def test_guided_rejected_without_config(server):
+    """guided='json' against a server whose engine lacks guided_json must
+    surface a request-level error, not a 500."""
+    port, prompt, _ = server
+    r = _post(port, dict(prompt=prompt, max_tokens=8, guided="json"))
+    body = r.read().decode()
+    assert r.status in (200, 400) and "guided_json" in (
+        json.loads(body).get("error", "") if r.status == 200 else body
+    )
+
+
+def test_guided_server_roundtrip(tmp_path_factory):
+    """Happy path over HTTP: /generate with guided='json' and the OpenAI
+    endpoint with response_format json_object both produce automaton-valid
+    streams from a guided-enabled engine."""
+    from tests.test_guided_engine import (_assert_valid_json_stream,
+                                          _write_guided_fixture)
+
+    path = _write_guided_fixture(
+        str(tmp_path_factory.mktemp("gsrv") / "model")
+    )
+    llm = LLM(path, max_num_batched_tokens=256, max_model_len=256,
+              max_num_seqs=8, kvcache_block_size=16, enforce_eager=True,
+              guided_json=True, num_kvcache_blocks=256, fetch_interval=4)
+    srv, serving = serve(llm, host="127.0.0.1", port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        r = _post(port, dict(prompt=[5, 6, 7], temperature=1.1, seed=2,
+                             max_tokens=40, guided="json"))
+        assert r.status == 200
+        out = json.loads(r.read())
+        _assert_valid_json_stream(llm, out["token_ids"], 40)
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request(
+            "POST", "/v1/completions",
+            json.dumps(dict(prompt=[8, 9], temperature=1.0, seed=3,
+                            max_tokens=40,
+                            response_format={"type": "json_object"})),
+            {"Content-Type": "application/json"},
+        )
+        rr = conn.getresponse()
+        assert rr.status == 200
+        body = json.loads(rr.read())
+        text = body["choices"][0]["text"]
+        ids = [
+            i for i in llm.tokenizer.convert_tokens_to_ids(
+                [c for c in text]
+            )
+        ]
+        # Validate via the automaton on the decoded text's chars (merged
+        # tokens decode to the same chars).
+        from nanovllm_tpu.ops import guided as guided_ops
+        tbl = llm.model_runner._guided_host
+        w = guided_ops.HostWalker(
+            tbl["trans"], tbl["accept"], tbl["token_bytes"],
+            tbl["token_len"]
+        )
+        for tok in ids:
+            assert w.feed_token(int(tok)), text
+    finally:
+        srv.shutdown()
+        serving.shutdown()
+        llm.exit()
