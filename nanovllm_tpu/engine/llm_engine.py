@@ -30,6 +30,15 @@ from nanovllm_tpu.sampling_params import SamplingParams
 from nanovllm_tpu.utils.metrics import EngineMetrics
 
 
+# Reference/vLLM-compatible kwarg aliases: a user porting from the reference
+# passes gpu_memory_utilization=0.9 (reference config.py:14) and must get the
+# equivalent knob, not a silently-dropped kwarg and the default.
+CONFIG_ALIASES = {
+    "gpu_memory_utilization": "hbm_utilization",
+    "seed": "rng_seed",  # vLLM's LLM(seed=...) engine-level sampling seed
+}
+
+
 class LLMEngine:
 
     def __init__(self, model, **kwargs):
@@ -37,9 +46,22 @@ class LLMEngine:
         runner_kwargs = {
             k: kwargs.pop(k) for k in ("random_weights",) if k in kwargs
         }
-        config = Config(
-            model, **{k: v for k, v in kwargs.items() if k in config_kwargs}
-        )
+        for alias, target in CONFIG_ALIASES.items():
+            if alias in kwargs:
+                assert target not in kwargs, (
+                    f"pass either {alias!r} or {target!r}, not both"
+                )
+                kwargs[target] = kwargs.pop(alias)
+        unknown = sorted(set(kwargs) - config_kwargs)
+        if unknown:
+            # The reference silently drops unknown kwargs (llm_engine.py:18-19)
+            # — which turns a typo'd or renamed knob into a default. Fail loud.
+            raise TypeError(
+                f"unknown engine kwargs: {unknown}; valid fields are the "
+                f"nanovllm_tpu.Config dataclass fields plus aliases "
+                f"{sorted(CONFIG_ALIASES)}"
+            )
+        config = Config(model, **kwargs)
         self.config = config
         Sequence.block_size = config.kvcache_block_size
         # Tokenizer + EOS resolution BEFORE the runner: guided-decoding
