@@ -37,13 +37,19 @@ def main():
     fetch_interval = int(os.environ.get("BENCH_FETCH_INTERVAL", 64))
     block = int(os.environ.get("BENCH_BLOCK", 256))
     hbm_util = float(os.environ.get("BENCH_HBM_UTIL", 0.9))
-    # Speculative decoding (ngram prompt-lookup): 0 disables. Random-weight
-    # sampled runs accept ~nothing (the overhead measurement); BENCH_GREEDY=1
+    # Speculative decoding (ngram prompt-lookup): 0 disables. BENCH_GREEDY=1
     # makes the trace greedy — random-weight greedy decode falls into
     # repetition cycles that ngram drafting predicts, the high-acceptance
-    # regime.
+    # regime. r5: sampled rows accept by exact rejection sampling, so
+    # low-BENCH_TEMP sampled traces accept too; at temperature 0.6 on RANDOM
+    # weights the distribution is too flat for drafts to survive (real
+    # trained checkpoints at 0.6 are far more peaked).
     spec_k = int(os.environ.get("BENCH_SPEC_K", 0))
     greedy = os.environ.get("BENCH_GREEDY", "") == "1"
+    # Trace temperature (default 0.6, reference example.py's setting; r5:
+    # rejection-sampling spec acceptance makes low-temperature sampled
+    # traces a speculation-friendly regime worth measuring).
+    temp = 0.0 if greedy else float(os.environ.get("BENCH_TEMP", 0.6))
 
     from nanovllm_tpu import LLM, SamplingParams
 
@@ -83,7 +89,7 @@ def main():
     ]
     sampling_params = [
         SamplingParams(
-            temperature=0.0 if greedy else 0.6,
+            temperature=temp,
             ignore_eos=True,
             max_tokens=int(rng.integers(min_len, max_len)),
         )

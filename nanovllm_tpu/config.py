@@ -54,6 +54,12 @@ class Config:
                                        # every shape bucket at init (the
                                        # reference's CUDA-graph capture slot,
                                        # model_runner.py:222-257)
+    # Extra step variants AOT-compiled by warmup(), from {"filtered",
+    # "seeded", "biased", "logprobs"}. A variant's first request otherwise
+    # pays a 4-40 s tunnel compile per bucket AT REQUEST TIME — any OpenAI
+    # client sending top_p<1 hits "filtered" immediately, so api_server
+    # defaults to ("filtered",); offline default () keeps startup minimal.
+    warmup_variants: tuple = ()
     # Scheduler charges ceil(chunk/align)*align tokens against the prefill
     # budget so q-tile padding can never push a packed bucket past the largest
     # compiled bucket. Set by the ModelRunner (q_tile on the Pallas path).
@@ -86,8 +92,10 @@ class Config:
     # analogue — nano-vllm has none): draft spec_k tokens per decode step from
     # each sequence's own history and verify them in one fused K+1-row pass.
     # Greedy rows (temperature == 0) accept matching drafts exactly (output
-    # token streams are bit-identical to spec_k=0); other rows emit one token
-    # per step as usual. 0 (default) allocates nothing and keeps every
+    # token streams are bit-identical to spec_k=0); sampled rows accept by
+    # exact rejection sampling (ops/spec.py — the emitted distribution is
+    # provably identical to plain sampling, position by position).
+    # 0 (default) allocates nothing and keeps every
     # compiled step program byte-identical to the non-spec build. Enabling it
     # costs an i32[2*max_num_seqs+1, max_model_len] on-device history slab
     # (~4*max_model_len bytes per slot) and widens the token ring by spec_k+1
@@ -146,6 +154,10 @@ class Config:
             "KV rows page-by-page)"
         )
         assert self.quantization in (None, "int8", "int4", "fp8"), self.quantization
+        assert all(
+            v in ("filtered", "seeded", "biased", "logprobs")
+            for v in self.warmup_variants
+        ), self.warmup_variants
         # The spec verify pass runs as extra query rows per sequence through
         # the decode kernel; its multi-row write-back patches a 2*wb_tile
         # staging window, which covers runs of up to wb_tile (8) rows.

@@ -782,6 +782,15 @@ def main(argv=None):
             except ValueError:
                 continue
         kwargs[k] = v
+    # Serving warms the filtered (top-k/top-p/min-p) step variant by default:
+    # most OpenAI clients send top_p<1, and an un-warmed variant stalls the
+    # first such request 4-40 s per bucket on a cold compile cache. Override
+    # with --config warmup_variants= (empty) to skip.
+    kwargs.setdefault("warmup_variants", ("filtered",))
+    if kwargs["warmup_variants"] == "":
+        kwargs["warmup_variants"] = ()
+    elif isinstance(kwargs["warmup_variants"], str):
+        kwargs["warmup_variants"] = tuple(kwargs["warmup_variants"].split(","))
     if args.multihost:
         import jax
 

@@ -237,6 +237,7 @@ def head_sample(
     seeds: jax.Array | None = None,
     positions: jax.Array | None = None,
     chunk: int = 8192,
+    exclude: jax.Array | None = None,  # i32[S] GLOBAL token id to ban (<0 none)
 ) -> jax.Array:
     """Fused LM-head matmul + Gumbel sampling, chunked over the vocab.
 
@@ -251,7 +252,13 @@ def head_sample(
     recompute identical (value, noise) pairs, and the running strict-``>``
     max keeps the first maximum — jnp.argmax's lowest-index tie-break.
     Under ``axis`` the local winner combines across ranks exactly like
-    ``sample_tp``. Greedy rows (T == 0) reduce to the exact argmax."""
+    ``sample_tp``. Greedy rows (T == 0) reduce to the exact argmax.
+
+    ``exclude``: per-row GLOBAL token id masked to -inf before the argmax —
+    sampling from the renormalized distribution with that token removed (the
+    residual distribution of rejection-sampling speculative decoding,
+    ops/spec.py). Rows with a negative id (and the default None) ban
+    nothing; passing None compiles the exclusion-free program."""
     S = h.shape[0]
     v_local = quant.shape_of(w)[0]
     if v_total is None:
@@ -283,6 +290,9 @@ def head_sample(
             g_full, (jnp.int32(0), v_rank + start), (S, chunk)
         )
         noisy = scaled + jnp.where(temps > 0.0, g, 0.0)
+        if exclude is not None:
+            col = v_rank + start + jnp.arange(chunk, dtype=jnp.int32)[None, :]
+            noisy = jnp.where(col == exclude[:, None], -jnp.inf, noisy)
         cbest = jnp.max(noisy, axis=-1)
         cidx = jnp.argmax(noisy, axis=-1).astype(jnp.int32) + start
         take = cbest > best

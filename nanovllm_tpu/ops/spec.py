@@ -1,4 +1,6 @@
-"""Speculative decoding device ops: prompt-lookup drafting and greedy verify.
+"""Speculative decoding device ops: prompt-lookup drafting and verification
+(greedy token-identity for temperature==0 rows, exact rejection-sampling
+acceptance for temperature>0 rows).
 
 No reference analogue — nano-vllm has no speculative decoding (vLLM's
 equivalent is its ``speculative_config={"method": "ngram"}`` prompt-lookup
@@ -6,6 +8,15 @@ mode). TPU-first design: drafting, verification, and acceptance all run
 ON DEVICE inside the spec step program, so the async pipeline's no-host-sync
 property survives — the host learns accepted counts only at ring drains and
 tracks lengths pessimistically in between (engine/scheduler side).
+
+Rejection-sampling acceptance (the Leviathan/Chen speculative-sampling rule,
+specialized to a DETERMINISTIC draft proposal): draft d at position j is
+accepted with probability p_j(d) (the temperature-scaled softmax probability
+the target model assigns it); on the first rejection the corrective token is
+drawn from the residual distribution, which for a deterministic proposal is
+exactly p_j with d removed and renormalized (Gumbel argmax with d masked).
+The emitted-token distribution is provably identical to plain sampling,
+position by position.
 
 The verify pass itself is the ragged prefill kernel: a K+1-token "chunk"
 per sequence (its last known token + K drafts) at q_tile=8, with fused KV
@@ -51,20 +62,29 @@ def ngram_propose(hist: jax.Array, lens: jax.Array, k: int) -> jax.Array:
     return jnp.where(ok, drafts, -1)
 
 
-def head_argmax(h: jax.Array, w, chunk: int = 8192):
-    """Greedy next-token (max logit, argmax id) per row: argmax_v of
-    ``h @ w[v].T`` WITHOUT
-    materializing the [rows, V] logits (the verify pass scores
-    S*(K+1) rows — full f32 logits would be GBs at bench shapes).
+def head_verify_stats(h: jax.Array, w, check_ids: jax.Array,
+                      temps: jax.Array, chunk: int = 8192,
+                      v_start=None):
+    """One chunked fused pass over the LM head serving BOTH acceptance rules:
+    per row, (max scaled logit, argmax id, logsumexp of scaled logits,
+    scaled logit of ``check_ids[row]``), with scaled = logits / max(T, 1e-6).
+    Greedy rows use the argmax; sampled rows use
+    logp(draft) = check - lse. Nothing [rows, V]-shaped materializes
+    (the verify pass scores S*(K+1) rows — full f32 logits would be GBs).
 
-    Chunked over vocab with a running (max, index); strict ``>`` keeps the
-    first maximum, matching ``jnp.argmax`` tie-breaking, and the clamped
-    last chunk's overlap rows recompute identical values so they never
-    steal a tie. Handles every LM-head weight form via quant.head_matmul.
+    ``check_ids`` are GLOBAL token ids compared against ``v_start`` + local
+    column (``v_start`` = this rank's first vocab row under TP; default 0);
+    ids outside the local range yield -inf. The clamped last chunk masks its
+    re-visited overlap columns out of the logsumexp (max/argmax are
+    idempotent under recompute; logsumexp is not).
     """
+    rows = h.shape[0]
     v = quant.shape_of(w)[0]
     chunk = min(v, chunk)
     n_chunks = -(-v // chunk)
+    if v_start is None:
+        v_start = jnp.int32(0)
+    t = jnp.maximum(temps, 1e-6)[:, None]
 
     def slice_w(start):
         if isinstance(w, quant.QuantWeight):
@@ -76,64 +96,109 @@ def head_argmax(h: jax.Array, w, chunk: int = 8192):
         return jax.lax.dynamic_slice_in_dim(w, start, chunk, 0)
 
     def body(i, carry):
-        best, idx = carry
+        best, idx, lse, chk = carry
         start = jnp.minimum(i * chunk, v - chunk)
-        logits = quant.head_matmul(h, slice_w(start))  # [rows, chunk] f32
-        cbest = jnp.max(logits, axis=-1)
-        cidx = jnp.argmax(logits, axis=-1).astype(jnp.int32) + start
+        logits = quant.head_matmul(h, slice_w(start)).astype(jnp.float32)
+        scaled = logits / t
+        col = start + jnp.arange(chunk, dtype=jnp.int32)[None, :]
+        cbest = jnp.max(scaled, axis=-1)
+        cidx = jnp.argmax(scaled, axis=-1).astype(jnp.int32) + start
         take = cbest > best
-        return jnp.where(take, cbest, best), jnp.where(take, cidx, idx)
+        fresh = col >= i * chunk  # last chunk: drop re-visited overlap cols
+        clse = jax.scipy.special.logsumexp(
+            jnp.where(fresh, scaled, -jnp.inf), axis=-1
+        )
+        lse = jnp.logaddexp(lse, clse)
+        hit = (col + v_start) == check_ids[:, None]
+        chk = jnp.maximum(chk, jnp.max(
+            jnp.where(hit, scaled, -jnp.inf), axis=-1
+        ))
+        return (jnp.where(take, cbest, best), jnp.where(take, cidx, idx),
+                lse, chk)
 
-    best = jnp.full((h.shape[0],), -jnp.inf, jnp.float32)
-    idx = jnp.zeros((h.shape[0],), jnp.int32)
-    best, idx = jax.lax.fori_loop(0, n_chunks, body, (best, idx))
-    return best, idx
+    init = (
+        jnp.full((rows,), -jnp.inf, jnp.float32),
+        jnp.zeros((rows,), jnp.int32),
+        jnp.full((rows,), -jnp.inf, jnp.float32),
+        jnp.full((rows,), -jnp.inf, jnp.float32),
+    )
+    return jax.lax.fori_loop(0, n_chunks, body, init)
 
 
-def head_argmax_tp(h: jax.Array, w, axis: str | None,
-                   chunk: int = 8192) -> jax.Array:
-    """``head_argmax`` under tensor parallelism: inside a shard_map each rank
-    holds a rank-blocked vocab shard of ``w`` (rank r owns global rows
-    [r*Vs, (r+1)*Vs) — utils/loader.py fuses rank-blocked, and the normal
-    logits path all-gathers shards back into global order). Combine local
-    (max, argmax) across ranks: the all-gathered rank axis is ordered, so
-    taking the first maximal rank preserves jnp.argmax's lowest-global-index
-    tie-breaking."""
-    best, idx = head_argmax(h, w, chunk=chunk)
+def head_verify_stats_tp(h: jax.Array, w, check_ids: jax.Array,
+                         temps: jax.Array, axis: str | None,
+                         chunk: int = 8192):
+    """``head_verify_stats`` combined across a vocab-sharded LM head:
+    returns (argmax ids i32[rows] in GLOBAL vocab order, draft logprobs
+    f32[rows] = log softmax(scaled_logits)[check_ids]). Under ``axis`` the
+    argmax combines by first-maximal-rank (= lowest
+    global index on the rank-blocked layout), the logsumexp combines as
+    logsumexp-of-partials, and the check logit is a max over ranks (exactly
+    one rank's range contains the id; the rest hold -inf)."""
     if axis is None:
-        return idx
-    vs = quant.shape_of(w)[0]  # local (per-rank) vocab rows
-    idx = idx + jax.lax.axis_index(axis).astype(jnp.int32) * vs
+        best, idx, lse, chk = head_verify_stats(h, w, check_ids, temps, chunk)
+        return idx, chk - lse
+    vs = quant.shape_of(w)[0]
+    v_start = jax.lax.axis_index(axis).astype(jnp.int32) * vs
+    best, idx, lse, chk = head_verify_stats(
+        h, w, check_ids, temps, chunk, v_start=v_start
+    )
+    idx = idx + v_start
     bests = jax.lax.all_gather(best, axis)           # [tp, rows]
     idxs = jax.lax.all_gather(idx, axis)
     r = jnp.argmax(bests, axis=0)                    # first max: lowest rank
-    return jnp.take_along_axis(idxs, r[None, :], axis=0)[0]
+    am = jnp.take_along_axis(idxs, r[None, :], axis=0)[0]
+    lse_g = jax.scipy.special.logsumexp(jax.lax.all_gather(lse, axis), axis=0)
+    chk_g = jnp.max(jax.lax.all_gather(chk, axis), axis=0)
+    return am, chk_g - lse_g
 
 
-def accept_drafts(qtok: jax.Array, am: jax.Array, eligible: jax.Array,
-                  sampled0: jax.Array):
-    """Greedy acceptance: ``qtok`` i32[S, K+1] holds [last_token, d_1..d_K],
-    ``am`` i32[S, K+1] the model argmax after each prefix. Draft d_{j+1}
-    is accepted iff every earlier draft matched and d_{j+1} == am[:, j].
+def verify_accept(qtok: jax.Array, am: jax.Array, logp: jax.Array,
+                  logu: jax.Array, temperatures: jax.Array,
+                  eligible: jax.Array):
+    """Acceptance rule for the verify pass. ``qtok`` i32[S, K+1] holds
+    [last_token, d_1..d_K]; ``am`` i32[S, K+1] the model argmax after each
+    prefix; ``logp`` f32[S, K] the temperature-scaled log-probability of
+    draft d_{j+1} under position j's distribution; ``logu`` f32[S, K]
+    log of i.i.d. Uniform(0,1) draws.
 
-    Returns (emitted i32[S, K+1], count i32[S]): ``count`` = accepted + 1
-    (the +1 is the model's own token at the first mismatch — the standard
-    "bonus"/corrective token, so every step emits at least one token).
-    Ineligible rows (temperature > 0, logit_bias, ...) force count == 1 with
-    ``sampled0`` (the normal sampler's token for the row's first position)
-    as the single emission. Entries beyond count are 0.
+    Greedy rows (T == 0) accept d_{j+1} iff it equals the argmax — emitted
+    streams are bit-identical to plain greedy decode. Sampled rows accept
+    with probability p_j(d_{j+1}) (``logu < logp``) — the exact
+    rejection-sampling rule for a deterministic proposal. Acceptance is
+    prefix-cumulative either way.
+
+    Returns (a i32[S] accepted-draft counts, exclude i32[S]): ``exclude`` is
+    the token the corrective sample must ban (-1 = none), i.e. the rejected
+    draft for a sampled-row genuine rejection — the residual distribution is
+    p with that token removed. Greedy rows, fully-accepted rows (bonus
+    position), no-draft rejections (d == -1), and ineligible rows ban
+    nothing.
     """
     s, k1 = qtok.shape
     k = k1 - 1
-    match = (qtok[:, 1:] == am[:, :k]) & eligible[:, None]
+    greedy = temperatures <= 0.0
+    match = jnp.where(greedy[:, None], qtok[:, 1:] == am[:, :k], logu < logp)
+    match &= (qtok[:, 1:] >= 0) & eligible[:, None]
     acc = jnp.cumprod(match.astype(jnp.int32), axis=1)       # [S, K]
     a = jnp.sum(acc, axis=1)                                  # accepted
+    rej = jnp.take_along_axis(qtok, jnp.minimum(a + 1, k)[:, None], axis=1)[:, 0]
+    exclude = jnp.where(greedy | (a >= k) | ~eligible, -1, rej)
+    return a, exclude
+
+
+def emit_tokens(qtok: jax.Array, a: jax.Array, corrective: jax.Array):
+    """Build the emitted-token rows: the ``a`` accepted drafts followed by
+    the corrective/bonus token (position ``a``'s sample — for greedy rows the
+    argmax, for sampled rows the residual/plain sample). Every step emits at
+    least one token; entries beyond count are 0.
+
+    Returns (emitted i32[S, K+1], count i32[S] = a + 1)."""
+    k1 = qtok.shape[1]
     j = jnp.arange(k1)[None, :]
-    bonus = jnp.take_along_axis(am, a[:, None], axis=1)[:, 0]
-    bonus = jnp.where(eligible, bonus, sampled0)
     emitted = jnp.where(
         j < a[:, None],
         jnp.roll(qtok, -1, axis=1),  # column j -> draft d_{j+1}
-        jnp.where(j == a[:, None], bonus[:, None], 0),
+        jnp.where(j == a[:, None], corrective[:, None], 0),
     )
     return emitted, a + 1

@@ -199,3 +199,32 @@ def test_spec_seeded_and_min_tokens_run(tiny_qwen3_dir):
     sp2 = SamplingParams(temperature=0.0, max_tokens=12, min_tokens=12)
     out, _ = _gen(tiny_qwen3_dir, PROMPTS[:1], sp2, spec_k=2)
     assert len(out[0]["token_ids"]) == 12
+
+
+def test_spec_sampled_rows_accept_drafts(tiny_qwen3_dir):
+    """r5: rejection-sampling acceptance — sampled (temperature>0) rows now
+    accept drafts too. At a low temperature on a repetitive prompt the
+    target distribution is peaked on the cycle, so drafts must be accepted
+    with real frequency (the ops-level distribution oracle is
+    tests/test_spec_ops.py::test_rejection_sampling_distribution_exact)."""
+    prompt = [5, 6, 7, 5, 6, 7, 5, 6, 7, 5, 6, 7, 5, 6]
+    sp = SamplingParams(temperature=0.05, max_tokens=48, ignore_eos=True)
+    out, llm = _gen(tiny_qwen3_dir, [prompt] * 3, sp, spec_k=3,
+                    spec_min_acceptance=0.0)
+    assert all(len(o["token_ids"]) == 48 for o in out)
+    m = llm.metrics
+    assert m.spec_drafted > 0
+    assert m.spec_accepted > 0.05 * m.spec_drafted, (
+        m.spec_accepted, m.spec_drafted)
+
+
+def test_spec_sampled_length_exact(tiny_qwen3_dir):
+    """Sampled spec rows respect max_tokens exactly (the emitted count is
+    capped at the device; stops may truncate mid-burst)."""
+    sp = [
+        SamplingParams(temperature=0.4, max_tokens=n, ignore_eos=True)
+        for n in (5, 17, 33, 48, 1)
+    ]
+    out, _ = _gen(tiny_qwen3_dir, PROMPTS, sp, spec_k=3,
+                  spec_min_acceptance=0.0)
+    assert [len(o["token_ids"]) for o in out] == [5, 17, 33, 48, 1]
