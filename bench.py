@@ -127,6 +127,11 @@ def main():
         os.environ.get("BENCH_ARCH", "0.6b") if random_weights else "custom",
         quant or "bf16", kv_dtype, f"tp{tp}",
     ])
+    if spec_k:
+        # A spec-enabled engine's canary is slower by design (drafting until
+        # the gate trips) — comparing it against the spec-less norm would
+        # false-flag degradation (measured r5 queue 2: 10.8k vs 20.7k norm).
+        norm_key += f"-spec{spec_k}"
     norm_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "benchmarks", "canary_norm.json")
     norms = {}

@@ -111,6 +111,17 @@ class Config:
     # (like penalized ones). False (default) keeps every compiled step
     # program byte-identical to the non-guided build.
     guided_json: bool = False
+    # JSON-Schema guided decoding (ops/guided_schema.py): reserve this many
+    # per-schema automaton slots in the global guided tables. Each slot costs
+    # guided_schema_states x 4 x ceil(V/32) x 4 bytes of device mask slab
+    # (~29 MB at a 152k vocab with the default 384 states) plus matching
+    # transition rows; schemas compile on the host (~1-2 s, LRU-cached by
+    # schema text) and install into a free slot — a slot is reusable once
+    # every request that used its schema finished. 0 (default) keeps the
+    # guided tables byte-identical to the generic-JSON-only build; schema
+    # requests then fail loudly at add_request. Requires guided_json=True.
+    guided_schema_slots: int = 0
+    guided_schema_states: int = 384
     # Acceptance-adaptive speculation (cf. vLLM's dynamic speculative
     # decoding): drafting only pays when drafts get accepted. The engine
     # tracks the per-drain acceptance rate (EWMA); below spec_min_acceptance
@@ -158,6 +169,13 @@ class Config:
             v in ("filtered", "seeded", "biased", "logprobs")
             for v in self.warmup_variants
         ), self.warmup_variants
+        assert self.guided_schema_slots >= 0
+        assert self.guided_schema_states > 0
+        if self.guided_schema_slots > 0:
+            assert self.guided_json, (
+                "guided_schema_slots requires guided_json=True (schema "
+                "automata extend the guided tables)"
+            )
         # The spec verify pass runs as extra query rows per sequence through
         # the decode kernel; its multi-row write-back patches a 2*wb_tile
         # staging window, which covers runs of up to wb_tile (8) rows.

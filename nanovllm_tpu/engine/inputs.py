@@ -143,7 +143,8 @@ def build_guided_inputs(
             )
             if done and getattr(seq, "guided", None):
                 set_slots[i] = seq.device_slot
-                st, depth, stack = (1, 0, [])  # VAL, empty stack
+                # Start state: generic VAL, or a schema automaton's base row.
+                st, depth, stack = (getattr(seq, "guided_start", 1), 0, [])
                 if resume_fn is not None and \
                         seq.num_tokens > seq.num_prompt_tokens:
                     st, depth, stack = resume_fn(seq)

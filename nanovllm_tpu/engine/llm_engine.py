@@ -143,6 +143,12 @@ class LLMEngine:
                 "guided requests require Config(guided_json=True) — the "
                 "on-device automaton tables are compiled at engine startup"
             )
+            if isinstance(sampling_params.guided, dict):
+                assert self.config.guided_schema_slots > 0, (
+                    "JSON-Schema guided requests require "
+                    "Config(guided_schema_slots > 0) — schema automata "
+                    "install into statically reserved table slots"
+                )
         if sampling_params.uses_penalties:
             # Penalty counts live in fixed-size on-device slabs; the feature
             # must be sized at engine construction (Config.num_penalty_slots).
@@ -152,6 +158,13 @@ class LLMEngine:
                 "token-count slabs are statically sized)"
             )
         seq = Sequence(prompt, sampling_params)
+        if isinstance(sampling_params.guided, dict):
+            # Compile (LRU-cached) + install the schema automaton; may raise
+            # SchemaError (unsupported subset) or RuntimeError (slots busy)
+            # BEFORE the request is admitted — never mid-generation.
+            seq.guided_start = self.model_runner.ensure_guided_schema(
+                sampling_params.guided, seq
+            )
         self.scheduler.add(seq)
         return seq
 

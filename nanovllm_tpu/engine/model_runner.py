@@ -617,7 +617,29 @@ class ModelRunner:
         t = guided_ops.build_engine_tables(
             self._guided_tokenizer, self.spec.vocab_size, eos_ids
         )
+        self._guided_eos_ids = eos_ids
+        # JSON-Schema slots (ops/guided_schema.py): per-schema automata
+        # occupy reserved row ranges appended to the generic block — the
+        # device mask/walk programs index by global state id, so installing
+        # a schema is a table update, never a recompile.
+        self._n_generic = t["trans"].shape[0]
+        slots, per = (self.config.guided_schema_slots,
+                      self.config.guided_schema_states)
+        if slots > 0:
+            pad_t = np.zeros((slots * per, 4, 257), np.int32)
+            pad_a = np.zeros((slots * per, 4), bool)
+            pad_m = np.zeros(
+                (slots * per,) + t["maskbits"].shape[1:], np.int32
+            )
+            t["trans"] = np.concatenate([t["trans"], pad_t])
+            t["accept"] = np.concatenate([t["accept"], pad_a])
+            t["maskbits"] = np.concatenate([t["maskbits"], pad_m])
         self._guided_host = t
+        # schema registry: canonical schema text -> {slot, start, seqs};
+        # a slot is evictable once every seq that used it finished.
+        self._schema_registry = {}
+        self._schema_slot_key = [None] * slots
+        self._install_jit = None
         rep = NamedSharding(self.mesh, P())
 
         def put(a):  # multihost-safe replicated placement
@@ -625,9 +647,92 @@ class ModelRunner:
                 np.shape(a), rep, lambda idx: np.asarray(a)[idx]
             )
 
+        self._guided_put = put
         self.gtab = (
             put(t["trans"]), put(t["maskbits"]), put(t["token_bytes"]),
         )
+
+    def ensure_guided_schema(self, schema: dict, seq=None) -> int:
+        """Compile (LRU-cached) and install a JSON-Schema automaton; returns
+        its global start state for GuidedInputs arming. Raises SchemaError
+        outside the supported subset, RuntimeError when every slot is still
+        referenced by an unfinished request."""
+        import json as _json
+
+        from nanovllm_tpu.ops import guided_schema as gs
+
+        cfg = self.config
+        assert cfg.guided_schema_slots > 0, (
+            "JSON-Schema guided requests need Config(guided_schema_slots>0)"
+        )
+        key = _json.dumps(schema, sort_keys=True, separators=(",", ":"))
+        ent = self._schema_registry.get(key)
+        if ent is None:
+            per = cfg.guided_schema_states
+            trans_l, accept_l, n = gs.build_schema_automaton(schema, per + 1)
+            th = self._guided_host
+            packed_l, _ = gs.compile_masks_dfa(
+                trans_l, accept_l, th["token_bytes"], th["token_len"],
+                eos_ids=self._guided_eos_ids,
+            )
+            slot = None
+            for i, k in enumerate(self._schema_slot_key):
+                if k is None:
+                    slot = i
+                    break
+            if slot is None:
+                for i, k in enumerate(self._schema_slot_key):
+                    old = self._schema_registry[k]
+                    old["seqs"] = [
+                        s for s in old["seqs"] if not s.is_finished
+                    ]
+                    if not old["seqs"]:
+                        slot = i
+                        del self._schema_registry[k]
+                        break
+            if slot is None:
+                raise RuntimeError(
+                    f"all {cfg.guided_schema_slots} guided-schema slots are "
+                    f"held by in-flight requests (Config.guided_schema_slots)"
+                )
+            base = self._n_generic + slot * per
+            gt = gs.remap_to_global(trans_l, base)          # [n, 257] local-rowed
+            tb4 = np.zeros((per, 4, 257), np.int32)
+            tb4[: n - 1] = gt[1:n, None, :]                 # replicate tops
+            mb = np.zeros((per, 4, packed_l.shape[-1]), np.int32)
+            mb[: n - 1] = packed_l[1:n]
+            ab = np.zeros((per, 4), bool)
+            ab[: n - 1] = accept_l[1:n, None]
+            th["trans"][base: base + per] = tb4
+            th["maskbits"][base: base + per] = mb
+            th["accept"][base: base + per] = ab
+            if self._install_jit is None:
+                rep = NamedSharding(self.mesh, P())
+
+                def inst(tg, mg, tb, mbk, b):
+                    return (
+                        jax.lax.dynamic_update_slice(tg, tb, (b, 0, 0)),
+                        jax.lax.dynamic_update_slice(mg, mbk, (b, 0, 0)),
+                    )
+
+                self._install_jit = jax.jit(
+                    inst, donate_argnums=(0, 1),
+                    out_shardings=(rep, rep),
+                )
+            tg, mg, tok = self.gtab
+            tg, mg = self._install_jit(
+                tg, mg, self._guided_put(tb4), self._guided_put(mb),
+                np.int32(base),
+            )
+            self.gtab = (tg, mg, tok)
+            ent = dict(slot=slot, start=base, seqs=[])
+            self._schema_registry[key] = ent
+            self._schema_slot_key[slot] = key
+        if seq is not None:
+            ent["seqs"] = [
+                s for s in ent["seqs"] if not s.is_finished
+            ] + [seq]
+        return ent["start"]
 
     def _guided_resume(self, seq):
         """(state, depth, stack) after the completion tokens emitted so far —
@@ -638,6 +743,7 @@ class ModelRunner:
         w = guided_ops.HostWalker(
             t["trans"], t["accept"], t["token_bytes"], t["token_len"],
             depth_cap=guided_ops.DEPTH_CAP,
+            start=getattr(seq, "guided_start", 1),
         )
         for tok in seq.token_ids[seq.num_prompt_tokens: seq.num_tokens]:
             if not w.feed_token(int(tok)):

@@ -73,6 +73,9 @@ class Sequence:
         self.repetition_penalty = sampling_params.repetition_penalty
         self.uses_penalties = sampling_params.uses_penalties
         self.guided = sampling_params.guided
+        # Automaton start state (1 = generic JSON VAL; schema requests get
+        # their installed automaton's base row from the engine).
+        self.guided_start = 1
         # Row of the on-device penalty-count slabs (assigned by the scheduler
         # while the sequence runs; -1 = none).
         self.penalty_slot = -1

@@ -268,6 +268,27 @@ class _IncrementalDetok:
         return delta
 
 
+def _guided_from_request(req) -> str | dict | None:
+    """Map OpenAI ``response_format`` to the engine's guided mode:
+    ``{"type": "json_object"}`` -> generic JSON; ``{"type": "json_schema",
+    "json_schema": {"schema": {...}}}`` (the nested OpenAI shape; a flat
+    ``"schema"`` is also accepted) -> schema-constrained decoding. Falls
+    back to the raw ``guided`` field ("json" or a schema dict)."""
+    rf = req.get("response_format") or {}
+    t = rf.get("type")
+    if t == "json_object":
+        return "json"
+    if t == "json_schema":
+        schema = (rf.get("json_schema") or {}).get("schema") or rf.get("schema")
+        if not isinstance(schema, dict):
+            raise ValueError(
+                "response_format json_schema needs json_schema.schema (an "
+                "object)"
+            )
+        return schema
+    return req.get("guided")
+
+
 def _finish_reason(seq) -> str:
     return (
         "length" if seq.num_completion_tokens >= seq.max_tokens else "stop"
@@ -467,15 +488,10 @@ def _make_handler(serving: ServingEngine):
                     repetition_penalty=float(
                         req.get("repetition_penalty", 1.0)
                     ),
-                    # OpenAI response_format json_object -> guided JSON
-                    # (requires the server started with
-                    # --config guided_json=True).
-                    guided=(
-                        "json"
-                        if (req.get("response_format") or {}).get("type")
-                        in ("json_object",)
-                        else req.get("guided")
-                    ),
+                    # OpenAI response_format: json_object -> guided JSON,
+                    # json_schema -> schema-constrained decoding (requires
+                    # --config guided_json=True [+ guided_schema_slots=N]).
+                    guided=_guided_from_request(req),
                 )
                 n_choices = int(req.get("n", 1))
                 if not 1 <= n_choices <= 16:

@@ -419,16 +419,20 @@ def walk_sampled(gstate, gdepth, gstack, slot_ids, tokens, trans, tok_bytes,
 
 
 class HostWalker:
-    """Pure-Python mirror of the device walk — the test oracle."""
+    """Pure-Python mirror of the device walk — the test oracle and the
+    re-prefill resume walker. ``start`` is the automaton's start state
+    (1 = generic VAL; JSON-Schema automata start at their slot base)."""
 
-    def __init__(self, trans, accept, token_bytes, token_len, depth_cap=32):
+    def __init__(self, trans, accept, token_bytes, token_len, depth_cap=32,
+                 start=1):
         self.trans, self.accept = trans, accept
         self.tb, self.tl = token_bytes, token_len
         self.depth_cap = depth_cap
+        self.start = start
         self.reset()
 
     def reset(self):
-        self.state, self.stack = 1, []  # 1 == VAL
+        self.state, self.stack = self.start, []
 
     @property
     def top(self):

@@ -141,9 +141,11 @@ GRP = int(os.environ.get("NANOVLLM_GRP", "8"))
 # full-page fetch wasted ~12% of DMA bytes on rows past kv_len.
 # NANOVLLM_PAGE_RUNG overrides (any value >= block_size restores whole-page
 # fetches — the pre-rung code path, byte for byte). Values below a block
-# must divide it in 64-row steps: n_rungs = block // rung is assumed exact
-# (a non-divisor under-fetches the last rung's rows), and 64 is the sublane
-# alignment every cache dtype's DMA slices need.
+# must divide it in 32-row steps: n_rungs = block // rung is assumed exact
+# (a non-divisor under-fetches the last rung's rows), and 32 satisfies the
+# largest sublane tile any cache dtype needs (int8/fp8 32; bf16/f32 8).
+# r5: rung=32 measured on chip — see benchmarks/README before changing the
+# default.
 PAGE_RUNG = int(os.environ.get("NANOVLLM_PAGE_RUNG", "64"))
 assert PAGE_RUNG > 0, f"NANOVLLM_PAGE_RUNG={PAGE_RUNG} must be positive"
 
@@ -257,9 +259,9 @@ def _decode_kernel(
 
     n_rungs = max(1, block_size // PAGE_RUNG)
     rung = block_size // n_rungs  # == PAGE_RUNG, or the whole (small) block
-    assert rung * n_rungs == block_size and (n_rungs == 1 or rung % 64 == 0), (
+    assert rung * n_rungs == block_size and (n_rungs == 1 or rung % 32 == 0), (
         f"PAGE_RUNG={PAGE_RUNG} must divide block_size={block_size} in "
-        f"64-row steps (or exceed it for whole-page fetches)"
+        f"32-row steps (or exceed it for whole-page fetches)"
     )
 
     def rung_conds(rows):
@@ -1057,9 +1059,9 @@ def _prefill_kernel(
 
     n_rungs = max(1, block_size // PAGE_RUNG)
     rung = block_size // n_rungs
-    assert rung * n_rungs == block_size and (n_rungs == 1 or rung % 64 == 0), (
+    assert rung * n_rungs == block_size and (n_rungs == 1 or rung % 32 == 0), (
         f"PAGE_RUNG={PAGE_RUNG} must divide block_size={block_size} in "
-        f"64-row steps (or exceed it for whole-page fetches)"
+        f"32-row steps (or exceed it for whole-page fetches)"
     )
 
     def pair_rows(pair):

@@ -87,7 +87,11 @@ class SamplingParams:
     # async pipeline is preserved. Requires ``Config(guided_json=True)``
     # (the engine compiles the token masks at startup). EOS is only
     # sampleable once the value is complete; max_tokens still truncates.
-    guided: str | None = None
+    # r5: a dict is a JSON Schema (supported subset in
+    # ops/guided_schema.py: ordered object properties / required, typed
+    # arrays with min/maxItems, string/number/integer/boolean/null,
+    # enum/const) — additionally requires Config(guided_schema_slots > 0).
+    guided: str | dict | None = None
 
     def __post_init__(self):
         assert self.temperature >= 0.0, "temperature must be non-negative"
@@ -130,8 +134,10 @@ class SamplingParams:
         assert self.repetition_penalty > 0.0, (
             "repetition_penalty must be positive (1.0 disables)"
         )
-        assert self.guided in (None, "json"), (
-            f"guided={self.guided!r}: only 'json' is supported"
+        assert self.guided is None or self.guided == "json" or isinstance(
+            self.guided, dict
+        ), (
+            f"guided={self.guided!r}: 'json' or a JSON-Schema dict"
         )
 
 

@@ -466,3 +466,74 @@ def test_guided_server_roundtrip(tmp_path_factory):
         srv.shutdown()
         serving.shutdown()
         llm.exit()
+
+
+def test_guided_json_schema_roundtrip(tmp_path_factory):
+    """r5: OpenAI response_format json_schema (nested OpenAI shape) and
+    /generate with a raw schema dict both constrain output to the schema;
+    an out-of-subset schema returns a request error, not a 500."""
+    from tests.test_guided_engine import _write_guided_fixture
+
+    path = _write_guided_fixture(
+        str(tmp_path_factory.mktemp("gschemasrv") / "model")
+    )
+    llm = LLM(path, max_num_batched_tokens=256, max_model_len=256,
+              max_num_seqs=8, kvcache_block_size=16, enforce_eager=True,
+              guided_json=True, guided_schema_slots=2,
+              guided_schema_states=256, num_kvcache_blocks=256,
+              fetch_interval=4)
+    srv, serving = serve(llm, host="127.0.0.1", port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    schema = {"enum": ["w0", "w1"]}
+    try:
+        port = srv.server_address[1]
+        # /generate accepts the schema dict directly in "guided".
+        def chars(ids):
+            # The word-level test tokenizer joins tokens with spaces in
+            # decode(); rebuild the raw char stream from ids instead.
+            return "".join(
+                llm.tokenizer.convert_ids_to_tokens(i) for i in ids if i != 1
+            )
+
+        r = _post(port, dict(prompt=[5, 6, 7], temperature=1.0, seed=2,
+                             max_tokens=24, guided=schema))
+        assert r.status == 200
+        out = json.loads(r.read())
+        if len(out["token_ids"]) < 24:
+            assert json.loads(chars(out["token_ids"])) in ("w0", "w1")
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request(
+            "POST", "/v1/completions",
+            json.dumps(dict(
+                prompt=[8, 9], temperature=1.0, seed=3, max_tokens=24,
+                response_format={
+                    "type": "json_schema",
+                    "json_schema": {"name": "pick", "schema": schema},
+                },
+            )),
+            {"Content-Type": "application/json"},
+        )
+        rr = conn.getresponse()
+        assert rr.status == 200
+        body = json.loads(rr.read())
+        text = body["choices"][0]["text"]
+        if body["choices"][0]["finish_reason"] == "stop":
+            # The word-level tokenizer's decode() inserts spaces between
+            # tokens; the enum values contain none, so strip whitespace.
+            assert json.loads(
+                text.replace(" ", "").replace("\t", "")
+            ) in ("w0", "w1")
+
+        # Unsupported schema -> clean request error mentioning the keyword.
+        r = _post(port, dict(prompt=[5], max_tokens=4,
+                             guided={"type": "string", "pattern": "a+"}))
+        body = r.read().decode()
+        msg = (json.loads(body).get("error", "")
+               if r.status == 200 else body)
+        assert "pattern" in msg or "unsupported" in msg, (r.status, msg)
+    finally:
+        srv.shutdown()
+        serving.shutdown()
+        llm.exit()
