@@ -243,9 +243,9 @@ def test_warmup_precompiles_penalized_variants(tiny_qwen3_dir):
         pen_decode = [k for k in keys if k[8] and not k[3]]
         pen_prefill = [k for k in keys if k[8] and k[3]]
         assert len(pen_decode) == len(runner.config.decode_buckets)
-        assert pen_prefill and all(
-            k[0] == max(runner.prefill_token_buckets) for k in pen_prefill
-        )
+        # r5: every prefill bucket is covered (a short penalized prompt's
+        # completing chunk lands in a small bucket).
+        assert {k[0] for k in pen_prefill} == set(runner.prefill_token_buckets)
         # The precompiled executable actually serves a penalized request.
         out = llm.generate(
             [[2, 3, 4]],
