@@ -26,6 +26,17 @@ class Config:
     # width (load-balanced); True gives each rank num_experts/tp full-width
     # experts (expert parallelism — better MXU aspect ratios at high tp).
     enable_expert_parallel: bool = False
+    # r5 (ROADMAP #4): 2-D expert placement over a DEDICATED mesh axis —
+    # total devices = expert_parallel_size x tensor_parallel_size on an
+    # ("ep", "tp") mesh. Attention/dense weights and the KV cache shard
+    # over "tp" and REPLICATE over "ep" (attention compute is redundant
+    # across ep — cheap for expert-dominated MoE); each (ep, tp) rank holds
+    # num_experts/ep experts at width/tp, and the expert combine rides one
+    # psum over both axes. This unlocks device counts past the kv-head cap
+    # on attention TP (e.g. 30B-A3B's 4 kv heads on v5e-16 = tp4 x ep4).
+    # 1 (default) keeps the 1-D "tp" mesh. MoE models only; mutually
+    # exclusive with enable_expert_parallel.
+    expert_parallel_size: int = 1
     # First device of this engine's mesh (data-parallel serving: replica r
     # of the api_server's --data-parallel pool runs on devices
     # [r*tp, (r+1)*tp) of the same process).
@@ -145,6 +156,13 @@ class Config:
         assert self.kvcache_block_size % 16 == 0, "kvcache_block_size must be a multiple of 16"
         assert self.tensor_parallel_size >= 1
         assert self.data_parallel_size >= 1
+        assert self.expert_parallel_size >= 1
+        assert not (
+            self.expert_parallel_size > 1 and self.enable_expert_parallel
+        ), (
+            "expert_parallel_size (2-D ep x tp mesh) and "
+            "enable_expert_parallel (1-D EP over the tp axis) are exclusive"
+        )
         assert 0.0 < self.hbm_utilization <= 1.0
         if self.hf_config is None:
             self.hf_config = AutoConfig.from_pretrained(self.model)

@@ -105,11 +105,22 @@ class ModelRunner:
         self.dtype = _DTYPES[config.dtype]
         self.kv_dtype = _DTYPES[config.kv_cache_dtype]
         self.tp = config.tensor_parallel_size
+        self.ep = config.expert_parallel_size
+        n_dev = self.tp * self.ep
+        if self.ep > 1:
+            assert getattr(self.spec, "num_experts", 0), (
+                "expert_parallel_size > 1 needs a MoE model (dense weights "
+                "would just replicate across the ep axis)"
+            )
+            assert self.spec.num_experts % self.ep == 0, (
+                f"num_experts={self.spec.num_experts} must divide over "
+                f"ep={self.ep}"
+            )
 
         devices = jax.devices()
         off = config.device_offset
-        assert off + self.tp <= len(devices), (
-            f"device_offset={off} + tensor_parallel_size={self.tp} exceeds "
+        assert off + n_dev <= len(devices), (
+            f"device_offset={off} + ep*tp={n_dev} exceeds "
             f"{len(devices)} devices"
         )
         # Multi-host (DCN): every host runs this same program (multi-controller
@@ -120,13 +131,25 @@ class ModelRunner:
         # process's devices so all hosts participate in each jitted step.
         self.n_proc = jax.process_count()
         if self.n_proc > 1:
-            assert self.tp == len(devices) and off == 0, (
-                f"multi-host runs require tensor_parallel_size == global device "
-                f"count ({len(devices)}) and device_offset == 0, got {self.tp}"
+            assert n_dev == len(devices) and off == 0, (
+                f"multi-host runs require ep*tp == global device "
+                f"count ({len(devices)}) and device_offset == 0, got {n_dev}"
             )
-        self.mesh = Mesh(
-            np.asarray(devices[off: off + self.tp]).reshape(self.tp), ("tp",)
-        )
+        if self.ep > 1:
+            # 2-D ("ep", "tp") mesh (Config.expert_parallel_size): P("tp")
+            # specs shard over tp and replicate over ep unchanged; only the
+            # expert stacks mention "ep".
+            self.mesh = Mesh(
+                np.asarray(devices[off: off + n_dev]).reshape(
+                    self.ep, self.tp
+                ),
+                ("ep", "tp"),
+            )
+        else:
+            self.mesh = Mesh(
+                np.asarray(devices[off: off + self.tp]).reshape(self.tp),
+                ("tp",),
+            )
         self.is_tpu = devices[0].platform in ("tpu", "axon")
 
         # Persistent compilation cache: recompiling a bucket costs 20-40s on
@@ -268,9 +291,15 @@ class ModelRunner:
             # MoE placements (router always replicated): TP shards each
             # expert's FFN width like the dense MLP; EP
             # (config.enable_expert_parallel) gives each rank E/tp
-            # full-width experts (better MXU aspect ratios at high tp).
+            # full-width experts (better MXU aspect ratios at high tp);
+            # 2-D (config.expert_parallel_size) shards the expert dim over
+            # "ep" AND each expert's width over "tp" — the checkpoint's
+            # width layout is the rank-blocked TP fuse either way.
             layers["router"] = P(None, None, None)
-            if self.config.enable_expert_parallel:
+            if self.ep > 1:
+                layers["expert_gate_up"] = P(None, "ep", None, "tp")
+                layers["expert_down"] = P(None, "ep", "tp", None)
+            elif self.config.enable_expert_parallel:
                 assert self.spec.num_experts % self.tp == 0, (
                     f"num_experts={self.spec.num_experts} must divide over "
                     f"tp={self.tp} for expert parallelism"
@@ -319,7 +348,23 @@ class ModelRunner:
                 # per-out-channel scales stay replicated (partial dots sum
                 # exactly; the scale multiply commutes with the psum), int4's
                 # group dim shards with the contraction.
-                if self.config.enable_expert_parallel:
+                if self.ep > 1:
+                    # 2-D: expert dim over "ep", width over "tp" (col out /
+                    # row contraction). int8 scales [L, E, out] follow the
+                    # out dim for col and stay tp-replicated for row (the
+                    # per-out-channel multiply commutes with the width
+                    # psum); int4 group scales follow the sharded dim.
+                    kinds["expert_col"] = qw(
+                        P(None, "ep", None, "tp"),
+                        P(None, "ep", None, "tp")
+                        if grouped else P(None, "ep", "tp"),
+                    )
+                    kinds["expert_row"] = qw(
+                        P(None, "ep", "tp", None),
+                        P(None, "ep", "tp", None)
+                        if grouped else P(None, "ep", None),
+                    )
+                elif self.config.enable_expert_parallel:
                     ep_q = P(None, "tp", None, None)
                     ep_s = ep_q if grouped else P(None, "tp", None)
                     kinds["expert_col"] = qw(ep_q, ep_s)
@@ -868,7 +913,12 @@ class ModelRunner:
         prefill_impl, decode_impl, spec_impl = self._attn_impls()
         family = self.family
         tp = self.tp
-        axis = "tp" if tp > 1 else None
+        # Any sharded topology (tp > 1 or a 2-D ep x tp mesh) runs the step
+        # as the per-device program under shard_map; a size-1 "tp" axis
+        # makes its psums free no-ops.
+        sharded = tp > 1 or self.ep > 1
+        axis = "tp" if sharded else None
+        ep_axis = "ep" if self.ep > 1 else None
 
         spec_build = cfg.spec_k > 0
         QL = cfg.spec_k + 1
@@ -1046,6 +1096,7 @@ class ModelRunner:
                 scan_layers=cfg.scan_layers,
                 rope=rope,
                 moe_ep=cfg.enable_expert_parallel,
+                ep_axis=ep_axis,
             )
             w = family.lm_head_weight(params)        # [V(/tp), D]
             if spec_step:
@@ -1267,7 +1318,7 @@ class ModelRunner:
                 out_state += [seq_lens_buf, hist_buf]
             return kv, tuple(out_state)
 
-        if tp == 1:
+        if not sharded:
             step = local_step
         else:
             kv_spec = (self._kv_pspec(), self._kv_pspec())

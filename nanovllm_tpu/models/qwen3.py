@@ -288,7 +288,8 @@ def apply_rope(x, cos_t, sin_t):
     return out.astype(x.dtype)
 
 
-def _moe_ffn(spec: Qwen3Spec, lp, x, axis, ep: bool = False):
+def _moe_ffn(spec: Qwen3Spec, lp, x, axis, ep: bool = False,
+             ep_axis: str | None = None):
     """Qwen3-MoE sparse FFN (HF Qwen3MoeSparseMoeBlock math: f32 softmax
     router over all experts, top-k routing weights, optional renormalization).
 
@@ -308,7 +309,12 @@ def _moe_ffn(spec: Qwen3Spec, lp, x, axis, ep: bool = False):
       group coverage are masked to zero before the weighted combine (they
       are UNINITIALIZED under the megablox backend; ragged_dot happens to
       zero-fill, but the mask is load-bearing either way), and the layer's
-      existing psum assembles the full result — no extra collectives."""
+      existing psum assembles the full result — no extra collectives.
+    - 2-D ep x tp (``ep_axis``, config.expert_parallel_size): each
+      (ep, tp) rank owns E/ep experts at width/tp (the TP rank-blocked
+      fuse). Local-first sorting keys off the ``ep_axis`` index; the
+      caller's combine psums over BOTH axes (width partials over tp,
+      expert coverage over ep) — still one collective."""
     t, d = x.shape
     e, k = spec.num_experts, spec.num_experts_per_tok
     logits = x.astype(jnp.float32) @ lp["router"].astype(jnp.float32)
@@ -318,9 +324,10 @@ def _moe_ffn(spec: Qwen3Spec, lp, x, axis, ep: bool = False):
         w = w / jnp.sum(w, axis=-1, keepdims=True)
     flat_e = idx.reshape(-1)                                   # [T*K]
     counts = jnp.zeros((e,), jnp.int32).at[flat_e].add(1)
-    if ep and axis is not None:
+    partial_experts = ep_axis is not None or (ep and axis is not None)
+    if partial_experts:
         e_local = quant.shape_of(lp["expert_gate_up"])[0]
-        lo = lax.axis_index(axis) * e_local
+        lo = lax.axis_index(ep_axis if ep_axis is not None else axis) * e_local
         order = jnp.argsort((flat_e - lo) % e)                 # local-first
         group_sizes = lax.dynamic_slice_in_dim(counts, lo, e_local)
     else:
@@ -338,7 +345,7 @@ def _moe_ffn(spec: Qwen3Spec, lp, x, axis, ep: bool = False):
     g, u = jnp.split(gu, 2, axis=-1)
     mid = jax.nn.silu(g) * u
     out = expert_mm(mid, lp["expert_down"])                    # [T*K, d] f32
-    if ep and axis is not None:
+    if partial_experts:
         # Partial coverage: rows past this rank's local pairs are zero under
         # ragged_dot but UNINITIALIZED under the megablox Pallas kernel —
         # mask before the weighted combine either way.
@@ -380,6 +387,9 @@ def forward(
                                 # in-trace they bloat every bucket executable
                                 # with a [max_position, hd/2] x2 constant
     moe_ep: bool = False,       # expert-parallel MoE placement (see _moe_ffn)
+    ep_axis: str | None = None,  # 2-D ep x tp expert placement: experts
+                                 # shard over this second mesh axis while
+                                 # attention/dense replicate across it
 ):
     """One forward pass over a ragged packed batch; returns (hidden [T, D],
     updated kv). Runs unsharded (tp=1) or as the per-device program inside
@@ -488,13 +498,19 @@ def forward(
         resid = h
         h = rms_norm(h, lp["post_norm"], spec.rms_eps, p1)
         if spec.num_experts:
-            h = _moe_ffn(spec, lp, h, axis, ep=moe_ep)
+            h = _moe_ffn(spec, lp, h, axis, ep=moe_ep, ep_axis=ep_axis)
         else:
             gu = quant.matmul(h, lp["gate_up_proj"])
             g, u = jnp.split(gu, 2, axis=-1)
             h = quant.matmul(act_fn(g) * u, lp["down_proj"])
-        if axis is not None:
-            h = lax.psum(h.astype(dtype), axis)  # see the o_proj psum note
+        if axis is not None or ep_axis is not None:
+            # see the o_proj psum note; the 2-D expert placement folds the
+            # ep-axis coverage sum into this same collective (dense models
+            # never set ep_axis — their replicas must not be summed).
+            ax = axis if ep_axis is None else (
+                (ep_axis, axis) if axis is not None else ep_axis
+            )
+            h = lax.psum(h.astype(dtype), ax)
         if spec.sandwich_norms:
             h = rms_norm(h, lp["post_ffn_norm"], spec.rms_eps, p1)
         h = resid + h

@@ -521,9 +521,9 @@ def test_guided_json_schema_roundtrip(tmp_path_factory):
         text = body["choices"][0]["text"]
         if body["choices"][0]["finish_reason"] == "stop":
             # The word-level tokenizer's decode() inserts spaces between
-            # tokens; the enum values contain none, so strip whitespace.
+            # tokens and spells out <eos>; the enum values contain neither.
             assert json.loads(
-                text.replace(" ", "").replace("\t", "")
+                text.replace(" ", "").replace("\t", "").replace("<eos>", "")
             ) in ("w0", "w1")
 
         # Unsupported schema -> clean request error mentioning the keyword.

@@ -173,3 +173,55 @@ def test_moe_int4_experts(tiny_moe_dir):
         # but at least one greedy completion should survive quantization.
         agree = sum(a == b for a, b in zip(t, bf16))
         assert agree >= 1, (kw, t, bf16)
+
+
+def test_moe_ep2_tp2_2d_mesh_matches_tp1(tiny_moe_dir):
+    """r5 (ROADMAP #4): the 2-D ep x tp mesh — experts sharded over a
+    dedicated "ep" axis at width/tp, attention/dense replicated across ep —
+    reproduces single-device tokens exactly (f32 fixture; the expert
+    combine's two-axis psum must equal the 1-D sum)."""
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    rng = np.random.default_rng(12)
+    prompts = [rng.integers(2, 500, size=n).tolist() for n in (11, 27)]
+    tok1 = [
+        o["token_ids"]
+        for o in LLM(tiny_moe_dir, **ENGINE_KW).generate(
+            prompts, sp, use_tqdm=False
+        )
+    ]
+    for ep, tp in ((2, 2), (4, 1), (2, 1)):
+        toks = [
+            o["token_ids"]
+            for o in LLM(
+                tiny_moe_dir, tensor_parallel_size=tp,
+                expert_parallel_size=ep, **ENGINE_KW
+            ).generate(prompts, sp, use_tqdm=False)
+        ]
+        assert toks == tok1, (ep, tp)
+
+
+def test_moe_ep_tp_2d_int8_experts(tiny_moe_dir):
+    """2-D mesh with int8 expert weights: per-out-channel scales follow the
+    width shard for gate_up and commute with the width psum for down."""
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    rng = np.random.default_rng(13)
+    prompts = [rng.integers(2, 500, size=n).tolist() for n in (10, 24)]
+    a = [
+        o["token_ids"]
+        for o in LLM(tiny_moe_dir, quantization="int8", **ENGINE_KW).generate(
+            prompts, sp, use_tqdm=False
+        )
+    ]
+    b = [
+        o["token_ids"]
+        for o in LLM(
+            tiny_moe_dir, quantization="int8", tensor_parallel_size=2,
+            expert_parallel_size=2, **ENGINE_KW
+        ).generate(prompts, sp, use_tqdm=False)
+    ]
+    assert a == b
+
+
+def test_ep_size_requires_moe(tiny_qwen3_dir):
+    with pytest.raises(AssertionError, match="MoE"):
+        LLM(tiny_qwen3_dir, expert_parallel_size=2, **ENGINE_KW)
