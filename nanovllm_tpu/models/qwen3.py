@@ -288,6 +288,27 @@ def apply_rope(x, cos_t, sin_t):
     return out.astype(x.dtype)
 
 
+def rms_norm_rope(x, w, eps, plus_one, cos_t, sin_t):
+    """Fused per-head RMS-norm + rope in ONE f32 round trip. The separate
+    rms_norm -> apply_rope chain materializes a narrow-dtype boundary tensor
+    between two fusions and upcasts twice (the r5 prefill xplane shows the
+    q/k stream's converts/materializations at ~15-20%% of the step);
+    mathematically this differs from the chain only by SKIPPING the
+    intermediate downcast-to-x.dtype rounding — f32 models are bit-identical,
+    bf16 models get a slightly MORE precise value than before."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    wf = w.astype(jnp.float32)
+    if plus_one:
+        wf = 1.0 + wf
+    nf = xf * lax.rsqrt(var + eps) * wf
+    x1, x2 = jnp.split(nf, 2, axis=-1)
+    c = cos_t[:, None, :]
+    s = sin_t[:, None, :]
+    out = jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+    return out.astype(x.dtype)
+
+
 def _moe_ffn(spec: Qwen3Spec, lp, x, axis, ep: bool = False,
              ep_axis: str | None = None):
     """Qwen3-MoE sparse FFN (HF Qwen3MoeSparseMoeBlock math: f32 softmax
@@ -464,16 +485,17 @@ def forward(
         q = q.reshape(t, hq, hd)
         k = k.reshape(t, hkv, hd)
         v = v.reshape(t, hkv, hd)
-        if spec.has_qk_norm:
-            q = rms_norm(q, lp["q_norm"], spec.rms_eps, p1)
-            k = rms_norm(k, lp["k_norm"], spec.rms_eps, p1)
         if dual_rope:
             c_t = jnp.where(kind == 1, cos_t[1], cos_t[0])
             s_t = jnp.where(kind == 1, sin_t[1], sin_t[0])
         else:
             c_t, s_t = cos_t, sin_t
-        q = apply_rope(q, c_t, s_t)
-        k = apply_rope(k, c_t, s_t)
+        if spec.has_qk_norm:
+            q = rms_norm_rope(q, lp["q_norm"], spec.rms_eps, p1, c_t, s_t)
+            k = rms_norm_rope(k, lp["k_norm"], spec.rms_eps, p1, c_t, s_t)
+        else:
+            q = apply_rope(q, c_t, s_t)
+            k = apply_rope(k, c_t, s_t)
         # The attention impl also appends this step's K/V rows to the paged
         # cache (fused DMA writes on TPU; jnp scatter in the oracle).
         if spec.layer_windows:
