@@ -698,23 +698,42 @@ class ModelRunner:
         )
 
     def ensure_guided_schema(self, schema: dict, seq=None) -> int:
-        """Compile (LRU-cached) and install a JSON-Schema automaton; returns
-        its global start state for GuidedInputs arming. Raises SchemaError
-        outside the supported subset, RuntimeError when every slot is still
-        referenced by an unfinished request."""
+        """Per-request guided automaton: a JSON Schema dict, or
+        ``{"regex": pattern}`` (vLLM guided_regex; full-match semantics) —
+        both compile to char-level DFAs in the same table format and share
+        the slot machinery. Returns the global start state for GuidedInputs
+        arming. Raises SchemaError/RegexError outside the supported subsets,
+        RuntimeError when every slot is still referenced by an unfinished
+        request."""
         import json as _json
 
         from nanovllm_tpu.ops import guided_schema as gs
 
+        if set(schema) == {"regex"}:
+            from nanovllm_tpu.ops.guided_regex import build_regex_automaton
+
+            pat = schema["regex"]
+            assert isinstance(pat, str), pat
+            return self._ensure_guided_automaton(
+                "re:" + pat,
+                lambda cap: build_regex_automaton(pat, cap), seq,
+            )
+        return self._ensure_guided_automaton(
+            "js:" + _json.dumps(schema, sort_keys=True, separators=(",", ":")),
+            lambda cap: gs.build_schema_automaton(schema, cap), seq,
+        )
+
+    def _ensure_guided_automaton(self, key: str, build, seq=None) -> int:
+        from nanovllm_tpu.ops import guided_schema as gs
+
         cfg = self.config
         assert cfg.guided_schema_slots > 0, (
-            "JSON-Schema guided requests need Config(guided_schema_slots>0)"
+            "schema/regex guided requests need Config(guided_schema_slots>0)"
         )
-        key = _json.dumps(schema, sort_keys=True, separators=(",", ":"))
         ent = self._schema_registry.get(key)
         if ent is None:
             per = cfg.guided_schema_states
-            trans_l, accept_l, n = gs.build_schema_automaton(schema, per + 1)
+            trans_l, accept_l, n = build(per + 1)
             th = self._guided_host
             packed_l, _ = gs.compile_masks_dfa(
                 trans_l, accept_l, th["token_bytes"], th["token_len"],

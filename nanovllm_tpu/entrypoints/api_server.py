@@ -286,6 +286,10 @@ def _guided_from_request(req) -> str | dict | None:
                 "object)"
             )
         return schema
+    if req.get("guided_regex"):           # vLLM parameter names
+        return {"regex": str(req["guided_regex"])}
+    if req.get("guided_choice"):
+        return {"enum": [str(c) for c in req["guided_choice"]]}
     return req.get("guided")
 
 
@@ -391,7 +395,7 @@ def _make_handler(serving: ServingEngine):
                     repetition_penalty=float(
                         req.get("repetition_penalty", 1.0)
                     ),
-                    guided=req.get("guided"),
+                    guided=_guided_from_request(req),
                 )
             except (KeyError, ValueError, TypeError, AssertionError,
                     json.JSONDecodeError) as e:

@@ -90,7 +90,10 @@ class SamplingParams:
     # r5: a dict is a JSON Schema (supported subset in
     # ops/guided_schema.py: ordered object properties / required, typed
     # arrays with min/maxItems, string/number/integer/boolean/null,
-    # enum/const) — additionally requires Config(guided_schema_slots > 0).
+    # enum/const), or {"regex": pattern} for full-match regex constraints
+    # (subset in ops/guided_regex.py; vLLM guided_regex semantics), or
+    # {"enum": [...]} for guided_choice — all additionally require
+    # Config(guided_schema_slots > 0).
     guided: str | dict | None = None
 
     def __post_init__(self):
