@@ -27,8 +27,12 @@ llm = LLM(
 )
 
 def chars(ids):
+    # The unguided row may sample ids past the fixture tokenizer's vocab
+    # (model vocab 96 > tokenizer 71); guided rows never can (their masks
+    # exclude unmaskable ids).
     return "".join(
-        llm.tokenizer.convert_ids_to_tokens(i) for i in ids if i != 1
+        llm.tokenizer.convert_ids_to_tokens(i) or "?"
+        for i in ids if i != 1
     )
 
 schema = {"type": "object", "properties": {
