@@ -670,6 +670,12 @@ class ModelRunner:
         self._n_generic = t["trans"].shape[0]
         slots, per = (self.config.guided_schema_slots,
                       self.config.guided_schema_states)
+        assert self._n_generic + slots * per < guided_ops.ACT_LSB, (
+            f"guided tables need {self._n_generic + slots * per} state rows "
+            f"but global ids must stay < ACT_LSB={guided_ops.ACT_LSB} (they "
+            f"share the transition entries with the stack-action packing); "
+            f"lower guided_schema_slots/states"
+        )
         if slots > 0:
             pad_t = np.zeros((slots * per, 4, 257), np.int32)
             pad_a = np.zeros((slots * per, 4), bool)
@@ -717,6 +723,15 @@ class ModelRunner:
             return self._ensure_guided_automaton(
                 "re:" + pat,
                 lambda cap: build_regex_automaton(pat, cap), seq,
+            )
+        if set(schema) == {"choice"}:
+            # Bare-text choices (vLLM guided_choice): the completion IS one
+            # of the strings — unlike {"enum": [...]}, which is the
+            # JSON-value form (strings come out quoted).
+            choices = tuple(str(c) for c in schema["choice"])
+            return self._ensure_guided_automaton(
+                "ch:" + _json.dumps(choices),
+                lambda cap: gs.build_choice_automaton(choices, cap), seq,
             )
         return self._ensure_guided_automaton(
             "js:" + _json.dumps(schema, sort_keys=True, separators=(",", ":")),

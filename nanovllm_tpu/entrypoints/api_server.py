@@ -289,7 +289,9 @@ def _guided_from_request(req) -> str | dict | None:
     if req.get("guided_regex"):           # vLLM parameter names
         return {"regex": str(req["guided_regex"])}
     if req.get("guided_choice"):
-        return {"enum": [str(c) for c in req["guided_choice"]]}
+        # vLLM semantics: the completion IS one of the strings (bare text,
+        # not the JSON-quoted enum form).
+        return {"choice": [str(c) for c in req["guided_choice"]]}
     return req.get("guided")
 
 
@@ -825,9 +827,14 @@ def main(argv=None):
             return
         server, serving = serve(llm, args.host, args.port, multihost=True)
     elif args.data_parallel > 1:
-        tp = int(kwargs.get("tensor_parallel_size", 1))
+        # Each replica's mesh spans tp * ep devices (2-D expert placement
+        # included) — offsets must stride by the full span or replicas
+        # would share chips and overcommit their HBM.
+        span = int(kwargs.get("tensor_parallel_size", 1)) * int(
+            kwargs.get("expert_parallel_size", 1)
+        )
         llm = [
-            LLM(args.model, device_offset=r * tp,
+            LLM(args.model, device_offset=r * span,
                 data_parallel_size=args.data_parallel, **kwargs)
             for r in range(args.data_parallel)
         ]

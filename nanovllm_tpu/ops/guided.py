@@ -49,8 +49,14 @@ TOP_ARR = 2
 TOP_UNKNOWN = 3  # mask-build only: below the visible top
 
 # Stack actions, encoded into the transition table as state + ACT * ACT_LSB.
+# GLOBAL state ids must stay < ACT_LSB: the generic block (38 states) plus
+# every schema/regex slot row (Config.guided_schema_slots x
+# guided_schema_states appended after it) — schema entries carry plain
+# global ids, and an id >= ACT_LSB would decode as a bogus stack action
+# (r5 review finding; ModelRunner._init_guided asserts the budget). The
+# int16 host table caps ACT_LSB at ACT_POP * ACT_LSB + ACT_LSB <= 32767.
 ACT_NONE, ACT_PUSH_OBJ, ACT_PUSH_ARR, ACT_POP = 0, 1, 2, 3
-ACT_LSB = 256  # state ids stay < 256
+ACT_LSB = 4096
 
 DEAD = 0  # state 0 is the dead state (self-loop, never accepting)
 

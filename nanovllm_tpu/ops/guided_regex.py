@@ -177,7 +177,13 @@ class _Parser:
         if c in _CTRL:
             return frozenset([_CTRL[c]])
         if not c.isalnum():
-            return frozenset(c.encode("utf-8"))
+            bs = c.encode("utf-8")
+            if len(bs) == 1:
+                return frozenset(bs)
+            # Escaped multi-byte char: a byte SEQUENCE, not an alternative
+            # over its bytes (r5 review finding). Only atom() callers can
+            # take a sequence; char_class rejects it below.
+            return ("seq", [("lit", frozenset([b])) for b in bs])
         self.error(f"unsupported escape \\{c}")
 
     def char_class(self):

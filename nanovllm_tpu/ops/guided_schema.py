@@ -388,6 +388,26 @@ def build_schema_automaton(schema, max_states: int):
     return trans, accept, b.n
 
 
+def build_choice_automaton(choices, max_states: int):
+    """Bare-text choices (vLLM ``guided_choice`` semantics: the completion
+    is EXACTLY one of the strings — no JSON quoting, no whitespace): a
+    UTF-8 byte trie with EOS at the leaves. Choices where one is a strict
+    prefix of another raise (the DFA could not tell where to stop)."""
+    if not choices:
+        raise SchemaError("empty choice list")
+    b = _Builder(max_states)
+    start = b.new()
+    final = b.new()
+    b.accept[final] = True
+    for c in choices:
+        data = str(c).encode("utf-8")
+        if not data:
+            raise SchemaError("empty string in choice list")
+        b.lit_trie(start, data, final)
+    trans, accept = b.finalize()
+    return trans, accept, b.n
+
+
 def compile_masks_dfa(trans, accept, token_bytes, token_len, eos_ids=()):
     """Token masks for a stack-free (DFA) automaton block: token allowed
     from state st iff its byte walk never dies. Much cheaper than the

@@ -150,3 +150,76 @@ def test_engine_choice_via_enum(guided_dir):
             assert json.loads(text) in ("w0", "w1")
     finally:
         llm.exit()
+
+
+def test_escaped_multibyte_literal():
+    """An escaped non-ASCII char must constrain a byte SEQUENCE, not an
+    alternative over its UTF-8 bytes (r5 review finding)."""
+    trans, accept, _ = build_regex_automaton("a\\€b", 384)
+    assert _walk(trans, accept, "a€b") is True
+    assert _walk(trans, accept, "a\xe2b") is not True  # one stray byte
+
+
+def test_engine_bare_choice(guided_dir):
+    """guided={'choice': [...]} (vLLM guided_choice): the completion IS one
+    of the strings — bare text, no JSON quoting."""
+    llm = LLM(
+        guided_dir, max_num_batched_tokens=256, max_model_len=256,
+        max_num_seqs=8, kvcache_block_size=16, num_kvcache_blocks=256,
+        enforce_eager=True, guided_json=True, guided_schema_slots=2,
+        guided_schema_states=256,
+    )
+    try:
+        out = llm.generate(
+            [[5, 6]] * 4,
+            [SamplingParams(temperature=1.0, max_tokens=12,
+                            guided={"choice": ["w0", "w1,w2"]}, seed=s)
+             for s in range(4)],
+            use_tqdm=False,
+        )
+        done = [o for o in out if len(o["token_ids"]) < 12]
+        assert done
+        for o in done:
+            text = "".join(
+                llm.tokenizer.convert_ids_to_tokens(i)
+                for i in o["token_ids"] if i != 1
+            )
+            assert text in ("w0", "w1,w2"), text
+    finally:
+        llm.exit()
+
+
+def test_engine_slot1_automaton_enforces(guided_dir):
+    """An automaton in slot >= 1 (global state ids past the first slot's
+    row range) must actually ENFORCE its constraint — this is the coverage
+    the r5 review flagged: with the old ACT_LSB=256 packing, any global id
+    >= 256 decoded as a bogus stack action and slot-1 automata silently
+    broke."""
+    llm = LLM(
+        guided_dir, max_num_batched_tokens=256, max_model_len=256,
+        max_num_seqs=8, kvcache_block_size=16, num_kvcache_blocks=256,
+        enforce_eager=True, guided_json=True, guided_schema_slots=2,
+        guided_schema_states=256,
+    )
+    try:
+        runner = llm.model_runner
+        runner.ensure_guided_schema({"type": "integer"})  # occupies slot 0
+        start = runner.ensure_guided_schema({"choice": ["w3", "w5"]})
+        assert start >= runner._n_generic + runner.config.guided_schema_states
+        out = llm.generate(
+            [[5 + i] for i in range(5)],
+            [SamplingParams(temperature=1.0, max_tokens=12,
+                            guided={"choice": ["w3", "w5"]}, seed=s)
+             for s in range(5)],
+            use_tqdm=False,
+        )
+        done = [o for o in out if len(o["token_ids"]) < 12]
+        assert done, "no row completed (mask/walk broken in slot 1?)"
+        for o in done:
+            text = "".join(
+                llm.tokenizer.convert_ids_to_tokens(i)
+                for i in o["token_ids"] if i != 1
+            )
+            assert text in ("w3", "w5"), text
+    finally:
+        llm.exit()

@@ -193,7 +193,8 @@ def test_engine_schema_outputs_conform(guided_dir):
         out = llm.generate([[5, 6, 7], [8, 9], [10, 11, 12, 13], [14]],
                            params, use_tqdm=False)
         start = llm.model_runner._schema_registry[
-            json.dumps(E2E_SCHEMA, sort_keys=True, separators=(",", ":"))
+            "js:" + json.dumps(E2E_SCHEMA, sort_keys=True,
+                               separators=(",", ":"))
         ]["start"]
         for o in out:
             text = _decode(llm, o["token_ids"])
@@ -276,19 +277,16 @@ def test_schema_slot_reuse_and_busy(guided_dir):
         # Both slots held by unfinished requests -> a third schema errors.
         class _Fake:
             is_finished = False
-        runner._schema_registry[json.dumps(
-            schemas[0], sort_keys=True, separators=(",", ":"))
-        ]["seqs"].append(_Fake())
-        runner._schema_registry[json.dumps(
-            schemas[1], sort_keys=True, separators=(",", ":"))
-        ]["seqs"].append(_Fake())
+        def key(s):
+            return "js:" + json.dumps(s, sort_keys=True,
+                                      separators=(",", ":"))
+        runner._schema_registry[key(schemas[0])]["seqs"].append(_Fake())
+        runner._schema_registry[key(schemas[1])]["seqs"].append(_Fake())
         with pytest.raises(RuntimeError, match="slots"):
             runner.ensure_guided_schema(schemas[2])
         # Finishing one frees its slot for eviction; the new schema lands
         # on that slot's row range.
-        runner._schema_registry[json.dumps(
-            schemas[0], sort_keys=True, separators=(",", ":"))
-        ]["seqs"].clear()
+        runner._schema_registry[key(schemas[0])]["seqs"].clear()
         s2 = runner.ensure_guided_schema(schemas[2])
         assert s2 == s0                         # reused slot -> same base
         # End-to-end through the evicted-and-reinstalled slot.
