@@ -9,7 +9,15 @@ environment; throughput does not depend on weight values). Prints ONE JSON
 line with the result.
 
 Env overrides: BENCH_NUM_SEQS, BENCH_MAX_LEN, BENCH_MODEL (a real HF model
-dir, loads actual weights), BENCH_TP.
+dir, loads actual weights), BENCH_TP (full list: benchmarks/README.md).
+
+Side-by-side comparison (the reference keeps commented vLLM lines,
+bench.py:5,19-20): no second TPU inference engine exists in this offline
+environment to compare against in-process; the recorded baseline is the
+reference's own published 1434.13 tok/s (RTX 4070), which vs_baseline
+reports against. To compare against vLLM-TPU or JetStream on your own pod,
+run their equivalents of this trace (256 seqs, in/out ~U(100,1024), seed 0,
+ignore_eos) and compare output tok/s.
 """
 
 import json

@@ -21,6 +21,12 @@ itself on device:
     most the visible top (deeper stack is unknown at mask-build time), so
     multi-close tokens like ``"}]"`` are excluded where ambiguous — the
     model closes one level per token there, which is still valid JSON.
+    Quantified (tests/test_guided_ops.py
+    test_conservative_mask_cost_is_multi_pop_only): the over-ban touches
+    ONLY tokens whose walk nets >= 2 closes beyond their opens;
+    single-close tokens are never banned, so every valid JSON value stays
+    reachable — the sole expressiveness loss is that deep closings take
+    one token per level.
   * ``token_bytes`` u8[V, L] (+ ``token_len`` i32[V]): each token's UTF-8
     bytes, padded with 256 (the no-op column).
 
