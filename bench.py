@@ -179,10 +179,16 @@ def main():
     trace_runs = [run_trace()]
     # One retry of the (cheap, ~25 s) trace if the headline lands far below
     # the stored norm on the default config — a mid-trace tunnel stall looks
-    # exactly like this, and r4 was graded on one.
-    if norm is not None and trace_runs[-1] < 0.65 * norm["headline_tok_s"]:
-        print(f"headline {trace_runs[-1]:.0f} < 65% of norm "
-              f"{norm['headline_tok_s']}; retrying trace once", file=sys.stderr)
+    # exactly like this, and r4 was graded on one. A canary-confirmed
+    # degraded session also earns the retry: r5 measured a flagged window
+    # where the trace ran at 75% of norm (above the 65% trip) and recovered
+    # minutes later.
+    if norm is not None and (
+        degraded or trace_runs[-1] < 0.65 * norm["headline_tok_s"]
+    ):
+        print(f"headline {trace_runs[-1]:.0f} (degraded={degraded}); "
+              f"retrying trace once", file=sys.stderr)
+        time.sleep(30)
         trace_runs.append(run_trace())
     throughput = max(trace_runs)
 
