@@ -169,6 +169,9 @@ def main():
 
     def run_trace():
         llm.metrics = EngineMetrics()  # reset after warmup/canary
+        # Retries must not be flattered by prefix-cache hits on the repeated
+        # prompts (~5% of wall): drop the hash map so prefills run cold.
+        llm.scheduler.block_manager.hash_to_block_id.clear()
         t = time.time()
         llm.generate(prompts, sampling_params, use_tqdm=True)
         elapsed = time.time() - t
